@@ -1,0 +1,113 @@
+"""Positional zip of N DataFrames (SURVEY §2A J1).
+
+The reference aligns rows of several DataFrames *by position*:
+``rdd.zipWithIndex`` per input, re-key ``(idx → row)``, pairwise inner
+equi-join on the index, schemas concatenated
+(`DataframeModeler.scala:246-258`, used at `Trainer.scala:196-200`).
+
+DataFrames are unordered, so positional semantics need a defined row
+order. The public API therefore takes an explicit **unique** order key
+per input (SURVEY §7.3 risk 1). The row index is computed without a
+single-partition global sort:
+
+1. ``repartitionByRange(order_keys)`` — ordered, distributed ranges —
+   then **persist**: Spark's RangePartitioner seeds boundary sampling
+   with the RDD id, so re-computing the exchange (another action, or
+   an unreused plan branch) can pick different boundaries; pinning the
+   materialized partitions is the only sound way to reference the same
+   partitioning twice,
+2. per-partition counts (one row per partition, collected — O(parts),
+   never O(rows)) → cumulative offsets broadcast back,
+3. ``row_number()`` partitioned by ``spark_partition_id()`` — local,
+   parallel; ``index = offset + local_rank - 1``.
+
+This is what RDD ``zipWithIndex`` does physically, expressed in the
+DataFrame API so the rest of the plan stays in Catalyst. Scale cost:
+one materialization (memory, spilling to disk) of the projected
+input — the honest price of positional semantics on an unordered
+relation, the same barrier the reference's ``zipWithIndex`` pays.
+"""
+
+from __future__ import annotations
+
+import builtins
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+ROW_INDEX = "_zip_index"
+
+
+def with_row_index(
+    df: DataFrame,
+    order_keys: list[str],
+    index_col: str = ROW_INDEX,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a dense 0-based row index following ``order_keys`` order.
+
+    ``order_keys`` must be a unique key — equal keys have no defined
+    position (range partitioning may split ties across partitions).
+
+    The returned plan reads a persisted snapshot of the re-ranged
+    input; for very large zips free it afterwards with
+    ``spark.catalog.clearCache()`` (or let LRU eviction handle it).
+    """
+    keys = [F.col(k) for k in order_keys]
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(parts, *keys)
+        .withColumn("_zip_part", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # This action materializes the cache, freezing partition boundaries;
+    # only one count per partition reaches the driver, never row data.
+    counts = ranged.groupBy("_zip_part").agg(F.count(F.lit(1)).alias("n")).collect()
+    offsets, acc = [], 0
+    for row in sorted(counts, key=lambda r: r["_zip_part"]):
+        offsets.append((row["_zip_part"], acc))
+        acc += row["n"]
+    offsets_df = df.sparkSession.createDataFrame(
+        offsets, "_zip_part int, _zip_offset long"
+    )
+
+    local = Window.partitionBy("_zip_part").orderBy(*keys)
+    return (
+        ranged.withColumn("_zip_local", F.row_number().over(local))
+        .join(F.broadcast(offsets_df), "_zip_part")
+        .withColumn(index_col, (F.col("_zip_offset") + F.col("_zip_local") - 1))
+        .drop("_zip_part", "_zip_local", "_zip_offset")
+    )
+
+
+def zip_frames(
+    frames: list[DataFrame],
+    order_keys: list[list[str]],
+    index_col: str | None = None,
+) -> DataFrame:
+    """Inner-join N DataFrames on row position (reference J1 semantics,
+    `DataframeModeler.scala:246-250`): row i of the result concatenates
+    row i of every input under its own order. Column names must be
+    disjoint across inputs. Keeps the index when ``index_col`` given.
+    """
+    if len(frames) != len(order_keys):
+        raise ValueError("one order_keys list per frame")
+    indexed = [
+        with_row_index(df, keys, ROW_INDEX) for df, keys in zip(frames, order_keys)
+    ]
+    joined = reduce(lambda a, b: a.join(b, ROW_INDEX, "inner"), indexed)
+    if index_col:
+        joined = joined.withColumnRenamed(ROW_INDEX, index_col)
+    else:
+        joined = joined.drop(ROW_INDEX)
+    return joined
+
+
+def zip_local(columns: list[list], names: list[str]):
+    """Driver-side zip for tiny frames (parity with ``zipLocal``,
+    `DataframeModeler.scala:159-161`)."""
+    n = builtins.min(len(c) for c in columns)
+    return [dict(zip(names, vals)) for vals in zip(*[c[:n] for c in columns])]

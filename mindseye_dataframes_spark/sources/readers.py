@@ -1,0 +1,80 @@
+"""Sources: parquet/csv/json scans + temp-view catalog registration.
+
+Parity surface (SURVEY §2A): S1 parquet scan (`Trainer.scala:94`),
+S2 temp-view registration (`Trainer.scala:95`), S4 catalog lookup
+(`Trainer.scala:207`). Reads go through ``spark.read`` so predicate
+pushdown / column pruning / partition pruning into the scan are
+Catalyst's job — do not pre-materialize.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# the driver's testdata star schema (TESTDATA.md)
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S1: parquet scan. Schema inferred from footers (`Trainer.scala:94`)."""
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, header: bool = True, schema: str | None = None
+) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table from an sf directory.
+
+    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; read it as raw nanos (legacy conf) and convert to
+    a microsecond timestamp — the same truncation DuckDB applies when
+    it reads nanos into its native micros TIMESTAMP, so oracle
+    comparisons agree.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """S2/S4: register every testdata table as a temp view so the full
+    SQL surface (`spark.sql`) can address them, mirroring the
+    reference's staging handoff (`Trainer.scala:91-99`)."""
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
