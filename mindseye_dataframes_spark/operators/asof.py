@@ -1,0 +1,87 @@
+"""As-of (temporal) join — §2B "range/as-of" row.
+
+``asof_join(left, right, ...)``: for every left row, attach the most
+recent right row of the same key with ``right.ts <= left.ts``
+(backward direction, inclusive — the common market-data semantics and
+DuckDB's ``ASOF JOIN`` default).
+
+Implementation is the union-marker pattern, chosen for scale: instead
+of a range join (quadratic blowup) or per-key collect, both sides are
+unioned with a side marker, one shuffle partitions by key, and a
+running ``last(right_value, ignorenulls=True)`` over (ts, side) fills
+each left row with the latest preceding right payload. Cost: ONE
+shuffle of |L|+|R| rows — same as a regular join of the two sides;
+works unchanged on a 1000-executor cluster (per-key data never has to
+fit anywhere, the window is streaming within partitions).
+
+Right-side rows that tie on (keys, ts) are resolved by ``tiebreak``
+(highest wins) so the result is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    tiebreak: str | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join. ``payload`` columns from ``right`` are appended
+    (renamed with ``suffix`` when they collide), null when no right row
+    precedes. Inclusive: right rows at exactly left_ts match.
+    """
+    # deterministic right side: one row per (keys, ts)
+    r = right
+    if tiebreak is not None:
+        w_dedup = Window.partitionBy(*on, right_ts).orderBy(F.col(tiebreak).desc())
+        r = (
+            r.withColumn("_asof_rn", F.row_number().over(w_dedup))
+            .filter(F.col("_asof_rn") == 1)
+            .drop("_asof_rn")
+        )
+
+    out_names = {
+        c: (c + suffix if c in left.columns else c) for c in payload
+    }
+
+    l_marked = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(1).alias("_asof_side"),
+        *[F.lit(None).cast(r.schema[c].dataType).alias(out_names[c]) for c in payload],
+    )
+    r_marked = r.select(
+        *[
+            F.col(k) if k in r.columns else F.lit(None).alias(k)
+            for k in on
+        ],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on],
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(0).alias("_asof_side"),
+        *[F.col(c).alias(out_names[c]) for c in payload],
+    ).select(*left.columns, "_asof_ts", "_asof_side", *[out_names[c] for c in payload])
+
+    unioned = l_marked.unionByName(r_marked)
+    # right rows (side=0) sort before left rows at equal ts → inclusive
+    fill = (
+        Window.partitionBy(*on)
+        .orderBy("_asof_ts", "_asof_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        *left.columns,
+        "_asof_side",
+        *[
+            F.last(out_names[c], ignorenulls=True).over(fill).alias(out_names[c])
+            for c in payload
+        ],
+    )
+    return filled.filter(F.col("_asof_side") == 1).drop("_asof_side")

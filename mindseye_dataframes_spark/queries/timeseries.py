@@ -1,0 +1,201 @@
+"""Time-series operators over the events table (§2B: as-of join,
+range join, tumbling windows, sessionization).
+
+These are the batch twins of the streaming surface in
+``streaming/``; timestamps are compared as epoch microseconds so the
+oracle comparison is timezone-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mindseye_dataframes_spark.functions.exact import dec, dsum
+from mindseye_dataframes_spark.operators.asof import asof_join
+from mindseye_dataframes_spark.queries.registry import query
+from mindseye_dataframes_spark.sources.readers import load_table
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+@query(
+    "q22_asof_join",
+    oracle="""
+    WITH a AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), b AS (
+      SELECT user_id, ts, event_id AS click_event, value AS click_value
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT a.event_id, a.user_id, a.value, b.click_event, b.click_value
+    FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
+    ORDER BY a.event_id
+    """,
+    tags=("timeseries", "parity:asof-join"),
+    bench=True,
+)
+def q22_asof_join(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_event"),
+        F.col("value").alias("click_value"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload=["click_event", "click_value"],
+        tiebreak="click_event",
+    )
+    return joined.select(
+        "event_id", "user_id", "value", "click_event", "click_value"
+    ).orderBy("event_id")
+
+
+@query(
+    "q23_range_join",
+    oracle="""
+    SELECT a.event_id,
+           COUNT(b.event_id) AS n_prior,
+           CAST(COALESCE(SUM(CAST(b.value AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_prior
+    FROM events a
+    LEFT JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts - INTERVAL 1 HOUR
+     AND b.ts <  a.ts
+    GROUP BY a.event_id
+    ORDER BY a.event_id
+    """,
+    tags=("timeseries", "parity:range-join"),
+)
+def q23_range_join(spark, sf_dir):
+    """Bounded-interval self join. Scale strategy: bucket timestamps by
+    the interval width and join on (key, bucket∈{b-1,b}) — each row
+    joins ≤2 buckets instead of a full per-key cross product, then the
+    exact range predicate filters. This keeps the join equi-join-shaped
+    (shuffle hash/sort-merge capable) at any data size.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    a = events.select(
+        F.col("event_id").alias("a_id"),
+        F.col("user_id").alias("a_user"),
+        F.unix_micros("ts").alias("a_us"),
+    ).withColumn("probe", F.explode(F.array(F.expr("a_us div 3600000000 - 1"), F.expr("a_us div 3600000000"))))
+    b = events.select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("b_user"),
+        F.unix_micros("ts").alias("b_us"),
+        F.col("value").alias("b_value"),
+    ).withColumn("bucket", F.expr("b_us div 3600000000"))
+    pairs = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("probe") == F.col("bucket"))
+        & (F.col("b_us") >= F.col("a_us") - F.lit(hour_us))
+        & (F.col("b_us") < F.col("a_us")),
+        "inner",
+    )
+    counts = pairs.groupBy("a_id").agg(
+        F.count("b_id").alias("n_prior"),
+        F.sum(dec("b_value", 2)).cast("double").alias("sum_prior"),
+    )
+    return (
+        events.select(F.col("event_id"))
+        .join(counts, F.col("event_id") == F.col("a_id"), "left")
+        .select(
+            "event_id",
+            F.coalesce(F.col("n_prior"), F.lit(0)).alias("n_prior"),
+            F.coalesce(F.col("sum_prior"), F.lit(0.0)).alias("sum_prior"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q24_tumbling_window",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '{TS_FMT_DUCK}') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("timeseries", "parity:tumbling-window"),
+    bench=True,
+)
+def q24_tumbling_window(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "q25_sessionization",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, event_id, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    tags=("timeseries", "parity:sessionization"),
+)
+def q25_sessionization(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): the batch twin of
+    streaming session windows. One shuffle by user_id; the session id
+    is a running sum of new-session flags — no per-user collect."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    us = F.unix_micros("ts")
+    new_session = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((us - F.unix_micros(F.lag("ts").over(w))) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    return (
+        events.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.date_format(F.min("ts"), TS_FMT_SPARK).alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 2).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
