@@ -1,0 +1,185 @@
+"""Text-analysis column functions (north-star §2B "Text analysis").
+
+Everything here is built from built-in ``pyspark.sql.functions`` so it
+runs JVM-side at full scan speed; each helper has an exact DuckDB SQL
+twin used by the oracle queries (same tokenization, same hash).
+
+Design notes for 100 TB:
+- token/shingle/minhash work is per-row array math — embarrassingly
+  parallel, no shuffle;
+- MinHash uses md5-hex *string minima* (k independent salts) so Spark
+  and any oracle engine agree without sharing a custom hash function;
+- SimHash is 16-bit (nibble arithmetic on md5 hex) — wide enough to
+  cluster, small enough to stay SQL-expressible on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
+
+MINHASH_K = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens (single-space split — matches the oracle's
+    ``string_split(text, ' ')``)."""
+    return F.split(_c(text), " ")
+
+
+def distinct_tokens(text: Column | str) -> Column:
+    return F.array_distinct(tokens(text))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles; documents shorter than n fall back to the
+    whole text as a single shingle (mirrors the oracle's CASE)."""
+    toks = tokens(text)
+    gram = lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+    )
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram)
+        ),
+    ).otherwise(F.array(_c(text)))
+
+
+def minhash_signature(items: Column | str, k: int = MINHASH_K) -> Column:
+    """k-element MinHash signature over a set of strings: element i is
+    ``min(md5(i || ':' || item))`` — a salted-hash minimum that any
+    SQL engine reproduces exactly (lexicographic min of hex strings).
+    """
+    its = _c(items)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(its, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
+        ),
+    )
+
+
+def lsh_band_keys(sig: Column | str, bands: int = LSH_BANDS, k: int = MINHASH_K) -> Column:
+    """Banding for LSH: ``bands`` keys, each ``band_idx:md5(rows)``.
+    Docs sharing any band key are candidate duplicates."""
+    rows = k // bands
+    s = _c(sig)
+    return F.array(
+        *[
+            F.concat(
+                F.lit(f"{j}:"),
+                F.md5(F.concat_ws(",", F.slice(s, j * rows + 1, rows))),
+            )
+            for j in range(bands)
+        ]
+    )
+
+
+def bag_fingerprint(text: Column | str) -> Column:
+    """Order-insensitive content fingerprint: md5 of the sorted
+    distinct token set. Catches shuffled/reordered duplicates."""
+    return F.md5(F.concat_ws(" ", F.array_sort(distinct_tokens(text))))
+
+
+def exact_fingerprint(text: Column | str) -> Column:
+    """Whitespace-normalized exact-content fingerprint."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(_c(text), " +", " "))))
+
+
+def simhash16(text: Column | str) -> Column:
+    """16-bit SimHash over the distinct token set.
+
+    Bit b of md5(token): nibble ``b div 4`` of the hex digest, bit
+    ``3 - b % 4`` (MSB-first). Each token votes ±1 per bit; the sign
+    of the sum sets the output bit. Pure integer arithmetic on both
+    engines — see ``simhash16_sql`` for the DuckDB twin.
+    """
+    def vote_fn(npos: int, sh: int):
+        def vote(t):
+            nibble = F.conv(F.substring(F.md5(t), npos, 1), 16, 10).cast("int")
+            return ((nibble / F.lit(sh)).cast("int") % 2) * 2 - 1
+
+        return vote
+
+    toks = distinct_tokens(text)
+    total = F.lit(0)
+    for b in range(16):
+        vote = vote_fn(b // 4 + 1, 2 ** (3 - b % 4))
+        bit_sum = F.aggregate(toks, F.lit(0), lambda acc, t: acc + vote(t))
+        total = total + F.when(bit_sum > 0, F.lit(2**b)).otherwise(F.lit(0))
+    return total
+
+
+# ---------------------------------------------------------------------------
+# Python twins for Arrow-batched (pandas UDF) execution.
+#
+# The SQL-expression versions above are correct but higher-order
+# functions (transform/aggregate) execute interpreted — no codegen, no
+# common-subexpression elimination — measured ~25ms/doc for MinHash at
+# sf0.1. Shingling + hashing is doc-local work, so the scale path is a
+# pandas UDF: Arrow batches in, tight Python loop (hashlib.md5 is C),
+# zero shuffle. Same tokenization and hash → oracle-identical results.
+# ---------------------------------------------------------------------------
+
+
+def py_shingles(text: str, n: int = 3) -> list[str]:
+    """Python twin of :func:`shingles` (first-seen dedup order)."""
+    toks = text.split(" ")
+    if len(toks) < n:
+        return [text]
+    seen: set[str] = set()
+    out: list[str] = []
+    for i in range(len(toks) - n + 1):
+        s = " ".join(toks[i : i + n])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+def py_distinct_tokens(text: str) -> list[str]:
+    seen: set[str] = set()
+    out: list[str] = []
+    for t in text.split(" "):
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+    return out
+
+
+def py_minhash(items: list[str], k: int = MINHASH_K) -> list[str]:
+    """Python twin of :func:`minhash_signature`."""
+    import hashlib
+
+    digests = [
+        [hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in items]
+        for i in range(k)
+    ]
+    return [min(row) for row in digests]
+
+
+def simhash16_sql(text_expr: str) -> str:
+    """DuckDB SQL computing the same 16-bit SimHash as
+    :func:`simhash16` (generated to keep the bit math in one place)."""
+    terms = []
+    for b in range(16):
+        nibble_pos = b // 4 + 1
+        shift = 2 ** (3 - b % 4)
+        vote = (
+            f"(((strpos('0123456789abcdef', substr(md5(t), {nibble_pos}, 1)) - 1)"
+            f" // {shift}) % 2) * 2 - 1"
+        )
+        bit_sum = (
+            f"list_aggregate(list_transform(list_distinct(string_split({text_expr}, ' ')),"
+            f" t -> {vote}), 'sum')"
+        )
+        terms.append(f"CASE WHEN ({bit_sum}) > 0 THEN {2**b} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"

@@ -1,0 +1,197 @@
+"""Deduplication operators (north-star §2B ★ rows).
+
+Four tiers, all shuffle-bounded (no pairwise cross product outside a
+candidate bucket):
+
+- exact:    hash-groupBy on (normalized) content → canonical survivor
+- MinHash:  salted-md5 signatures → LSH banding → bucket self-join →
+            exact Jaccard verify on candidates only
+- SimHash:  16-bit fingerprint equality clusters
+- embedding: cosine threshold pairs (brute within LSH bucket at scale)
+
+Scale analysis: LSH banding turns O(n²) near-dup search into
+O(n·bands) + O(Σ bucket²); with b bands of r rows the candidate
+probability for Jaccard j is 1-(1-j^r)^b, so bucket sizes stay small
+unless the corpus truly is one giant dup cluster (then salting the
+band key by a content prefix bounds the bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mindseye_dataframes_spark.functions.textfns import (
+    LSH_BANDS,
+    MINHASH_K,
+    distinct_tokens,
+    lsh_band_keys,
+    py_distinct_tokens,
+    py_minhash,
+    py_shingles,
+    shingles,
+)
+from mindseye_dataframes_spark.plans.parallelism import ensure_min_parallelism
+
+def _features(text_col: str, feature: str):
+    """Feature set for similarity: 'shingles' (word 3-grams — order-
+    sensitive, discriminative even on tiny vocabularies) or 'tokens'
+    (order-insensitive bag). Shingles are the default: on a 31-word
+    vocabulary token-set jaccard has a ~0.65 baseline between
+    *unrelated* docs, so token-level LSH degenerates to all-pairs."""
+    if feature == "shingles":
+        return shingles(text_col, 3)
+    if feature == "tokens":
+        return distinct_tokens(text_col)
+    raise ValueError(f"unknown feature: {feature}")
+
+
+def _py_features(feature: str):
+    if feature == "shingles":
+        return py_shingles
+    if feature == "tokens":
+        return py_distinct_tokens
+    raise ValueError(f"unknown feature: {feature}")
+
+
+def _features_udf(feature: str):
+    """Arrow-batched feature extraction (see textfns.py: interpreted
+    higher-order functions are ~25ms/doc; this path is ~µs/doc)."""
+    fn = _py_features(feature)
+    return F.pandas_udf(lambda texts: texts.map(fn), "array<string>")
+
+
+def _signature_udf(feature: str, k: int):
+    fn = _py_features(feature)
+    return F.pandas_udf(
+        lambda texts: texts.map(lambda t: py_minhash(fn(t), k)), "array<string>"
+    )
+
+
+def doc_features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = MINHASH_K,
+    feature: str = "shingles",
+) -> DataFrame:
+    """(id, feats, signature) per doc from ONE Arrow-batched UDF pass,
+    persisted (memory, spill to disk): the LSH bucket self-join and
+    the Jaccard verify both consume this relation twice — without
+    pinning, Spark re-runs the UDF subtree once per plan branch."""
+    import pandas as pd
+    from pyspark.storagelevel import StorageLevel
+
+    fn = _py_features(feature)
+
+    def both(texts):
+        feats = texts.map(fn)
+        sigs = feats.map(lambda f: py_minhash(f, k))
+        return pd.DataFrame({"feats": feats, "sig": sigs})
+
+    udf = F.pandas_udf(both, "feats array<string>, sig array<string>")
+    return (
+        ensure_min_parallelism(df, id_col)
+        .select(F.col(id_col), udf(F.col(text_col)).alias("_x"))
+        .select(id_col, F.col("_x.feats").alias("feats"), F.col("_x.sig").alias("signature"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def dedup_exact(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: one survivor (minimum id — deterministic, unlike
+    ``dropDuplicates``) per distinct content. Map-side partial agg +
+    one shuffle on the content hash."""
+    return df.groupBy(*content_cols).agg(
+        F.min(id_col).alias("survivor_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, k: int = MINHASH_K,
+    feature: str = "shingles",
+) -> DataFrame:
+    """Per-doc MinHash signature over the chosen feature set.
+
+    Arrow-batched pandas UDF: shingling+hashing is doc-local, so this
+    is a pure map — zero shuffle at any scale. (The SQL-expression
+    form via nested transform() was measured 30× slower: higher-order
+    functions run interpreted, re-evaluating the feature array k
+    times per row; an explode+groupBy form was 5× slower and added a
+    shuffle.)
+    """
+    sig = _signature_udf(feature, k)
+    return ensure_min_parallelism(df, id_col).select(
+        F.col(id_col), sig(F.col(text_col)).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    feature: str = "shingles",
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
+    Returns distinct (id_a < id_b) pairs. The only join is the bucket
+    self-join — each side keyed by (band key), never all-pairs."""
+    sigs = minhash_signatures(df, text_col, id_col, k, feature).select(
+        F.col(id_col),
+        lsh_band_keys(F.col("signature"), bands, k).alias("band_keys"),
+    )
+    buckets = sigs.select(id_col, F.explode("band_keys").alias("band_key"))
+    a = buckets.select(F.col("band_key"), F.col(id_col).alias("id_a"))
+    b = buckets.select(F.col("band_key"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verified_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    feature: str = "shingles",
+) -> DataFrame:
+    """LSH candidates + exact feature-set Jaccard ≥ threshold.
+    Jaccard is |A∩B| / (|A|+|B|-|A∩B|) — integer counts, so the double
+    division is engine-exact for the oracle."""
+    base = doc_features(df, text_col, id_col, k, feature)
+    buckets = base.select(
+        F.col(id_col),
+        F.explode(lsh_band_keys(F.col("signature"), bands, k)).alias("band_key"),
+    )
+    a = buckets.select(F.col("band_key"), F.col(id_col).alias("id_a"))
+    b = buckets.select(F.col("band_key"), F.col(id_col).alias("id_b"))
+    candidates = (
+        a.join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    toks = base.select(F.col(id_col), F.col("feats").alias("toks")).withColumn(
+        "n_toks", F.size("toks")
+    )
+    ta = toks.select(
+        F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"), F.col("n_toks").alias("n_a")
+    )
+    tb = toks.select(
+        F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"), F.col("n_toks").alias("n_b")
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter).cast("double")
+    return (
+        candidates.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,22 @@
+"""Plan-shape utilities.
+
+``ensure_min_parallelism``: small single-file inputs scan as one
+partition, so compute-heavy per-row work (hashing, vector math) runs
+on one core. When — and only when — the input's parallelism is below
+the cluster's, repartition before the heavy stage. On real multi-TB
+inputs the scan already has thousands of splits and this is a no-op,
+so no shuffle is added at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_min_parallelism(df: DataFrame, *repartition_cols: str) -> DataFrame:
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if repartition_cols:
+        return df.repartition(target, *repartition_cols)
+    return df.repartition(target)

@@ -1,0 +1,179 @@
+"""Deduplication queries (north-star ★): exact, MinHash-LSH, SimHash
+clusters, embedding cosine near-dup.
+
+The exact-dedup query simulates a double-ingest (two "crawls" of the
+same corpus) so the operator's survivor semantics are actually
+exercised — the raw documents table has no byte-identical dups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mindseye_dataframes_spark.functions.vectors import cosine_ranked
+from mindseye_dataframes_spark.operators.dedup import (
+    dedup_exact,
+    jaccard_verified_pairs,
+    minhash_signatures,
+)
+from mindseye_dataframes_spark.queries.registry import query
+from mindseye_dataframes_spark.sources.readers import load_table
+
+
+@query(
+    "q30_exact_dedup",
+    oracle="""
+    WITH ingest AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    )
+    SELECT MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
+    FROM ingest GROUP BY text
+    ORDER BY survivor_id
+    """,
+    tags=("dedup", "parity:dedup-exact"),
+)
+def q30_exact_dedup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    second_crawl = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    ingest = docs.unionAll(second_crawl)
+    return (
+        dedup_exact(ingest, ["text"], "doc_id")
+        .select("survivor_id", "n_copies")
+        .orderBy("survivor_id")
+    )
+
+
+@query(
+    "q31_minhash_signatures",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) >= 3
+                  THEN list_distinct(list_transform(range(1, len(string_split(text, ' '))-1),
+                       i -> concat_ws(' ', string_split(text, ' ')[i], string_split(text, ' ')[i+1], string_split(text, ' ')[i+2])))
+                  ELSE [text] END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(
+             list_transform(range(0, 16), i ->
+               list_aggregate(list_transform(t, s -> md5(concat(i, ':', s))), 'min')),
+             ',') AS sig
+    FROM feats
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "parity:minhash"),
+)
+def q31_minhash_signatures(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        minhash_signatures(docs, "text", "doc_id")
+        .select("doc_id", F.concat_ws(",", "signature").alias("sig"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q32_lsh_dup_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) >= 3
+                  THEN list_distinct(list_transform(range(1, len(string_split(text, ' '))-1),
+                       i -> concat_ws(' ', string_split(text, ' ')[i], string_split(text, ' ')[i+1], string_split(text, ' ')[i+2])))
+                  ELSE [text] END AS t
+      FROM documents
+    ), sigs AS (
+      SELECT doc_id,
+             list_transform(range(0, 16), i ->
+               list_aggregate(list_transform(t, s -> md5(concat(i, ':', s))), 'min')) AS sig
+      FROM toks
+    ), buckets AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, 4), j ->
+               concat(j, ':', md5(array_to_string(sig[j*4+1 : j*4+4], ','))))) AS band_key
+      FROM sigs
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b USING (band_key)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
+             / CAST(len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t)) AS DOUBLE) AS jaccard
+    FROM cands
+    JOIN toks ta ON ta.doc_id = id_a
+    JOIN toks tb ON tb.doc_id = id_b
+    WHERE CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
+            / CAST(len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t)) AS DOUBLE) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "parity:minhash-lsh"),
+    bench=True,
+)
+def q32_lsh_dup_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        jaccard_verified_pairs(docs, "text", "doc_id", threshold=0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "q33_simhash_clusters",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp
+      FROM documents
+    )
+    SELECT bag_fp, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+    FROM fp GROUP BY bag_fp HAVING COUNT(*) > 1
+    ORDER BY min_doc
+    """,
+    tags=("dedup", "parity:fingerprint-clusters"),
+)
+def q33_simhash_clusters(spark, sf_dir):
+    from mindseye_dataframes_spark.functions.textfns import bag_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", bag_fingerprint("text").alias("bag_fp"))
+        .groupBy("bag_fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
+        .filter(F.col("n_docs") > 1)
+        .select("bag_fp", "n_docs", "min_doc")
+        .orderBy("min_doc")
+    )
+
+
+@query(
+    "q34_embedding_near_dup",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 9) AS cos_r
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 9) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "similarity", "parity:embedding-near-dup"),
+)
+def q34_embedding_near_dup(spark, sf_dir):
+    """Embedding near-duplicate pairs above a cosine threshold.
+    Brute all-pairs here (corpus is small at oracle scale); the scale
+    path is the LSH-bucketed variant (q36) — same scoring, bucketed
+    candidate generation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_ranked("va", "vb").alias("cos_r"))
+        .filter(F.col("cos_r") >= 0.4)
+        .orderBy("id_a", "id_b")
+    )
