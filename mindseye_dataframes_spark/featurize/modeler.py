@@ -1,0 +1,396 @@
+"""DataframeModeler — schema-recursive differentiable featurization.
+
+Rebuild of the reference's core (`DataframeModeler.scala`,
+`ModelingStrategy.scala`) on idiomatic PySpark:
+
+- **Schema recursion** (`DataframeModeler.scala:68-119`): walk the
+  DataFrame schema; ``StructType`` recurses with path extension,
+  int/string columns are categorical (F1), doubles are numeric (F2),
+  struct children reduce by element-wise sum (F3,
+  `ModelingStrategy.scala:84-89`).
+- **Key discovery** (`initKeys`, `DataframeModeler.scala:163-178`) is
+  TWO aggregate queries — one distinct-keys union (A2), one moments
+  aggregation (A1) — run ONCE and cached in the ModelContext, fixing
+  the reference's per-eval rescan (SURVEY §4.3a). Moments accumulate
+  in exact decimal so the derived parameters are bit-reproducible.
+- **Batch inference** ``eval_to_dataframe`` (M1,
+  `ModelingStrategy.scala:167-186`): broadcast params → Arrow-batched
+  ``mapInPandas`` forward → ``name: array<double>`` column.
+- **Distributed gradients** ``eval`` (M2,
+  `ModelingStrategy.scala:188-236`): per-partition forward+backward
+  emits (key, grad) rows; the merge is a *distributed* groupBy-key
+  array sum (fixing the reference's flat reduce through the driver,
+  SURVEY §4.3c) and only the final per-key gradients reach the driver.
+- **Training** ``fit`` (M3/M4, `Trainer.scala:170-193`): epoch
+  schedule over sample fractions, gradient descent with bisection
+  line search; the mutated context re-broadcasts each step
+  (broadcasts are immutable — SURVEY §7.3 risk 2).
+
+Scale notes: the only driver-sized state is the parameter dict
+(capped by dictionary size — hash-bucket embeddings if categorical
+cardinality explodes); everything row-shaped stays on executors.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce as _reduce
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mindseye_dataframes_spark.featurize.context import ModelContext
+from mindseye_dataframes_spark.featurize.layers import Network
+from mindseye_dataframes_spark.featurize.strategy import ModelingStrategy
+from mindseye_dataframes_spark.functions.exact import dec
+from mindseye_dataframes_spark.functions.hashing import seeded_unit_rms_tensor
+
+LOSS_KEY = "__loss__"
+
+
+@dataclass
+class Channel:
+    path: str  # hierarchical key path, e.g. "lineitem/l_quantity"
+    col: str  # spark column accessor, e.g. "l_quantity" or "a.b"
+    kind: str  # "categorical" | "numeric"
+
+
+class DataframeModeler:
+    """Facade mirroring `DataframeModeler.scala:48-50`."""
+
+    def __init__(
+        self,
+        strategy: ModelingStrategy,
+        context: ModelContext | None = None,
+        root: str = "",
+    ):
+        self.strategy = strategy
+        self.context = context or ModelContext()
+        self.root = root
+
+    # -- schema recursion (P5 / F1-F3) ---------------------------------
+    def channels(self, schema: T.StructType, path: str | None = None, col: str = "") -> list[Channel]:
+        """Walk the schema exactly like `DataframeModeler.scala:68-119`:
+        struct → recurse, int/string → categorical, double/float →
+        numeric, anything else → explicit unsupported (the reference
+        MatchError-ed; SURVEY §7.3 risk 3)."""
+        out: list[Channel] = []
+        base = self.root if path is None else path
+        for field in schema.fields:
+            p = f"{base}/{field.name}" if base else field.name
+            c = f"{col}.{field.name}" if col else field.name
+            dt = field.dataType
+            if isinstance(dt, T.StructType):
+                out.extend(self.channels(dt, p, c))
+            elif isinstance(dt, (T.IntegerType, T.LongType, T.ShortType, T.StringType, T.BooleanType)):
+                out.append(Channel(p, c, "categorical"))
+            elif isinstance(dt, (T.DoubleType, T.FloatType)):
+                out.append(Channel(p, c, "numeric"))
+            # other types are not featurized (documented type matrix)
+        return out
+
+    # -- key discovery: two aggregate queries, cached (F1/F2/A1/A2) ----
+    def init_keys(self, df: DataFrame, label_col: str | None = None) -> None:
+        chans = self.channels(df.schema)
+        cats = [ch for ch in chans if ch.kind == "categorical"]
+        nums = [ch for ch in chans if ch.kind == "numeric"]
+
+        if cats:
+            key_frames = [
+                df.select(
+                    F.concat(F.lit(f"{ch.path}="), F.col(ch.col).cast("string")).alias("key")
+                ).distinct()
+                for ch in cats
+            ]
+            keys = _reduce(lambda a, b: a.unionAll(b), key_frames).distinct()
+            for key in sorted(r["key"] for r in keys.collect()):
+                if key not in self.context.representations:
+                    self.context.representations[key] = (
+                        self.strategy.initial_representation(key)
+                    )
+                if self.strategy.is_frozen(key):
+                    self.context.frozen.add(key)
+
+        if nums:
+            aggs = []
+            for ch in nums:
+                x = dec(F.col(ch.col), 4, 18)
+                aggs += [
+                    F.count(F.col(ch.col)).alias(f"n__{ch.path}"),
+                    F.sum(x).cast("double").alias(f"s__{ch.path}"),
+                    F.sum(dec(F.col(ch.col), 4, 14) * dec(F.col(ch.col), 4, 14))
+                    .cast("double")
+                    .alias(f"q__{ch.path}"),
+                ]
+            row = df.agg(*aggs).collect()[0]
+            for ch in nums:
+                n = float(row[f"n__{ch.path}"] or 0)
+                s = float(row[f"s__{ch.path}"] or 0.0)
+                q = float(row[f"q__{ch.path}"] or 0.0)
+                mean = s / n if n else 0.0
+                std = float(np.sqrt(abs(q / n - mean * mean))) if n else 1.0  # F6
+                self.context.stats[ch.path] = (n, mean, std if std > 0 else 1.0)
+                tkey = f"transform/{ch.path}"
+                if tkey not in self.context.transforms:
+                    size = self.strategy.size(ch.path)
+                    p = self.strategy.mapping_power
+                    init = seeded_unit_rms_tensor(tkey, p * size).reshape(p, size)
+                    self.context.transforms[tkey] = init / np.sqrt(p)
+
+        if label_col is not None:
+            # dimension probe happens via strategy.size on the label path
+            pass
+
+    # -- featurization (executed inside mapInPandas) -------------------
+    @staticmethod
+    def _featurize(
+        pdf: pd.DataFrame,
+        chans: list[Channel],
+        params: dict[str, np.ndarray],
+        stats: dict[str, tuple[float, float, float]],
+        size: int,
+        mapping_power: int,
+        skip_paths: set[str],
+    ) -> tuple[np.ndarray, dict[str, np.ndarray]]:
+        """Batch → summed feature tensor [n, size] (F1+F2 reduced by F3
+        sum). Returns per-channel caches for backward."""
+        n = len(pdf)
+        out = np.zeros((n, size))
+        caches: dict[str, np.ndarray] = {}
+        for ch in chans:
+            if ch.path in skip_paths:
+                continue
+            col = pdf[ch.col.replace(".", "__")]
+            if ch.kind == "categorical":
+                vals = col.astype(str)
+                rows = np.empty((n, size))
+                for i, v in enumerate(vals):
+                    key = f"{ch.path}={v}"
+                    vec = params.get(key)
+                    if vec is None:  # lookup-or-init, deterministic
+                        vec = seeded_unit_rms_tensor(key, size)
+                    rows[i] = vec
+                out += rows
+                caches[ch.path] = vals.to_numpy()
+            else:
+                _, mean, std = stats[ch.path]
+                z = (col.to_numpy(dtype=np.float64) - mean) / std
+                feats = np.stack([z**i for i in range(mapping_power)], axis=1)  # [1, z, ...]
+                out += feats @ params[f"transform/{ch.path}"]
+                caches[ch.path] = feats
+        return out, caches
+
+    @staticmethod
+    def _route_feature_grads(
+        grad_in: np.ndarray,
+        chans: list[Channel],
+        caches: dict[str, np.ndarray],
+        skip_paths: set[str],
+    ) -> dict[str, np.ndarray]:
+        """Route d(loss)/d(features) into embedding and transform
+        gradients (reference `DataframeModeler.accumulate`,
+        `DataframeModeler.scala:192-211`)."""
+        grads: dict[str, np.ndarray] = {}
+        for ch in chans:
+            if ch.path in skip_paths or ch.path not in caches:
+                continue
+            if ch.kind == "categorical":
+                vals = caches[ch.path]
+                # group rows by categorical value: one grad per key
+                order = np.argsort(vals, kind="stable")
+                sorted_vals = vals[order]
+                bounds = np.flatnonzero(
+                    np.r_[True, sorted_vals[1:] != sorted_vals[:-1]]
+                )
+                for start, end in zip(bounds, np.r_[bounds[1:], len(sorted_vals)]):
+                    key = f"{ch.path}={sorted_vals[start]}"
+                    grads[key] = grad_in[order[start:end]].sum(axis=0)
+            else:
+                feats = caches[ch.path]
+                grads[f"transform/{ch.path}"] = feats.T @ grad_in
+        return grads
+
+    def _flat_select(self, df: DataFrame, chans: list[Channel]) -> DataFrame:
+        """Flatten (possibly nested) channel columns to top level so the
+        Arrow batches carry plain columns; pushes column pruning into
+        the scan."""
+        return df.select(
+            *[F.col(ch.col).alias(ch.col.replace(".", "__")) for ch in chans]
+        )
+
+    # -- M1: batch inference ------------------------------------------
+    def eval_to_dataframe(
+        self, df: DataFrame, name: str = "features", network: Network | None = None,
+        label_col: str | None = None,
+    ) -> DataFrame:
+        """Featurize (plus optional network forward) into a new column
+        ``name: array<double>`` (`ModelingStrategy.scala:167-186`)."""
+        chans = self.channels(df.schema)
+        skip = {c.path for c in chans if label_col and c.col == label_col}
+        if not self.context.stats and not self.context.representations:
+            self.init_keys(df)
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast(
+            (
+                self.context.all_params(),
+                self.context.stats,
+                chans,
+                self.strategy.default_size,
+                self.strategy.mapping_power,
+                skip,
+                network.layers if network else None,
+            )
+        )
+
+        featurize = DataframeModeler._featurize
+
+        def infer(batches):
+            params, stats, chans_b, size, power, skip_b, net_layers = bc.value
+            for pdf in batches:
+                x, _ = featurize(pdf, chans_b, params, stats, size, power, skip_b)
+                if net_layers:
+                    for layer in net_layers:
+                        x, _ = layer.forward(params, x)
+                yield pd.DataFrame({name: [row.tolist() for row in x]})
+
+        flat = self._flat_select(df, chans)
+        return flat.mapInPandas(infer, schema=f"{name} array<double>")
+
+    # -- M2: distributed forward+backward ------------------------------
+    def eval(
+        self, df: DataFrame, network: Network, label_col: str
+    ) -> tuple[float, dict[str, np.ndarray]]:
+        """One distributed forward+backward pass: returns (mean loss,
+        gradients by param key). Per-partition partial gradients are
+        merged by a distributed groupBy-key array sum; only final
+        per-key gradients reach the driver."""
+        chans = self.channels(df.schema)
+        label_chan = next(c for c in chans if c.col == label_col)
+        skip = {label_chan.path}
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast(
+            (
+                self.context.all_params(),
+                self.context.stats,
+                chans,
+                self.strategy.default_size,
+                self.strategy.mapping_power,
+                skip,
+                network,
+                label_chan,
+                self.strategy,
+            )
+        )
+        featurize = DataframeModeler._featurize
+        route = DataframeModeler._route_feature_grads
+
+        def fwd_bwd(batches):
+            params, stats, chans_b, size, power, skip_b, net, lchan, strat = bc.value
+            acc: dict[str, np.ndarray] = {}
+            loss_sum, n_rows = 0.0, 0
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x, caches = featurize(pdf, chans_b, params, stats, size, power, skip_b)
+                labels = pdf[lchan.col.replace(".", "__")].astype(str)
+                target = np.stack(
+                    [
+                        params.get(
+                            f"{lchan.path}={v}",
+                            strat.initial_representation(f"{lchan.path}={v}"),
+                        )
+                        for v in labels
+                    ]
+                )
+                loss, grads, grad_x = net.loss_and_grads(params, x, target)
+                grads.update(route(grad_x, chans_b, caches, skip_b))
+                w = len(pdf)
+                loss_sum += loss * w
+                n_rows += w
+                # loss_and_grads returns batch-MEAN gradients; convert
+                # to sums so partitions of unequal size merge correctly
+                # (global mean applied once, after the merge)
+                for k, g in grads.items():
+                    prev = acc.get(k)
+                    gw = g * w
+                    acc[k] = gw if prev is None else prev + gw
+            rows = [(k, v.ravel().tolist(), 0.0, 0) for k, v in acc.items()]
+            rows.append((LOSS_KEY, [], loss_sum, n_rows))
+            yield pd.DataFrame(rows, columns=["key", "grad", "loss", "n"])
+
+        flat = self._flat_select(df, chans)
+        partials = flat.mapInPandas(
+            fwd_bwd, schema="key string, grad array<double>, loss double, n long"
+        )
+
+        def merge_group(key, pdf):
+            k = key[0]
+            if k == LOSS_KEY:
+                return pd.DataFrame(
+                    [(k, [], float(pdf["loss"].sum()), int(pdf["n"].sum()))],
+                    columns=["key", "grad", "loss", "n"],
+                )
+            total = np.sum(np.stack(pdf["grad"].map(np.asarray)), axis=0)
+            return pd.DataFrame(
+                [(k, total.tolist(), 0.0, 0)], columns=["key", "grad", "loss", "n"]
+            )
+
+        merged = partials.groupBy("key").applyInPandas(
+            merge_group, schema="key string, grad array<double>, loss double, n long"
+        )
+        loss_total, n_total = 0.0, 0
+        grads: dict[str, np.ndarray] = {}
+        params = self.context.all_params()
+        for row in merged.collect():
+            if row["key"] == LOSS_KEY:
+                loss_total, n_total = row["loss"], row["n"]
+            else:
+                shape = params[row["key"]].shape if row["key"] in params else None
+                g = np.array(row["grad"])
+                grads[row["key"]] = g.reshape(shape) if shape else g
+        bc.unpersist()
+        n_total = max(n_total, 1)
+        for k in grads:
+            grads[k] = grads[k] / n_total
+        return (loss_total / n_total, grads)
+
+    # -- M3/M4: training loop ------------------------------------------
+    def fit(
+        self,
+        df: DataFrame,
+        network: Network,
+        label_col: str,
+        fractions: list[float] = (0.1, 0.2),
+        max_iters: int = 10,
+        lr: float = 0.1,
+        seed: int = 42,
+        line_search: bool = True,
+        verbose: bool = False,
+    ) -> list[float]:
+        """Epoch schedule over sample fractions with GD + bisection
+        line search (`Trainer.scala:68-71,170-193`). Seeded sampling —
+        the reference left it unseeded (SURVEY §7.3 risk 4)."""
+        if not self.context.representations and not self.context.stats:
+            self.init_keys(df, label_col)
+        for key, arr in network.init_params().items():
+            self.context.layers.setdefault(key, arr)
+        losses: list[float] = []
+        for epoch, fraction in enumerate(fractions):
+            batch = df.sample(fraction=min(fraction, 1.0), seed=seed + epoch)
+            batch = batch.persist()
+            try:
+                step_lr = lr
+                for _ in range(max_iters):
+                    loss, grads = self.eval(batch, network, label_col)
+                    losses.append(loss)
+                    if verbose:
+                        print(f"epoch {epoch} fraction {fraction} loss {loss:.5f}")
+                    if line_search and len(losses) >= 2 and losses[-1] > losses[-2]:
+                        step_lr /= 2  # bisect on regression
+                    self.context.apply_gradients(grads, step_lr)
+            finally:
+                batch.unpersist()
+        return losses

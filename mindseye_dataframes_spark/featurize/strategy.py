@@ -1,0 +1,74 @@
+"""ModelingStrategy — the reference's extension surface
+(`ModelingStrategy.scala:43-76`): override points for representation
+size, initial values, and per-key editing. ``CategorizingStrategy``
+mirrors `CategorizingModelingStrategy.scala:26-51`: keys under the
+label column become frozen one-hot tensors instead of learned
+embeddings."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mindseye_dataframes_spark.functions.hashing import seeded_unit_rms_tensor
+
+
+class ModelingStrategy:
+    def __init__(self, default_size: int = 10, mapping_power: int = 2):
+        # defaultSize/mappingPower mirror `Trainer.scala:65-72`
+        self.default_size = default_size
+        self.mapping_power = mapping_power
+
+    def size(self, path: str) -> int:
+        return self.default_size
+
+    def initial_representation(self, key: str) -> np.ndarray:
+        """Deterministic unit-RMS embedding (`ModelingStrategy.scala:45-57`)."""
+        return seeded_unit_rms_tensor(key, self.size(key.split("=", 1)[0]))
+
+    def is_frozen(self, key: str) -> bool:
+        return False
+
+
+class CategorizingStrategy(ModelingStrategy):
+    """One-hot target encoding: for keys ``<label_path>=k`` emit a
+    frozen tensor of length ``categories`` with 1.0 at index k-1
+    (`CategorizingModelingStrategy.scala:27-50`; labels are 1-based in
+    the covtype dataset — configurable here via ``base``)."""
+
+    def __init__(
+        self,
+        category_column: str,
+        categories: int,
+        base: int = 1,
+        value_index: dict | None = None,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.category_column = category_column
+        self.categories = categories
+        self.base = base
+        self.value_index = value_index  # for non-integer labels: value -> index
+
+    def _is_category_key(self, key: str) -> bool:
+        return key.split("=", 1)[0].endswith(self.category_column)
+
+    def size(self, path: str) -> int:
+        if path.endswith(self.category_column):
+            return self.categories
+        return self.default_size
+
+    def initial_representation(self, key: str) -> np.ndarray:
+        if not self._is_category_key(key):
+            return super().initial_representation(key)
+        value = key.split("=", 1)[1]
+        if self.value_index is not None:
+            idx = self.value_index[value]
+        else:
+            idx = int(value) - self.base
+        out = np.zeros(self.categories)
+        if 0 <= idx < self.categories:
+            out[idx] = 1.0
+        return out
+
+    def is_frozen(self, key: str) -> bool:
+        return self._is_category_key(key)

@@ -1,0 +1,177 @@
+"""Featurization + training tests (SURVEY §5.2: seeded parity vs
+numpy on tiny frames; training smoke = loss strictly decreases)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mindseye_dataframes_spark.featurize import (
+    CategorizingStrategy,
+    DataframeModeler,
+    ModelContext,
+    ModelingStrategy,
+)
+from mindseye_dataframes_spark.featurize.layers import Dense, Network, ReLU, mlp
+from mindseye_dataframes_spark.functions.hashing import (
+    hmac_sha1_seed,
+    name_uuid,
+    seeded_unit_rms_tensor,
+)
+
+
+def test_name_uuid_matches_java_scheme():
+    # UUID.nameUUIDFromBytes("hello".getBytes("UTF-8")) in Java
+    assert name_uuid("hello") == "5d41402a-bc4b-3a76-b971-9d911017c592"
+
+
+def test_seeded_tensor_deterministic_unit_rms():
+    a = seeded_unit_rms_tensor("some/key=v", 10)
+    b = seeded_unit_rms_tensor("some/key=v", 10)
+    assert np.array_equal(a, b)
+    assert abs(np.sqrt(np.mean(a**2)) - 1.0) < 1e-12
+    assert hmac_sha1_seed("k1") != hmac_sha1_seed("k2")
+
+
+def test_schema_recursion_channels(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 2.0, (3, 4.0))],
+        "i int, s string, d double, st struct<a:int, b:double>",
+    )
+    modeler = DataframeModeler(ModelingStrategy(default_size=4))
+    chans = {c.path: (c.kind, c.col) for c in modeler.channels(df.schema)}
+    assert chans == {
+        "i": ("categorical", "i"),
+        "s": ("categorical", "s"),
+        "d": ("numeric", "d"),
+        "st/a": ("categorical", "st.a"),
+        "st/b": ("numeric", "st.b"),
+    }
+
+
+def test_featurize_matches_numpy(spark):
+    """F1+F2+F3 parity: summed features equal a hand computation."""
+    rows = [("a", 1.0), ("b", 2.0), ("a", 3.0)]
+    df = spark.createDataFrame(rows, "cat string, x double")
+    strategy = ModelingStrategy(default_size=4, mapping_power=2)
+    modeler = DataframeModeler(strategy)
+    modeler.init_keys(df)
+    out = (
+        modeler.eval_to_dataframe(df, "f")
+        .select("f")
+        .toPandas()["f"]
+        .map(np.array)
+    )
+
+    xs = np.array([1.0, 2.0, 3.0])
+    mean, std = xs.mean(), xs.std()
+    ctx = modeler.context
+    w = ctx.transforms["transform/x"]
+    for i, (cat, x) in enumerate(rows):
+        z = (x - mean) / std
+        expect = ctx.representations[f"cat={cat}"] + np.array([1.0, z]) @ w
+        assert np.allclose(out[i], expect, atol=1e-9), i
+    assert abs(ctx.stats["x"][1] - mean) < 1e-9
+    assert abs(ctx.stats["x"][2] - std) < 1e-9
+
+
+def test_one_hot_strategy():
+    s = CategorizingStrategy("label", categories=3, base=1)
+    assert np.array_equal(s.initial_representation("label=2"), [0, 1, 0])
+    assert s.is_frozen("label=2")
+    assert not s.is_frozen("other=2")
+    vi = {"R": 0, "A": 1, "N": 2}
+    s2 = CategorizingStrategy("flag", categories=3, value_index=vi)
+    assert np.array_equal(s2.initial_representation("flag=A"), [0, 1, 0])
+
+
+def test_network_gradcheck():
+    """Analytic vs numerical gradients on a tiny MLP."""
+    net = mlp("t", 4, [5], 3)
+    params = net.init_params()
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((6, 4))
+    target = np.eye(3)[rng.integers(0, 3, 6)]
+    loss, grads, _ = net.loss_and_grads(params, x, target)
+    eps = 1e-6
+    for key in grads:
+        flat = params[key].ravel()
+        for idx in [0, flat.size // 2, flat.size - 1]:
+            orig = flat[idx]
+            flat[idx] = orig + eps
+            lp, _, _ = net.loss_and_grads(params, x, target)
+            flat[idx] = orig - eps
+            lm, _, _ = net.loss_and_grads(params, x, target)
+            flat[idx] = orig
+            num = (lp - lm) / (2 * eps)
+            assert abs(num - grads[key].ravel()[idx]) < 1e-4, (key, idx)
+
+
+def test_eval_distributed_matches_local(spark):
+    """Distributed eval (mapInPandas + grouped merge) equals a local
+    numpy computation of the same loss/gradients."""
+    rows = [("a", 1.0, "X"), ("b", 2.0, "Y"), ("a", 3.0, "X"), ("b", 4.0, "Y")]
+    df = spark.createDataFrame(rows, "cat string, x double, label string").repartition(3)
+    strategy = CategorizingStrategy(
+        "label", categories=2, value_index={"X": 0, "Y": 1}, default_size=4
+    )
+    modeler = DataframeModeler(strategy)
+    modeler.init_keys(df, "label")
+    net = mlp("m", 4, [6], 2)
+    for k, v in net.init_params().items():
+        modeler.context.layers[k] = v
+
+    loss, grads = modeler.eval(df, net, "label")
+
+    # local recomputation
+    ctx = modeler.context
+    params = ctx.all_params()
+    xs = np.array([r[1] for r in rows])
+    mean, std = ctx.stats["x"][1], ctx.stats["x"][2]
+    feats = np.stack([np.ones(4), (xs - mean) / std], axis=1)
+    x_in = np.stack([params[f"cat={r[0]}"] for r in rows]) + feats @ params["transform/x"]
+    target = np.stack([params[f"label={r[2]}"] for r in rows])
+    loss_l, grads_l, gx = net.loss_and_grads(params, x_in, target)
+
+    assert abs(loss - loss_l) < 1e-9
+    for key, g in grads_l.items():
+        assert np.allclose(grads[key], g, atol=1e-9), key
+    # embedding grads: routed per categorical value
+    for v, idx in (("a", [0, 2]), ("b", [1, 3])):
+        assert np.allclose(grads[f"cat={v}"], gx[idx].sum(axis=0), atol=1e-9)
+    assert np.allclose(grads["transform/x"], feats.T @ gx, atol=1e-9)
+
+
+def test_training_loss_decreases(spark):
+    """M4 smoke (SURVEY §5.2): loss strictly decreases over iterations
+    on a covtype-like synthetic task."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_returnflag"
+    )
+    strategy = CategorizingStrategy(
+        "l_returnflag",
+        categories=3,
+        value_index={"A": 0, "N": 1, "R": 2},
+        default_size=8,
+    )
+    modeler = DataframeModeler(strategy)
+    net = mlp("clf", 8, [16], 3)
+    losses = modeler.fit(
+        li, net, "l_returnflag", fractions=[0.5], max_iters=4, lr=0.5, seed=1
+    )
+    assert len(losses) == 4
+    assert losses[-1] < losses[0], losses
+
+
+def test_context_save_load_roundtrip(spark, tmp_path):
+    ctx = ModelContext()
+    ctx.representations["a=1"] = np.arange(4.0)
+    ctx.transforms["transform/x"] = np.arange(8.0).reshape(2, 4)
+    ctx.layers["layer/w"] = np.arange(6.0).reshape(2, 3)
+    path = str(tmp_path / "params")
+    ctx.save(spark, path)
+    back = ModelContext.load(spark, path)
+    assert np.array_equal(back.representations["a=1"], ctx.representations["a=1"])
+    assert np.array_equal(back.transforms["transform/x"], ctx.transforms["transform/x"])
+    assert np.array_equal(back.layers["layer/w"], ctx.layers["layer/w"])
