@@ -1,0 +1,117 @@
+"""Multimodal columns (north-star §2B ★): image/audio/video payloads
+as opaque ``binary`` columns with typed metadata, plus Arrow-batched
+decode/feature-extract plumbing.
+
+The decode kernels are STUBBED: the container has no image/audio
+libraries, so ``decode_image`` tries Pillow and otherwise uses a
+deterministic fake decoder (dimensions derived from the payload hash)
+clearly marked as such. Everything Spark-side — schema, partitioning,
+UDF signatures, Arrow batch shapes — is real and tested; swapping the
+kernel for a real decoder changes no plumbing.
+
+Scale notes: payload bytes never shuffle — metadata extraction and
+decode are pure maps; `ensure_min_parallelism` spreads single-file
+test inputs. For real lakes, store payloads as (uri, byte-range) and
+fetch lazily inside the UDF batch to keep scan volume down.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mindseye_dataframes_spark.plans.parallelism import ensure_min_parallelism
+
+BLOB_META_SCHEMA = "size_bytes long, content_md5 string, mime string"
+
+
+def pack_blob(df: DataFrame, bytes_col: str, mime: str, uri_col: str | None = None) -> DataFrame:
+    """Wrap a binary column into the engine's multimodal layout:
+    ``blob: binary`` + ``blob_meta: struct<size_bytes, content_md5, mime>``."""
+    meta = F.struct(
+        F.octet_length(F.col(bytes_col)).cast("long").alias("size_bytes"),
+        F.md5(F.col(bytes_col)).alias("content_md5"),
+        F.lit(mime).alias("mime"),
+    )
+    out = df.withColumn("blob", F.col(bytes_col)).withColumn("blob_meta", meta)
+    if uri_col:
+        out = out.withColumn("blob_uri", F.col(uri_col))
+    return out
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for an image decoder: pretend-dimensions
+    and a 4-dim feature vector derived from the content hash. Replaces
+    cleanly with a real kernel (see decode_image)."""
+    h = hashlib.md5(payload or b"").digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    feats = [h[i] / 255.0 for i in range(4)]
+    return {"width": width, "height": height, "channels": 3, "features": feats}
+
+
+def decode_image(df: DataFrame, blob_col: str = "blob", id_col: str | None = None) -> DataFrame:
+    """Decode image payloads into (width, height, channels, features).
+
+    Real kernel (Pillow) when available; deterministic fake otherwise.
+    Arrow-batched ``mapInPandas`` — one pass, no shuffle; batch size
+    bounded by spark.sql.execution.arrow.maxRecordsPerBatch so payload
+    memory stays bounded regardless of row width.
+    """
+    keep = [c for c in df.columns if c != blob_col]
+    out_schema = ", ".join(
+        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in keep]
+        + ["width int, height int, channels int, features array<double>"]
+    )
+
+    def decode(batches):
+        try:  # real decoder if the environment provides it
+            from PIL import Image  # noqa: F401
+            import io
+
+            def kernel(payload: bytes) -> dict:
+                img = Image.open(io.BytesIO(payload))
+                return {
+                    "width": img.width,
+                    "height": img.height,
+                    "channels": len(img.getbands()),
+                    "features": [float(x) for x in img.resize((2, 2)).convert("L").getdata()],
+                }
+
+        except ImportError:
+            kernel = _fake_decode
+
+        for pdf in batches:
+            decoded = pdf[blob_col].map(lambda b: kernel(bytes(b) if b is not None else b""))
+            out = pdf[keep].copy()
+            out["width"] = decoded.map(lambda d: d["width"])
+            out["height"] = decoded.map(lambda d: d["height"])
+            out["channels"] = decoded.map(lambda d: d["channels"])
+            out["features"] = decoded.map(lambda d: d["features"])
+            yield out
+
+    return ensure_min_parallelism(df).mapInPandas(decode, schema=out_schema)
+
+
+def frame_sample(df: DataFrame, blob_col: str = "blob", every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing (STUB kernel): emits one row per
+    sampled frame index. Real implementation would demux the container
+    inside the batch; the explode shape and schema are the real
+    contract."""
+
+    def sample(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[blob_col]) if row[blob_col] is not None else b""
+                n_frames = 1 + (hashlib.md5(payload).digest()[2] % 30)
+                for idx in range(0, n_frames, every_n):
+                    rows.append({"frame_index": idx, "frame_md5": hashlib.md5(payload + bytes([idx])).hexdigest()})
+            yield pd.DataFrame(rows, columns=["frame_index", "frame_md5"])
+
+    return ensure_min_parallelism(df).mapInPandas(
+        sample, schema="frame_index int, frame_md5 string"
+    )

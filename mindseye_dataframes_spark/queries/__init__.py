@@ -21,6 +21,7 @@ _MODULES = (
     "similarity",
     "text",
     "timeseries",
+    "multimodal",
 )
 _loaded = False
 

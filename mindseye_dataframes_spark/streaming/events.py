@@ -1,0 +1,113 @@
+"""Structured Streaming surface over the events table (§2B row
+"Streaming": tumbling/sliding windows, watermarks for late data,
+session windows).
+
+Batch/stream parity: every transformation here is the streaming twin
+of a batch query in ``queries/timeseries.py`` (q24 tumbling, q25
+sessions), so correctness is checked by running the same
+transformation on a bounded stream (``availableNow`` trigger) and
+comparing to the batch result — see tests/test_streaming.py.
+
+Scale notes: watermark + windowed agg keeps state bounded (late rows
+beyond the watermark are dropped); session windows use Spark's native
+``session_window`` state store rather than a custom
+applyInPandasWithState so state cleanup is engine-managed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(
+    spark: SparkSession, source_dir: str, fmt: str = "parquet"
+) -> DataFrame:
+    """File-source stream of events rows (schema must be explicit for
+    streaming reads)."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .load(source_dir)
+    )
+
+
+def tumbling_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the streaming twin of
+    q24_tumbling_window."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_avg(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "user_id")
+        .agg(F.avg("value").alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "avg_value", "n")
+    )
+
+
+def session_counts(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native session windows (gap-based) — the streaming twin of
+    q25_sessionization."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_bounded(stream_df: DataFrame, table_name: str, timeout_sec: int = 120) -> DataFrame:
+    """Drain a bounded stream (availableNow) into an in-memory table
+    and return it as a batch DataFrame — the test/validation harness
+    for streaming transformations."""
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
+    return stream_df.sparkSession.table(table_name)

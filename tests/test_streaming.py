@@ -1,0 +1,61 @@
+"""Streaming/batch parity: the streaming transformations must produce
+the same results as their batch twins when draining a bounded stream."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mindseye_dataframes_spark.sources.readers import load_table
+from mindseye_dataframes_spark.streaming.events import (
+    read_event_stream,
+    run_bounded,
+    session_counts,
+    sliding_avg,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory, spark):
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    # multiple files → multiple triggers with maxFilesPerTrigger
+    load_table(spark, "/root/testdata/sf0.001", "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir):
+    stream = read_event_stream(spark, events_dir)
+    result = run_bounded(tumbling_counts(stream), "t_tumbling")
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    got = {tuple(r) for r in result.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_session_stream_matches_batch_totals(spark, events_dir):
+    stream = read_event_stream(spark, events_dir)
+    result = run_bounded(session_counts(stream), "t_sessions")
+    rows = result.collect()
+    assert sum(r["n_events"] for r in rows) == spark.read.parquet(events_dir).count()
+    # session windows must not overlap per user
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r["session_start"])
+    assert all(len(v) == len(set(v)) for v in by_user.values())
+
+
+def test_sliding_window_runs(spark, events_dir):
+    stream = read_event_stream(spark, events_dir)
+    result = run_bounded(sliding_avg(stream), "t_sliding")
+    assert result.count() > 0
