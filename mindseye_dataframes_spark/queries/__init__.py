@@ -22,6 +22,7 @@ _MODULES = (
     "text",
     "timeseries",
     "multimodal",
+    "scalars",
 )
 _loaded = False
 

@@ -1,0 +1,212 @@
+"""Scalar-function surface (§2B "String/date/math scalar fns") plus
+exact percentiles, CUBE grouping, and seeded sampling (O3/O4).
+
+Oracle-parity notes: transcendentals (exp/ln/log10) are excluded from
+oracle-checked outputs — JVM and C libm differ in the last ulp — while
+sqrt IS IEEE-correctly-rounded everywhere and is safe. Date parts are
+compared as integers/strings; day-of-week numbering differs between
+engines, so the oracle uses DuckDB's ``isodow``-based equivalent of
+Spark's ``dayofweek``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mindseye_dataframes_spark.functions.exact import dsum
+from mindseye_dataframes_spark.queries.registry import query
+from mindseye_dataframes_spark.sources.readers import load_table
+
+
+@query(
+    "q43_string_functions",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS up,
+           lower(c_mktsegment) AS lo,
+           substr(c_name, 3, 8) AS sub,
+           replace(c_name, '#', '-') AS repl,
+           length(c_name) AS len,
+           reverse(c_mktsegment) AS rev,
+           concat(c_mktsegment, ':', c_name) AS joined,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+           trim('  ' || c_mktsegment || ' ') AS trimmed,
+           CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END AS has_one
+    FROM customer ORDER BY c_custkey
+    """,
+    tags=("scalar", "parity:string-fns"),
+)
+def q43_string_functions(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.substring("c_name", 3, 8).alias("sub"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("repl"),
+        F.length("c_name").alias("len"),
+        F.reverse("c_mktsegment").alias("rev"),
+        F.concat_ws(":", "c_mktsegment", "c_name").alias("joined"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias("trimmed"),
+        F.when(F.col("c_name").like("%1%"), 1).otherwise(0).alias("has_one"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "q44_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           day(o_orderdate) AS dom,
+           quarter(o_orderdate) AS qtr,
+           (isodow(o_orderdate) % 7) + 1 AS dow,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           date_diff('day', o_orderdate, TIMESTAMP '1998-01-01 00:00:00') AS days_to_98
+    FROM orders ORDER BY o_orderkey
+    """,
+    tags=("scalar", "parity:date-fns"),
+)
+def q44_date_functions(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        F.quarter(d).alias("qtr"),
+        F.dayofweek(d).alias("dow"),  # Sunday=1 … Saturday=7
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.lit("1998-01-01").cast("date"), d.cast("date")).alias("days_to_98"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "q45_math_functions",
+    oracle="""
+    SELECT o_orderkey,
+           abs(o_totalprice - 100000) AS dist,
+           round(o_totalprice, 1) AS rounded,
+           floor(o_totalprice) AS fl,
+           ceil(o_totalprice) AS ce,
+           sqrt(o_totalprice) AS rt,
+           o_totalprice * o_totalprice AS sq,
+           sign(o_totalprice - 100000) AS sgn,
+           greatest(o_totalprice, 100000.0) AS hi,
+           least(o_totalprice, 100000.0) AS lo,
+           CAST(o_orderkey % 7 AS BIGINT) AS md
+    FROM orders ORDER BY o_orderkey
+    """,
+    tags=("scalar", "parity:math-fns"),
+)
+def q45_math_functions(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.abs(p - 100000).alias("dist"),
+        F.round(p, 1).alias("rounded"),
+        F.floor(p).alias("fl"),
+        F.ceil(p).alias("ce"),
+        F.sqrt(p).alias("rt"),  # sqrt is IEEE correctly rounded — engine-safe
+        (p * p).alias("sq"),
+        F.signum(p - 100000).alias("sgn"),
+        F.greatest(p, F.lit(100000.0)).alias("hi"),
+        F.least(p, F.lit(100000.0)).alias("lo"),
+        (F.col("o_orderkey") % 7).alias("md"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "q46_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5)  AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           min(l_quantity) AS mn, max(l_quantity) AS mx
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg", "parity:percentiles"),
+)
+def q46_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles: Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the (n-1)·p linear-interpolation
+    definition, so results are engine-identical on exact doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+            F.percentile("l_quantity", F.lit(0.5)).alias("p50"),
+            F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+            F.min("l_quantity").alias("mn"),
+            F.max("l_quantity").alias("mx"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q47_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("agg", "parity:cube"),
+)
+def q47_cube(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q48_seeded_sample",
+    oracle=None,  # sampling is engine-specific; seeded determinism is
+    # asserted by tests/test_sampling.py property tests (O3)
+    tags=("sample", "parity:O3"),
+)
+def q48_seeded_sample(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .sample(fraction=0.1, seed=42)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@query(
+    "q49_random_split",
+    oracle=None,  # engine-specific sampling; invariants in tests (O4)
+    tags=("sample", "parity:O4"),
+)
+def q49_random_split(spark, sf_dir):
+    train, test = load_table(spark, sf_dir, "lineitem").randomSplit([0.9, 0.1], seed=42)
+    return train.select(F.lit("train").alias("split")).groupBy("split").count().unionAll(
+        test.select(F.lit("test").alias("split")).groupBy("split").count()
+    )
+
+
+@query(
+    "q50_approx_distinct",
+    oracle=None,  # HLL sketches are engine-specific; exactness bound
+    # asserted in tests/test_sampling.py
+    tags=("agg", "parity:approx-count-distinct"),
+)
+def q50_approx_distinct(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    ).orderBy("l_returnflag")

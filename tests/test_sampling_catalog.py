@@ -1,0 +1,80 @@
+"""Property tests for seeded sampling (O3/O4), catalog surface
+(S2/S3/S4), the SQL REPL (M6), and csv/json sources (§2B formats)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mindseye_dataframes_spark.repl import SqlRepl
+from mindseye_dataframes_spark.sources.readers import (
+    load_table,
+    read_csv,
+    read_json,
+    register_views,
+)
+
+
+def test_seeded_sample_reproducible(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.sample(fraction=0.1, seed=7).count()
+    b = li.sample(fraction=0.1, seed=7).count()
+    assert a == b
+    n = li.count()
+    assert 0.04 * n < a < 0.2 * n  # fraction honored within tolerance
+
+
+def test_random_split_partition_invariants(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    train, test = li.randomSplit([0.9, 0.1], seed=11)
+    n, a, b = li.count(), train.count(), test.count()
+    assert a + b == n  # exhaustive
+    # multiset equality: union of splits is exactly the input (rows are
+    # not unique in this table, so set-intersect would false-positive)
+    union = train.unionAll(test)
+    assert li.exceptAll(union).count() == 0
+    assert union.exceptAll(li).count() == 0
+    assert b < 0.3 * n  # roughly honors weights
+
+
+def test_register_views_and_catalog(spark, sf_dir):
+    register_views(spark, sf_dir)
+    assert spark.catalog.tableExists("lineitem")
+    assert spark.catalog.tableExists("documents")
+    assert spark.table("region").count() == 5
+
+
+def test_sql_repl_staging_flow(spark, sf_dir):
+    """Mirror the reference's staging flow (`Trainer.scala:91-121`):
+    register → CREATE TEMPORARY VIEW with generated casts → query."""
+    register_views(spark, sf_dir)
+    repl = SqlRepl(spark, default_cmd="%sql SELECT COUNT(*) AS n FROM lineitem")
+    repl.run(
+        "%sql CREATE OR REPLACE TEMPORARY VIEW staged AS "
+        "SELECT CAST(l_linenumber AS DOUBLE) AS line_d, l_quantity FROM lineitem"
+    )
+    out = repl.run("%sql SELECT COUNT(*) AS n, MIN(line_d) AS mn FROM staged").collect()
+    assert out[0]["n"] > 0 and out[0]["mn"] == 1.0
+    default = repl.run("").collect()  # falls back to default command
+    assert default[0]["n"] == out[0]["n"]
+    assert len(repl.history) == 3
+
+
+def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
+    src = load_table(spark, sf_dir, "nation")
+    csv_path, json_path = str(tmp_path / "n_csv"), str(tmp_path / "n_json")
+    src.write.mode("overwrite").option("header", "true").csv(csv_path)
+    src.write.mode("overwrite").json(json_path)
+    back_csv = read_csv(spark, csv_path)
+    back_json = read_json(spark, json_path)
+    want = {tuple(r) for r in src.collect()}
+    assert {tuple(r) for r in back_csv.select(*src.columns).collect()} == want
+    assert {tuple(r) for r in back_json.select(*src.columns).collect()} == want
+
+
+def test_approx_distinct_bounded_error(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx"),
+        F.countDistinct("l_orderkey").alias("exact"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.1
