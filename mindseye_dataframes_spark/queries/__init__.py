@@ -23,6 +23,7 @@ _MODULES = (
     "timeseries",
     "multimodal",
     "scalars",
+    "joins_extra",
 )
 _loaded = False
 
