@@ -1,0 +1,34 @@
+"""Skew-handling join (SURVEY §7 M6: "salting for skew").
+
+AQE's skew-join handles most runtime skew (enabled in session.py);
+``salted_join`` is the explicit fallback for *planned* skew — a known
+hot key joining a non-broadcastable right side. The left (skewed)
+side gets a random salt in [0, salt); the right side is exploded
+``salt``-fold so every (key, salt) pair finds its match. Memory cost:
+|R|·salt rows; wins whenever the hottest key exceeds an executor's
+share, which is exactly when a plain shuffle join stalls on one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT = "_salt"
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salt: int = 8,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Equi-join with left-side salting. ``on`` columns must exist on
+    both sides; the salt column never escapes."""
+    l_salted = left.withColumn(SALT, (F.rand(seed) * salt).cast("int"))
+    r_exploded = right.withColumn(
+        SALT, F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return l_salted.join(r_exploded, [*on, SALT], how).drop(SALT)

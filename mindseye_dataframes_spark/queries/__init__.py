@@ -24,6 +24,8 @@ _MODULES = (
     "multimodal",
     "scalars",
     "joins_extra",
+    "json_props",
+    "suppliers",
 )
 _loaded = False
 

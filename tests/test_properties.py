@@ -1,0 +1,105 @@
+"""Property-based tests (SURVEY §5.2 item 3): algebraic invariants of
+the engine's own calculus, independent of any oracle."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mindseye_dataframes_spark.functions.textfns import py_minhash, py_shingles
+
+# -- moments merge is associative/commutative (A1/F6) -----------------
+
+
+def merge_moments(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+moment = st.tuples(
+    st.integers(0, 10**6),
+    st.integers(-(10**9), 10**9),  # integer-scaled sums: exact algebra,
+    st.integers(0, 10**12),  # mirrors the engine's decimal accumulation
+)
+
+
+@given(moment, moment, moment)
+@settings(max_examples=200, deadline=None)
+def test_moments_merge_associative_commutative(a, b, c):
+    assert merge_moments(a, b) == merge_moments(b, a)
+    assert merge_moments(merge_moments(a, b), c) == merge_moments(a, merge_moments(b, c))
+
+
+# -- MinHash invariants (dedup core) ----------------------------------
+
+texts = st.lists(
+    st.text(alphabet="abcd ", min_size=1, max_size=40).map(lambda s: s.strip() or "x"),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(st.text(alphabet="abcde ", min_size=1, max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_minhash_identical_text_identical_signature(t):
+    t = t.strip() or "x"
+    assert py_minhash(py_shingles(t)) == py_minhash(py_shingles(t))
+
+
+@given(st.text(alphabet="abc ", min_size=3, max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_minhash_invariant_under_duplicate_features(t):
+    t = t.strip() or "a b c"
+    feats = py_shingles(t)
+    assert py_minhash(feats) == py_minhash(feats + feats)  # multiset-min
+
+
+@given(st.text(alphabet="ab ", min_size=1, max_size=40))
+@settings(max_examples=100, deadline=None)
+def test_shingles_short_doc_fallback(t):
+    t = t.strip() or "a"
+    sh = py_shingles(t, n=3)
+    if len(t.split(" ")) < 3:
+        assert sh == [t]
+    else:
+        assert all(len(s.split(" ")) == 3 for s in sh)
+        assert len(sh) == len(set(sh))  # deduped
+
+
+# -- dedup idempotence (★) --------------------------------------------
+
+
+def test_dedup_exact_idempotent(spark):
+    from mindseye_dataframes_spark.operators.dedup import dedup_exact
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "c")], "id long, text string"
+    )
+    once = dedup_exact(df, ["text"], "id")
+    survivors = once.selectExpr("text", "survivor_id as id")
+    twice = dedup_exact(survivors, ["text"], "id")
+    assert {(r["text"], r["survivor_id"]) for r in twice.collect()} == {
+        (r["text"], r["survivor_id"]) for r in once.collect()
+    }
+    assert twice.filter("n_copies > 1").count() == 0
+
+
+# -- zip alignment invariants (J1) ------------------------------------
+
+
+def test_zip_alignment_invariants(spark):
+    from mindseye_dataframes_spark.operators.zip_frames import with_row_index, zip_frames
+
+    n = 500
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartition(7)
+    indexed = with_row_index(df, ["k"])
+    rows = indexed.orderBy("k").collect()
+    assert [r["_zip_index"] for r in rows] == list(range(n))  # dense, ordered
+
+    a = df.select("k")
+    b = df.select(F.col("k").alias("k2"), "v")
+    zipped = zip_frames([a, b], [["k"], ["k2"]])
+    assert zipped.count() == n
+    assert zipped.filter(F.col("k") != F.col("k2")).count() == 0  # same order → aligned
