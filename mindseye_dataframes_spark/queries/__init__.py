@@ -26,6 +26,7 @@ _MODULES = (
     "joins_extra",
     "json_props",
     "suppliers",
+    "pipeline",
 )
 _loaded = False
 

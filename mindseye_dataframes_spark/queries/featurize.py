@@ -75,9 +75,9 @@ def q37_zscore_expansion(spark, sf_dir):
     "q38_onehot_labels",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CASE WHEN l_returnflag = 'A' THEN 1.0 ELSE 0.0 END AS flag_a,
-           CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END AS flag_n,
-           CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS flag_r
+           CAST(CASE WHEN l_returnflag = 'A' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS flag_a,
+           CAST(CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS flag_n,
+           CAST(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS flag_r
     FROM lineitem
     ORDER BY l_orderkey, l_linenumber
     """,

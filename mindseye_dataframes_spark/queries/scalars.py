@@ -89,11 +89,11 @@ def q44_date_functions(spark, sf_dir):
     SELECT o_orderkey,
            abs(o_totalprice - 100000) AS dist,
            round(o_totalprice, 1) AS rounded,
-           floor(o_totalprice) AS fl,
-           ceil(o_totalprice) AS ce,
+           CAST(floor(o_totalprice) AS DOUBLE) AS fl,
+           CAST(ceil(o_totalprice) AS DOUBLE) AS ce,
            sqrt(o_totalprice) AS rt,
            o_totalprice * o_totalprice AS sq,
-           sign(o_totalprice - 100000) AS sgn,
+           CAST(sign(o_totalprice - 100000) AS DOUBLE) AS sgn,
            greatest(o_totalprice, 100000.0) AS hi,
            least(o_totalprice, 100000.0) AS lo,
            CAST(o_orderkey % 7 AS BIGINT) AS md
@@ -108,8 +108,8 @@ def q45_math_functions(spark, sf_dir):
         "o_orderkey",
         F.abs(p - 100000).alias("dist"),
         F.round(p, 1).alias("rounded"),
-        F.floor(p).alias("fl"),
-        F.ceil(p).alias("ce"),
+        F.floor(p).cast("double").alias("fl"),
+        F.ceil(p).cast("double").alias("ce"),
         F.sqrt(p).alias("rt"),  # sqrt is IEEE correctly rounded — engine-safe
         (p * p).alias("sq"),
         F.signum(p - 100000).alias("sgn"),

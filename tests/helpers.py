@@ -36,16 +36,22 @@ def duckdb_oracle(sql: str, sf_dir: str):
 
 
 def _norm(v):
+    # int vs float is deliberately NOT unified: the driver's value-hash
+    # may distinguish 123 from 123.0, so queries must align dtypes
+    # across engines (cast Spark INT ranks to long, floor/ceil to
+    # double, DuckDB integer SUMs to BIGINT, …).
     if v is None:
         return None
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        return ("dec", str(v.normalize()))
     if isinstance(v, bool):
         return v
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
+        return ("f", v)
     if isinstance(v, datetime.datetime):
         return v.isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, datetime.date):
