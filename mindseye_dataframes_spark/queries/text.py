@@ -45,7 +45,9 @@ _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
     bench=True,
 )
 def q26_text_stats(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    from mindseye_dataframes_spark.plans.parallelism import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = tokens("text")
     n_tokens = F.size(toks)
     stop_hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
