@@ -2,5 +2,6 @@ from mindseye_dataframes_spark.featurize.context import ModelContext  # noqa: F4
 from mindseye_dataframes_spark.featurize.modeler import DataframeModeler  # noqa: F401
 from mindseye_dataframes_spark.featurize.strategy import (  # noqa: F401
     CategorizingStrategy,
+    HashedBucketStrategy,
     ModelingStrategy,
 )

@@ -46,7 +46,7 @@ from mindseye_dataframes_spark.featurize.context import ModelContext
 from mindseye_dataframes_spark.featurize.layers import Network
 from mindseye_dataframes_spark.featurize.strategy import ModelingStrategy
 from mindseye_dataframes_spark.functions.exact import dec
-from mindseye_dataframes_spark.functions.hashing import seeded_unit_rms_tensor
+from mindseye_dataframes_spark.functions.hashing import seeded_unit_rms_tensor  # noqa: F401 (re-exported for strategies)
 
 LOSS_KEY = "__loss__"
 
@@ -101,12 +101,16 @@ class DataframeModeler:
         if cats:
             key_frames = [
                 df.select(
-                    F.concat(F.lit(f"{ch.path}="), F.col(ch.col).cast("string")).alias("key")
+                    F.lit(ch.path).alias("path"),
+                    F.col(ch.col).cast("string").alias("value"),
                 ).distinct()
                 for ch in cats
             ]
             keys = _reduce(lambda a, b: a.unionAll(b), key_frames).distinct()
-            for key in sorted(r["key"] for r in keys.collect()):
+            for path, value in sorted((r["path"], r["value"]) for r in keys.collect()):
+                # strategy decides dictionary identity — raw `path=value`
+                # by default, hashed buckets for capped dictionaries
+                key = self.strategy.key_for(path, value)
                 if key not in self.context.representations:
                     self.context.representations[key] = (
                         self.strategy.initial_representation(key)
@@ -154,6 +158,7 @@ class DataframeModeler:
         size: int,
         mapping_power: int,
         skip_paths: set[str],
+        strat: "ModelingStrategy",
     ) -> tuple[np.ndarray, dict[str, np.ndarray]]:
         """Batch → summed feature tensor [n, size] (F1+F2 reduced by F3
         sum). Returns per-channel caches for backward."""
@@ -168,10 +173,10 @@ class DataframeModeler:
                 vals = col.astype(str)
                 rows = np.empty((n, size))
                 for i, v in enumerate(vals):
-                    key = f"{ch.path}={v}"
+                    key = strat.key_for(ch.path, v)
                     vec = params.get(key)
                     if vec is None:  # lookup-or-init, deterministic
-                        vec = seeded_unit_rms_tensor(key, size)
+                        vec = strat.initial_representation(key)
                     rows[i] = vec
                 out += rows
                 caches[ch.path] = vals.to_numpy()
@@ -189,6 +194,7 @@ class DataframeModeler:
         chans: list[Channel],
         caches: dict[str, np.ndarray],
         skip_paths: set[str],
+        strat: "ModelingStrategy",
     ) -> dict[str, np.ndarray]:
         """Route d(loss)/d(features) into embedding and transform
         gradients (reference `DataframeModeler.accumulate`,
@@ -200,14 +206,17 @@ class DataframeModeler:
             if ch.kind == "categorical":
                 vals = caches[ch.path]
                 # group rows by categorical value: one grad per key
+                # (hashed-bucket keys accumulate across colliding values)
                 order = np.argsort(vals, kind="stable")
                 sorted_vals = vals[order]
                 bounds = np.flatnonzero(
                     np.r_[True, sorted_vals[1:] != sorted_vals[:-1]]
                 )
                 for start, end in zip(bounds, np.r_[bounds[1:], len(sorted_vals)]):
-                    key = f"{ch.path}={sorted_vals[start]}"
-                    grads[key] = grad_in[order[start:end]].sum(axis=0)
+                    key = strat.key_for(ch.path, sorted_vals[start])
+                    prev = grads.get(key)
+                    g = grad_in[order[start:end]].sum(axis=0)
+                    grads[key] = g if prev is None else prev + g
             else:
                 feats = caches[ch.path]
                 grads[f"transform/{ch.path}"] = feats.T @ grad_in
@@ -224,11 +233,19 @@ class DataframeModeler:
     # -- M1: batch inference ------------------------------------------
     def eval_to_dataframe(
         self, df: DataFrame, name: str = "features", network: Network | None = None,
-        label_col: str | None = None,
+        label_col: str | None = None, passthrough: list[str] | None = None,
     ) -> DataFrame:
         """Featurize (plus optional network forward) into a new column
-        ``name: array<double>`` (`ModelingStrategy.scala:167-186`)."""
-        chans = self.channels(df.schema)
+        ``name: array<double>`` (`ModelingStrategy.scala:167-186`).
+
+        ``passthrough`` columns are excluded from featurization and
+        copied into the output unchanged — the keyed alternative to
+        the reference's positional zip of results back onto inputs.
+        """
+        passthrough = passthrough or []
+        chans = self.channels(
+            T.StructType([f for f in df.schema.fields if f.name not in passthrough])
+        )
         skip = {c.path for c in chans if label_col and c.col == label_col}
         if not self.context.stats and not self.context.representations:
             self.init_keys(df)
@@ -242,22 +259,32 @@ class DataframeModeler:
                 self.strategy.mapping_power,
                 skip,
                 network.layers if network else None,
+                self.strategy,
             )
         )
 
         featurize = DataframeModeler._featurize
 
         def infer(batches):
-            params, stats, chans_b, size, power, skip_b, net_layers = bc.value
+            params, stats, chans_b, size, power, skip_b, net_layers, strat = bc.value
             for pdf in batches:
-                x, _ = featurize(pdf, chans_b, params, stats, size, power, skip_b)
+                x, _ = featurize(pdf, chans_b, params, stats, size, power, skip_b, strat)
                 if net_layers:
                     for layer in net_layers:
                         x, _ = layer.forward(params, x)
-                yield pd.DataFrame({name: [row.tolist() for row in x]})
+                out = pdf[passthrough].copy() if passthrough else pd.DataFrame(index=pdf.index)
+                out[name] = [row.tolist() for row in x]
+                yield out
 
-        flat = self._flat_select(df, chans)
-        return flat.mapInPandas(infer, schema=f"{name} array<double>")
+        flat = df.select(
+            *[F.col(c) for c in passthrough],
+            *[F.col(ch.col).alias(ch.col.replace(".", "__")) for ch in chans],
+        )
+        out_schema = ", ".join(
+            [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in passthrough]
+            + [f"{name} array<double>"]
+        )
+        return flat.mapInPandas(infer, schema=out_schema)
 
     # -- M2: distributed forward+backward ------------------------------
     def eval(
@@ -294,19 +321,21 @@ class DataframeModeler:
             for pdf in batches:
                 if not len(pdf):
                     continue
-                x, caches = featurize(pdf, chans_b, params, stats, size, power, skip_b)
+                x, caches = featurize(
+                    pdf, chans_b, params, stats, size, power, skip_b, strat
+                )
                 labels = pdf[lchan.col.replace(".", "__")].astype(str)
                 target = np.stack(
                     [
                         params.get(
-                            f"{lchan.path}={v}",
-                            strat.initial_representation(f"{lchan.path}={v}"),
+                            strat.key_for(lchan.path, v),
+                            strat.initial_representation(strat.key_for(lchan.path, v)),
                         )
                         for v in labels
                     ]
                 )
                 loss, grads, grad_x = net.loss_and_grads(params, x, target)
-                grads.update(route(grad_x, chans_b, caches, skip_b))
+                grads.update(route(grad_x, chans_b, caches, skip_b, strat))
                 w = len(pdf)
                 loss_sum += loss * w
                 n_rows += w

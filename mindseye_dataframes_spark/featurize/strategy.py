@@ -9,7 +9,10 @@ from __future__ import annotations
 
 import numpy as np
 
-from mindseye_dataframes_spark.functions.hashing import seeded_unit_rms_tensor
+from mindseye_dataframes_spark.functions.hashing import (
+    hmac_sha1_seed,
+    seeded_unit_rms_tensor,
+)
 
 
 class ModelingStrategy:
@@ -21,12 +24,34 @@ class ModelingStrategy:
     def size(self, path: str) -> int:
         return self.default_size
 
+    def key_for(self, path: str, value: str) -> str:
+        """Parameter key for a categorical value — the override point
+        that decides dictionary identity (see HashedBucketStrategy)."""
+        return f"{path}={value}"
+
     def initial_representation(self, key: str) -> np.ndarray:
         """Deterministic unit-RMS embedding (`ModelingStrategy.scala:45-57`)."""
         return seeded_unit_rms_tensor(key, self.size(key.split("=", 1)[0]))
 
     def is_frozen(self, key: str) -> bool:
         return False
+
+
+class HashedBucketStrategy(ModelingStrategy):
+    """Bounded-dictionary embeddings for high-cardinality categoricals
+    (SURVEY §7.3 risk 2): at 100 TB a raw `path=value` dictionary can
+    exceed driver/broadcast capacity, so values hash into ``n_buckets``
+    shared embeddings per path (the 'hashing trick'). Collisions trade
+    a little model capacity for an O(n_buckets) parameter bound and a
+    fixed-size broadcast."""
+
+    def __init__(self, n_buckets: int = 1 << 16, **kwargs):
+        super().__init__(**kwargs)
+        self.n_buckets = n_buckets
+
+    def key_for(self, path: str, value: str) -> str:
+        bucket = hmac_sha1_seed(f"{path}={value}") % self.n_buckets
+        return f"{path}#bucket={bucket}"
 
 
 class CategorizingStrategy(ModelingStrategy):

@@ -175,3 +175,36 @@ def test_context_save_load_roundtrip(spark, tmp_path):
     assert np.array_equal(back.representations["a=1"], ctx.representations["a=1"])
     assert np.array_equal(back.transforms["transform/x"], ctx.transforms["transform/x"])
     assert np.array_equal(back.layers["layer/w"], ctx.layers["layer/w"])
+
+
+def test_hashed_bucket_strategy_caps_dictionary(spark):
+    """HashedBucketStrategy bounds the parameter dictionary regardless
+    of categorical cardinality (SURVEY §7.3 risk 2) while keeping
+    lookups deterministic."""
+    from mindseye_dataframes_spark.featurize import HashedBucketStrategy
+
+    n_values = 200
+    df = spark.createDataFrame(
+        [(i, f"user_{i}") for i in range(n_values)], "id long, user string"
+    )
+    strategy = HashedBucketStrategy(n_buckets=16, default_size=4)
+    modeler = DataframeModeler(strategy)
+    modeler.init_keys(df)
+    bucket_keys = [k for k in modeler.context.representations if k.startswith("user#")]
+    assert 0 < len(bucket_keys) <= 16  # dictionary capped, not 200
+    # id is also categorical (long) → its buckets are separate per path
+    assert all(k.split("#")[0] in ("user", "id") for k in modeler.context.representations)
+
+    out = modeler.eval_to_dataframe(df, "f", passthrough=["id"]).collect()
+    assert len(out) == n_values
+    # colliding values share embeddings: featurization must equal the
+    # bucket embedding sum computed by hand
+    import numpy as np
+
+    params = modeler.context.all_params()
+    by_id = {r["id"]: np.array(r["f"]) for r in out}
+    for i in (0, 7, 199):
+        # passthrough columns are excluded from featurization, so the
+        # output is exactly the (possibly shared) user-bucket embedding
+        expect = params[strategy.key_for("user", f"user_{i}")]
+        assert np.allclose(by_id[i], expect, atol=1e-12)
