@@ -71,6 +71,13 @@ class ModelContext:
         ):
             for key, arr in store.items():
                 rows.append((kind, key, str(arr.shape), [float(x) for x in arr.ravel()]))
+        # stats and frozen-key markers are part of the model: without
+        # them a loaded context crashes numeric channels (missing
+        # moments) and silently unfreezes one-hot labels
+        for path, (n, mean, std) in self.stats.items():
+            rows.append(("stat", path, "", [float(n), float(mean), float(std)]))
+        for key in sorted(self.frozen):
+            rows.append(("frozen", key, "", []))
         return rows
 
     def save(self, spark, path: str) -> None:
@@ -83,6 +90,13 @@ class ModelContext:
     def load(cls, spark, path: str) -> "ModelContext":
         ctx = cls()
         for row in spark.read.parquet(path).collect():
+            if row["kind"] == "stat":
+                n, mean, std = row["values"]
+                ctx.stats[row["key"]] = (n, mean, std)
+                continue
+            if row["kind"] == "frozen":
+                ctx.frozen.add(row["key"])
+                continue
             shape = tuple(int(x) for x in row["shape"].strip("(),").split(",") if x.strip())
             arr = np.array(row["values"], dtype=np.float64).reshape(shape or (-1,))
             store = {

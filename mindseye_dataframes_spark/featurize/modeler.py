@@ -56,6 +56,30 @@ class Channel:
     path: str  # hierarchical key path, e.g. "lineitem/l_quantity"
     col: str  # spark column accessor, e.g. "l_quantity" or "a.b"
     kind: str  # "categorical" | "numeric"
+    dtype: str = "string"  # spark simpleString of the source column
+
+
+_INT_DTYPES = {"int", "bigint", "smallint", "tinyint"}
+
+
+def _render_values(col: pd.Series, dtype: str) -> list:
+    """Render a pandas column the way Spark's CAST(x AS STRING) does,
+    so executor-side parameter keys match driver-discovered keys:
+    booleans are 'true'/'false' (pandas str() gives 'True'), integer
+    columns that arrived as float64 via Arrow null-handling render
+    without the '.0', and nulls stay None (null categorical values
+    contribute a zero vector, never a 'nan' key)."""
+    out = []
+    for v in col:
+        if v is None or (isinstance(v, float) and np.isnan(v)) or v is pd.NA:
+            out.append(None)
+        elif dtype == "boolean":
+            out.append("true" if v else "false")
+        elif dtype in _INT_DTYPES:
+            out.append(str(int(v)))
+        else:
+            out.append(str(v))
+    return out
 
 
 class DataframeModeler:
@@ -86,9 +110,9 @@ class DataframeModeler:
             if isinstance(dt, T.StructType):
                 out.extend(self.channels(dt, p, c))
             elif isinstance(dt, (T.IntegerType, T.LongType, T.ShortType, T.StringType, T.BooleanType)):
-                out.append(Channel(p, c, "categorical"))
+                out.append(Channel(p, c, "categorical", dt.simpleString()))
             elif isinstance(dt, (T.DoubleType, T.FloatType)):
-                out.append(Channel(p, c, "numeric"))
+                out.append(Channel(p, c, "numeric", dt.simpleString()))
             # other types are not featurized (documented type matrix)
         return out
 
@@ -98,25 +122,40 @@ class DataframeModeler:
         cats = [ch for ch in chans if ch.kind == "categorical"]
         nums = [ch for ch in chans if ch.kind == "numeric"]
 
-        if cats:
+        discovered_keys: list[str] = []
+        discover = []
+        for ch in cats:
+            enumerated = self.strategy.enumerate_keys(ch.path)
+            if enumerated is not None:
+                # bounded dictionaries (e.g. hashed buckets) enumerate
+                # their keys a priori — no data scan, no driver collect
+                discovered_keys.extend(enumerated)
+            else:
+                discover.append(ch)
+        if discover:
             key_frames = [
                 df.select(
                     F.lit(ch.path).alias("path"),
                     F.col(ch.col).cast("string").alias("value"),
-                ).distinct()
-                for ch in cats
+                )
+                .filter(F.col("value").isNotNull())
+                .distinct()
+                for ch in discover
             ]
             keys = _reduce(lambda a, b: a.unionAll(b), key_frames).distinct()
-            for path, value in sorted((r["path"], r["value"]) for r in keys.collect()):
-                # strategy decides dictionary identity — raw `path=value`
-                # by default, hashed buckets for capped dictionaries
-                key = self.strategy.key_for(path, value)
-                if key not in self.context.representations:
-                    self.context.representations[key] = (
-                        self.strategy.initial_representation(key)
-                    )
-                if self.strategy.is_frozen(key):
-                    self.context.frozen.add(key)
+            discovered_keys.extend(
+                self.strategy.key_for(path, value)
+                for path, value in sorted(
+                    (r["path"], r["value"]) for r in keys.collect()
+                )
+            )
+        for key in discovered_keys:
+            if key not in self.context.representations:
+                self.context.representations[key] = (
+                    self.strategy.initial_representation(key)
+                )
+            if self.strategy.is_frozen(key):
+                self.context.frozen.add(key)
 
         if nums:
             aggs = []
@@ -170,16 +209,22 @@ class DataframeModeler:
                 continue
             col = pdf[ch.col.replace(".", "__")]
             if ch.kind == "categorical":
-                vals = col.astype(str)
-                rows = np.empty((n, size))
+                vals = _render_values(col, ch.dtype)
+                rows = np.zeros((n, size))
+                lookup: dict = {}
                 for i, v in enumerate(vals):
-                    key = strat.key_for(ch.path, v)
-                    vec = params.get(key)
-                    if vec is None:  # lookup-or-init, deterministic
-                        vec = strat.initial_representation(key)
+                    if v is None:
+                        continue  # null category -> zero contribution
+                    vec = lookup.get(v)
+                    if vec is None:
+                        key = strat.key_for(ch.path, v)
+                        vec = params.get(key)
+                        if vec is None:  # lookup-or-init, deterministic
+                            vec = strat.initial_representation(key)
+                        lookup[v] = vec
                     rows[i] = vec
                 out += rows
-                caches[ch.path] = vals.to_numpy()
+                caches[ch.path] = vals
             else:
                 _, mean, std = stats[ch.path]
                 z = (col.to_numpy(dtype=np.float64) - mean) / std
@@ -206,16 +251,16 @@ class DataframeModeler:
             if ch.kind == "categorical":
                 vals = caches[ch.path]
                 # group rows by categorical value: one grad per key
-                # (hashed-bucket keys accumulate across colliding values)
-                order = np.argsort(vals, kind="stable")
-                sorted_vals = vals[order]
-                bounds = np.flatnonzero(
-                    np.r_[True, sorted_vals[1:] != sorted_vals[:-1]]
-                )
-                for start, end in zip(bounds, np.r_[bounds[1:], len(sorted_vals)]):
-                    key = strat.key_for(ch.path, sorted_vals[start])
+                # (hashed-bucket keys accumulate across colliding values;
+                # null categories contributed nothing -> no gradient)
+                groups: dict = {}
+                for i, v in enumerate(vals):
+                    if v is not None:
+                        groups.setdefault(v, []).append(i)
+                for v, idxs in groups.items():
+                    key = strat.key_for(ch.path, v)
+                    g = grad_in[idxs].sum(axis=0)
                     prev = grads.get(key)
-                    g = grad_in[order[start:end]].sum(axis=0)
                     grads[key] = g if prev is None else prev + g
             else:
                 feats = caches[ch.path]
@@ -321,19 +366,27 @@ class DataframeModeler:
             for pdf in batches:
                 if not len(pdf):
                     continue
+                labels = _render_values(pdf[lchan.col.replace(".", "__")], lchan.dtype)
+                keep = [i for i, v in enumerate(labels) if v is not None]
+                if not keep:
+                    continue
+                if len(keep) < len(pdf):
+                    pdf = pdf.iloc[keep].reset_index(drop=True)
+                    labels = [labels[i] for i in keep]
                 x, caches = featurize(
                     pdf, chans_b, params, stats, size, power, skip_b, strat
                 )
-                labels = pdf[lchan.col.replace(".", "__")].astype(str)
-                target = np.stack(
-                    [
-                        params.get(
-                            strat.key_for(lchan.path, v),
-                            strat.initial_representation(strat.key_for(lchan.path, v)),
+                # one lookup per DISTINCT label, not per row (the .get
+                # default would eagerly build a seeded tensor per row)
+                table: dict = {}
+                for v in labels:
+                    if v not in table:
+                        key = strat.key_for(lchan.path, v)
+                        vec = params.get(key)
+                        table[v] = (
+                            vec if vec is not None else strat.initial_representation(key)
                         )
-                        for v in labels
-                    ]
-                )
+                target = np.stack([table[v] for v in labels])
                 loss, grads, grad_x = net.loss_and_grads(params, x, target)
                 grads.update(route(grad_x, chans_b, caches, skip_b, strat))
                 w = len(pdf)
@@ -399,7 +452,9 @@ class DataframeModeler:
         line_search: bool = True,
         verbose: bool = False,
     ) -> list[float]:
-        """Epoch schedule over sample fractions with GD + bisection
+        """Epoch schedule over sample fractions with gradient descent
+        and learning-rate halving on in-epoch loss regression — a
+        simplified backtracking stand-in for the reference's bisection
         line search (`Trainer.scala:68-71,170-193`). Seeded sampling —
         the reference left it unseeded (SURVEY §7.3 risk 4)."""
         if not self.context.representations and not self.context.stats:
@@ -412,13 +467,21 @@ class DataframeModeler:
             batch = batch.persist()
             try:
                 step_lr = lr
+                epoch_losses: list[float] = []
                 for _ in range(max_iters):
                     loss, grads = self.eval(batch, network, label_col)
+                    epoch_losses.append(loss)
                     losses.append(loss)
                     if verbose:
                         print(f"epoch {epoch} fraction {fraction} loss {loss:.5f}")
-                    if line_search and len(losses) >= 2 and losses[-1] > losses[-2]:
-                        step_lr /= 2  # bisect on regression
+                    # compare within the epoch only — across epochs the
+                    # sample fraction changes and losses aren't comparable
+                    if (
+                        line_search
+                        and len(epoch_losses) >= 2
+                        and epoch_losses[-1] > epoch_losses[-2]
+                    ):
+                        step_lr /= 2  # halve on regression
                     self.context.apply_gradients(grads, step_lr)
             finally:
                 batch.unpersist()

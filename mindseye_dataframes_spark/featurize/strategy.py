@@ -29,6 +29,13 @@ class ModelingStrategy:
         that decides dictionary identity (see HashedBucketStrategy)."""
         return f"{path}={value}"
 
+    def enumerate_keys(self, path: str) -> list[str] | None:
+        """All possible parameter keys for a categorical path, or None
+        when keys must be discovered from the data. Bounded-dictionary
+        strategies return their full key set so ``init_keys`` needs no
+        distinct-value scan or driver collect for that path."""
+        return None
+
     def initial_representation(self, key: str) -> np.ndarray:
         """Deterministic unit-RMS embedding (`ModelingStrategy.scala:45-57`)."""
         return seeded_unit_rms_tensor(key, self.size(key.split("=", 1)[0]))
@@ -52,6 +59,11 @@ class HashedBucketStrategy(ModelingStrategy):
     def key_for(self, path: str, value: str) -> str:
         bucket = hmac_sha1_seed(f"{path}={value}") % self.n_buckets
         return f"{path}#bucket={bucket}"
+
+    def enumerate_keys(self, path: str) -> list[str]:
+        # the whole dictionary exists a priori: no per-value discovery,
+        # so init_keys never collects distinct values for this path
+        return [f"{path}#bucket={b}" for b in range(self.n_buckets)]
 
 
 class CategorizingStrategy(ModelingStrategy):

@@ -8,9 +8,12 @@ DuckDB's ``ASOF JOIN`` default).
 Implementation is the union-marker pattern, chosen for scale: instead
 of a range join (quadratic blowup) or per-key collect, both sides are
 unioned with a side marker, one shuffle partitions by key, and a
-running ``last(right_value, ignorenulls=True)`` over (ts, side) fills
-each left row with the latest preceding right payload. Cost: ONE
-shuffle of |L|+|R| rows — same as a regular join of the two sides;
+running ``last(payload_struct, ignorenulls=True)`` over (ts, side)
+fills each left row with the latest preceding right payload. The fill
+is a single STRUCT — never per-column — so the attached payload is
+always one real right row, even when some of its fields are NULL
+(independent per-column fills would stitch fields from different
+rows). Cost: ONE shuffle of |L|+|R| rows — same as a regular join;
 works unchanged on a 1000-executor cluster (per-key data never has to
 fit anywhere, the window is streaming within partitions).
 
@@ -48,29 +51,33 @@ def asof_join(
             .drop("_asof_rn")
         )
 
-    out_names = {
-        c: (c + suffix if c in left.columns else c) for c in payload
-    }
+    out_names = {c: (c + suffix if c in left.columns else c) for c in payload}
+    payload_struct = F.struct(*[F.col(c).alias(out_names[c]) for c in payload])
+    struct_type = r.select(payload_struct.alias("_asof_payload")).schema[
+        "_asof_payload"
+    ].dataType
 
     l_marked = left.select(
         *[F.col(c) for c in left.columns],
         F.col(left_ts).alias("_asof_ts"),
         F.lit(1).alias("_asof_side"),
-        *[F.lit(None).cast(r.schema[c].dataType).alias(out_names[c]) for c in payload],
+        F.lit(None).cast(struct_type).alias("_asof_payload"),
     )
     r_marked = r.select(
+        *[F.col(k) for k in on],
         *[
-            F.col(k) if k in r.columns else F.lit(None).alias(k)
-            for k in on
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in on
         ],
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on],
         F.col(right_ts).alias("_asof_ts"),
         F.lit(0).alias("_asof_side"),
-        *[F.col(c).alias(out_names[c]) for c in payload],
-    ).select(*left.columns, "_asof_ts", "_asof_side", *[out_names[c] for c in payload])
+        payload_struct.alias("_asof_payload"),
+    ).select(*left.columns, "_asof_ts", "_asof_side", "_asof_payload")
 
     unioned = l_marked.unionByName(r_marked)
-    # right rows (side=0) sort before left rows at equal ts → inclusive
+    # right rows (side=0) sort before left rows at equal ts → inclusive;
+    # the whole payload struct fills atomically (one real right row)
     fill = (
         Window.partitionBy(*on)
         .orderBy("_asof_ts", "_asof_side")
@@ -79,9 +86,12 @@ def asof_join(
     filled = unioned.select(
         *left.columns,
         "_asof_side",
-        *[
-            F.last(out_names[c], ignorenulls=True).over(fill).alias(out_names[c])
-            for c in payload
-        ],
+        F.last("_asof_payload", ignorenulls=True).over(fill).alias("_asof_payload"),
     )
-    return filled.filter(F.col("_asof_side") == 1).drop("_asof_side")
+    return (
+        filled.filter(F.col("_asof_side") == 1)
+        .select(
+            *left.columns,
+            *[F.col(f"_asof_payload.{out_names[c]}").alias(out_names[c]) for c in payload],
+        )
+    )

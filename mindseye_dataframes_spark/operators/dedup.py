@@ -138,11 +138,16 @@ def lsh_candidate_pairs(
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
     Returns distinct (id_a < id_b) pairs. The only join is the bucket
     self-join — each side keyed by (band key), never all-pairs."""
-    sigs = minhash_signatures(df, text_col, id_col, k, feature).select(
+    sigs = minhash_signatures(df, text_col, id_col, k, feature)
+    return _candidate_pairs(sigs, id_col, bands, k)
+
+
+def _candidate_pairs(sigs: DataFrame, id_col: str, bands: int, k: int) -> DataFrame:
+    """Bucket self-join over LSH band keys → distinct (id_a < id_b)."""
+    buckets = sigs.select(
         F.col(id_col),
-        lsh_band_keys(F.col("signature"), bands, k).alias("band_keys"),
+        F.explode(lsh_band_keys(F.col("signature"), bands, k)).alias("band_key"),
     )
-    buckets = sigs.select(id_col, F.explode("band_keys").alias("band_key"))
     a = buckets.select(F.col("band_key"), F.col(id_col).alias("id_a"))
     b = buckets.select(F.col("band_key"), F.col(id_col).alias("id_b"))
     return (
@@ -166,18 +171,7 @@ def jaccard_verified_pairs(
     Jaccard is |A∩B| / (|A|+|B|-|A∩B|) — integer counts, so the double
     division is engine-exact for the oracle."""
     base = doc_features(df, text_col, id_col, k, feature)
-    buckets = base.select(
-        F.col(id_col),
-        F.explode(lsh_band_keys(F.col("signature"), bands, k)).alias("band_key"),
-    )
-    a = buckets.select(F.col("band_key"), F.col(id_col).alias("id_a"))
-    b = buckets.select(F.col("band_key"), F.col(id_col).alias("id_b"))
-    candidates = (
-        a.join(b, "band_key")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    candidates = _candidate_pairs(base, id_col, bands, k)
     toks = base.select(F.col(id_col), F.col("feats").alias("toks")).withColumn(
         "n_toks", F.size("toks")
     )

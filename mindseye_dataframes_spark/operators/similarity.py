@@ -75,7 +75,21 @@ def ann_topk_lsh(
     """Approximate top-k: candidates share the query's LSH bucket.
     One equi-join on bucket id — no cross product. Recall is tunable
     via n_planes (fewer planes → bigger buckets → higher recall)."""
-    dim = corpus.select(F.size(corpus_vec).alias("d")).limit(1).collect()[0]["d"]
+    probe = corpus.select(F.size(corpus_vec).alias("d")).limit(1).collect()
+    if not probe:  # empty corpus → empty result, same as exact top-k
+        spark = corpus.sparkSession
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField(query_id, queries.schema[query_id].dataType),
+                T.StructField("rank", T.IntegerType()),
+                T.StructField(corpus_id, corpus.schema[corpus_id].dataType),
+                T.StructField("cos_r", T.DoubleType()),
+            ]
+        )
+        return spark.createDataFrame([], schema)
+    dim = probe[0]["d"]
     planes = lsh_planes(dim, n_planes, seed)
     q = queries.select(
         F.col(query_id), F.col(query_vec), lsh_signs(query_vec, planes).alias("bucket")

@@ -17,6 +17,9 @@ from pyspark.sql import functions as F
 SALT = "_salt"
 
 
+_SAFE_HOW = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "cross"}
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
@@ -26,7 +29,17 @@ def salted_join(
     seed: int = 42,
 ) -> DataFrame:
     """Equi-join with left-side salting. ``on`` columns must exist on
-    both sides; the salt column never escapes."""
+    both sides; the salt column never escapes.
+
+    Right/full outer joins are rejected: the right side is exploded
+    ``salt``-fold, so right rows with no left match would surface
+    ``salt`` duplicate unmatched rows. Salt the other side instead.
+    """
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in _SAFE_HOW}:
+        raise ValueError(
+            f"salted_join supports {sorted(_SAFE_HOW)}; for '{how}' swap the "
+            "sides (the exploded right side would duplicate unmatched rows)"
+        )
     l_salted = left.withColumn(SALT, (F.rand(seed) * salt).cast("int"))
     r_exploded = right.withColumn(
         SALT, F.explode(F.array(*[F.lit(i) for i in range(salt)]))

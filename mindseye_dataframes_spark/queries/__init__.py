@@ -27,6 +27,7 @@ _MODULES = (
     "json_props",
     "suppliers",
     "pipeline",
+    "pivot",
 )
 _loaded = False
 

@@ -1,0 +1,132 @@
+"""Regression tests for the code-review findings: parameter-table
+roundtrip completeness, driver/executor key-rendering parity, as-of
+payload atomicity, salted-join how restriction, ANN empty corpus."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mindseye_dataframes_spark.featurize import (
+    CategorizingStrategy,
+    DataframeModeler,
+    HashedBucketStrategy,
+    ModelContext,
+    ModelingStrategy,
+)
+from mindseye_dataframes_spark.featurize.layers import mlp
+from mindseye_dataframes_spark.operators.asof import asof_join
+from mindseye_dataframes_spark.operators.similarity import ann_topk_lsh
+from mindseye_dataframes_spark.operators.skew import salted_join
+
+
+def test_context_roundtrip_preserves_stats_and_frozen(spark, tmp_path):
+    """A loaded model must run numeric-channel inference and keep
+    one-hot labels frozen (previously stats/frozen were dropped)."""
+    rows = [("a", 1.0, "X"), ("b", 2.0, "Y"), ("a", 3.0, "X")]
+    df = spark.createDataFrame(rows, "cat string, x double, label string")
+    strategy = CategorizingStrategy(
+        "label", categories=2, value_index={"X": 0, "Y": 1}, default_size=4
+    )
+    modeler = DataframeModeler(strategy)
+    modeler.init_keys(df, "label")
+    path = str(tmp_path / "model")
+    modeler.context.save(spark, path)
+
+    back = ModelContext.load(spark, path)
+    assert back.stats == modeler.context.stats
+    assert back.frozen == modeler.context.frozen and back.frozen
+
+    # inference through the LOADED context (guard skips init_keys) —
+    # previously a KeyError on stats inside mapInPandas
+    m2 = DataframeModeler(strategy, back)
+    out = m2.eval_to_dataframe(df.drop("label"), "f").collect()
+    assert len(out) == 3 and len(out[0]["f"]) == 4
+
+
+def test_boolean_and_nullable_int_channel_keys(spark):
+    """Executor-side key rendering must match Spark's CAST(x AS STRING):
+    booleans are 'true'/'false', nullable ints have no '.0', nulls
+    contribute a zero vector (previously 'True'/'7.0'/'nan' keys
+    silently missed the dictionary)."""
+    df = spark.createDataFrame(
+        [(0, True, 7), (1, False, None), (2, True, None)],
+        "rid long, flag boolean, code int",
+    )
+    feat_cols = df.drop("rid")
+    modeler = DataframeModeler(ModelingStrategy(default_size=4))
+    modeler.init_keys(feat_cols)
+    reps = modeler.context.representations
+    assert "flag=true" in reps and "flag=false" in reps
+    assert "code=7" in reps
+    assert not any("True" in k or ".0" in k or "nan" in k.lower() for k in reps)
+
+    out = {
+        r["rid"]: np.array(r["f"])
+        for r in modeler.eval_to_dataframe(df, "f", passthrough=["rid"]).collect()
+    }
+    # row 1 (False, None): flag embedding only — null code contributes zero
+    assert np.allclose(out[1], reps["flag=false"], atol=1e-12)
+    # row 0 (True, 7): both embeddings sum
+    assert np.allclose(out[0], reps["flag=true"] + reps["code=7"], atol=1e-12)
+
+
+def test_null_labels_dropped_in_eval(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, "X"), ("b", 2.0, None), ("a", 3.0, "Y")],
+        "cat string, x double, label string",
+    )
+    strategy = CategorizingStrategy(
+        "label", categories=2, value_index={"X": 0, "Y": 1}, default_size=4
+    )
+    modeler = DataframeModeler(strategy)
+    modeler.init_keys(df, "label")
+    net = mlp("m", 4, [5], 2)
+    for k, v in net.init_params().items():
+        modeler.context.layers[k] = v
+    loss, grads = modeler.eval(df, net, "label")  # must not raise on null label
+    assert np.isfinite(loss)
+
+
+def test_hashed_strategy_needs_no_value_discovery(spark):
+    """enumerate_keys path: the dictionary exists a priori — no
+    distinct-value collect (previously defeated the bound)."""
+    strategy = HashedBucketStrategy(n_buckets=8, default_size=4)
+    assert len(strategy.enumerate_keys("user")) == 8
+    df = spark.createDataFrame([(i, f"u{i}") for i in range(50)], "id long, user string")
+    modeler = DataframeModeler(strategy)
+    modeler.init_keys(df)
+    assert len(modeler.context.representations) == 16  # 8 buckets × 2 paths
+
+
+def test_asof_payload_fills_atomically(spark):
+    """A NULL field in the most recent right row must NOT be backfilled
+    from an older row — the payload is one real row."""
+    left = spark.createDataFrame([(1, 10)], "k int, lts int")
+    right = spark.createDataFrame(
+        [(1, 1, 1.0, 2.0), (1, 2, None, 5.0)], "k int, rts int, a double, b double"
+    )
+    out = asof_join(left, right, ["k"], "lts", "rts", ["a", "b"]).collect()
+    assert len(out) == 1
+    assert out[0]["a"] is None and out[0]["b"] == 5.0  # the ts=2 row, verbatim
+
+
+def test_salted_join_rejects_right_outer():
+    with pytest.raises(ValueError, match="swap the sides"):
+        salted_join(None, None, ["k"], how="full_outer")
+    with pytest.raises(ValueError):
+        salted_join(None, None, ["k"], how="right")
+
+
+def test_ann_empty_corpus_returns_empty(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    empty = emb.filter("vec_id < 0").select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("cv")
+    )
+    out = ann_topk_lsh(queries, empty, "qid", "qv", "nid", "cv", k=3)
+    assert out.count() == 0
+    assert out.columns == ["qid", "rank", "nid", "cos_r"]
