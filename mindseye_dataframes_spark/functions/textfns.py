@@ -183,3 +183,65 @@ def simhash16_sql(text_expr: str) -> str:
         )
         terms.append(f"CASE WHEN ({bit_sum}) > 0 THEN {2**b} ELSE 0 END")
     return "(" + " + ".join(terms) + ")"
+
+
+# ---------------------------------------------------------------------------
+# Language identification (north-star "language-ID (n-gram heuristic)").
+# ---------------------------------------------------------------------------
+
+# Marker function-words per language — the classic closed-class-word
+# heuristic: function words are the highest-frequency tokens of any
+# natural-language text, so counting marker hits per candidate language
+# and taking the argmax identifies the language of even short documents
+# without a trained model. Counts are per occurrence (not distinct), so
+# longer texts score proportionally and ties are rare.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is", "in", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es": ("el", "los", "las", "una", "que", "y", "por", "con"),
+    "fr": ("le", "les", "des", "une", "est", "et", "dans", "pour"),
+    "zh": ("的", "是", "在", "了", "我", "不", "有", "和"),
+}
+# deterministic argmax precedence on ties (checked first wins)
+LANG_ORDER = ("en", "de", "es", "fr", "zh")
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language marker-hit counts (one JVM-side array filter per
+    language over the whitespace tokens — no UDF, no shuffle)."""
+    toks = tokens(text)
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column | str) -> Column:
+    """Predicted language code, or 'und' (undetermined) when no marker
+    of any language occurs. Ties break by LANG_ORDER precedence, so
+    the result is deterministic on both engines."""
+    scores = lang_scores(text)
+    mx = F.greatest(*scores.values())
+    out = F.when(mx == 0, F.lit("und"))
+    for lang in LANG_ORDER:
+        out = out.when(scores[lang] == mx, F.lit(lang))
+    return out.otherwise(F.lit("und"))
+
+
+def lang_id_sql(text_expr: str) -> str:
+    """DuckDB SQL twin of :func:`lang_id` (generated so marker lists
+    and precedence live in exactly one place)."""
+
+    def score(markers: tuple[str, ...]) -> str:
+        inlist = ", ".join(f"'{m}'" for m in markers)
+        return (
+            f"len(list_filter(string_split({text_expr}, ' '), "
+            f"x -> x IN ({inlist})))"
+        )
+
+    scores = {lang: score(m) for lang, m in LANG_MARKERS.items()}
+    mx = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = "\n         ".join(
+        f"WHEN {scores[lang]} = {mx} THEN '{lang}'" for lang in LANG_ORDER
+    )
+    return f"CASE WHEN {mx} = 0 THEN 'und'\n         {whens}\n         ELSE 'und' END"

@@ -112,3 +112,114 @@ def ann_topk_lsh(
         .filter(F.col("rank") <= k)
         .select(query_id, "rank", corpus_id, "cos_r")
     )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    n_centroids: int = 16,
+) -> list[tuple[int, list[float], float]]:
+    """Deterministic IVF coarse quantizer: one representative corpus
+    vector per cell, chosen as the min-id vector of each id-modulo
+    bucket. Data-derived (cells follow the corpus distribution, unlike
+    random planes) yet needs no k-means iterations and no RNG — the
+    same corpus always yields the same centroids, and the scheme is
+    plain SQL so an oracle engine reproduces it exactly. Returns
+    ``(cell, vector)`` pairs; only ``n_centroids`` rows ever reach the
+    driver."""
+    w = Window.partitionBy("_cell").orderBy(corpus_id)
+    reps = (
+        corpus.select(
+            F.pmod(F.col(corpus_id).cast("long"), F.lit(n_centroids))
+            .cast("int")
+            .alias("_cell"),
+            F.col(corpus_id),
+            F.col(corpus_vec),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("_cell", corpus_vec)
+        .collect()
+    )
+    return sorted(
+        (int(r["_cell"]), [float(x) for x in r[corpus_vec]]) for r in reps
+    )
+
+
+def _nearest_cells(
+    vec: F.Column | str, centroids: list[tuple[int, list[float]]], n: int
+) -> F.Column:
+    """Array of the ``n`` nearest centroid cell-ids for a vector —
+    pure JVM expression: rounded cosine against centroid literals,
+    ``array_sort`` with a (similarity desc, cell asc) comparator.
+    Centroid count is small (coarse quantizer), so the expression tree
+    stays modest and whole-stage codegen handles it. Rounding matches
+    ``cosine_ranked`` so an oracle reproduces the assignment."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    scored = F.array(
+        *[
+            F.struct(
+                cosine_ranked(F.array(*[F.lit(x) for x in cvec]), v).alias("s"),
+                F.lit(cell).alias("cell"),
+            )
+            for cell, cvec in centroids
+        ]
+    )
+    by_sim_desc = F.array_sort(
+        scored,
+        lambda a, b: F.when(a["s"] > b["s"], F.lit(-1))
+        .when(a["s"] < b["s"], F.lit(1))
+        .otherwise(a["cell"] - b["cell"]),
+    )
+    return F.transform(F.slice(by_sim_desc, 1, n), lambda x: x["cell"])
+
+
+def ann_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k (inverted-file index): corpus vectors are
+    assigned to their nearest coarse-quantizer cell once; each query
+    probes its ``n_probe`` nearest cells and scores only those
+    candidates. At scale the assignment is a narrow map (no shuffle),
+    the probe join is an equi-join on cell id, and recall/cost trade
+    via ``n_probe/n_centroids`` — the classic IVF-Flat layout, with
+    cells doubling as a partition key for locality."""
+    cents = ivf_centroids(corpus, corpus_id, corpus_vec, n_centroids)
+    if not cents:  # empty corpus
+        return ann_topk_lsh(
+            queries, corpus, query_id, query_vec, corpus_id, corpus_vec, k
+        )
+    c = corpus.select(
+        F.col(corpus_id),
+        F.col(corpus_vec),
+        _nearest_cells(corpus_vec, cents, 1)[0].alias("_cell"),
+    )
+    q = queries.select(
+        F.col(query_id),
+        F.col(query_vec),
+        F.explode(_nearest_cells(query_vec, cents, n_probe)).alias("_cell"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "_cell")
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            cosine_ranked(query_vec, corpus_vec).alias("cos_r"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos_r").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", corpus_id, "cos_r")
+    )

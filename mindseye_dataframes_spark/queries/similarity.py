@@ -105,3 +105,75 @@ def q36_ann_lsh_topk(spark, sf_dir):
         queries, corpus, "query_id", "qv", "neighbor_id", "cv", k=3,
         n_planes=8, seed=42,
     ).orderBy("query_id", "rank")
+
+
+_IVF_CELLS = 16
+_IVF_PROBE = 4
+
+
+def _ivf_oracle() -> str:
+    """DuckDB twin of ann_topk_ivf: same modulo centroids, same rounded
+    cosine assignment with (sim desc, cell asc) tie-break."""
+    sim = "round(list_cosine_similarity({a}, {b}), 9)"
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cells AS (
+      SELECT CAST(vec_id % {_IVF_CELLS} AS INT) AS cell, v
+      FROM (
+        SELECT vec_id, v,
+               row_number() OVER (PARTITION BY vec_id % {_IVF_CELLS} ORDER BY vec_id) AS rn
+        FROM e
+      ) WHERE rn = 1
+    ),
+    assign AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {sim.format(a='e.v', b='c.v')} DESC, c.cell) AS arn
+        FROM e CROSS JOIN cells c
+      ) WHERE arn = 1
+    ),
+    probes AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT q.vec_id, q.v, c.cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {sim.format(a='q.v', b='c.v')} DESC, c.cell) AS prn
+        FROM e q CROSS JOIN cells c WHERE q.vec_id < {_N_QUERIES}
+      ) WHERE prn <= {_IVF_PROBE}
+    ),
+    scored AS (
+      SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+             {sim.format(a='p.v', b='a.v')} AS cos_r,
+             row_number() OVER (PARTITION BY p.vec_id
+                                ORDER BY {sim.format(a='p.v', b='a.v')} DESC, a.vec_id) AS rank
+      FROM probes p JOIN assign a USING (cell)
+    )
+    SELECT query_id, rank, neighbor_id, cos_r FROM scored WHERE rank <= {_K}
+    ORDER BY query_id, rank
+    """
+
+
+@query(
+    "q60_ann_ivf_topk",
+    oracle=_ivf_oracle(),
+    tags=("similarity", "parity:ann-ivf"),
+)
+def q60_ann_ivf_topk(spark, sf_dir):
+    """IVF-Flat approximate top-k: 16 deterministic coarse cells, each
+    query probes its 4 nearest cells. The corpus-side cell assignment
+    is a narrow map (no shuffle); the probe join is an equi-join on
+    cell id — the scale path when the corpus is too big to broadcast
+    against (complements the LSH variant in q36)."""
+    from mindseye_dataframes_spark.operators.similarity import ann_topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    return ann_topk_ivf(
+        queries, corpus, "query_id", "qv", "neighbor_id", "cv", k=_K,
+        n_centroids=_IVF_CELLS, n_probe=_IVF_PROBE,
+    ).orderBy("query_id", "rank")

@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 
 from mindseye_dataframes_spark.functions.exact import dec
 from mindseye_dataframes_spark.functions.textfns import (
+    lang_id,
+    lang_id_sql,
     STOPWORDS,
     bag_fingerprint,
     distinct_tokens,
@@ -149,3 +151,36 @@ def q29_simhash_fingerprints(spark, sf_dir):
         simhash16("text").alias("simhash"),
         bag_fingerprint("text").alias("bag_fp"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q58_language_id",
+    oracle=f"""
+    SELECT lang, {lang_id_sql('text')} AS lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents
+    GROUP BY lang, lang_pred
+    ORDER BY lang, lang_pred
+    """,
+    tags=("text", "parity:lang-id"),
+)
+def q58_language_id(spark, sf_dir):
+    """Content-based language identification (marker-word heuristic,
+    north-star "language-ID") cross-tabulated against the labeled
+    ``lang`` column. Scores are JVM-side array filters over the token
+    array — one scan, no UDF, no shuffle beyond the final group-by."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            lang_id("text").alias("lang_pred"),
+            F.size(tokens("text")).alias("_nt"),
+        )
+        .groupBy("lang", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_nt").alias("n_tokens"),
+        )
+        .orderBy("lang", "lang_pred")
+    )

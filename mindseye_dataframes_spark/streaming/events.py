@@ -98,16 +98,58 @@ def session_counts(
     )
 
 
-def run_bounded(stream_df: DataFrame, table_name: str, timeout_sec: int = 120) -> DataFrame:
+def run_bounded(
+    stream_df: DataFrame,
+    table_name: str,
+    timeout_sec: int = 120,
+    output_mode: str = "complete",
+) -> DataFrame:
     """Drain a bounded stream (availableNow) into an in-memory table
     and return it as a batch DataFrame — the test/validation harness
-    for streaming transformations."""
+    for streaming transformations. ``update`` mode appends every
+    per-trigger update to the sink table (take the last row per key
+    for final state)."""
     query = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     query.awaitTermination(timeout_sec)
     return stream_df.sparkSession.table(table_name)
+
+
+def user_running_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-user running (count, sum) accumulated across micro-batches —
+    the §2B streaming-state row the built-in windowed aggregates can't
+    express (state is keyed by user, not by time window, and survives
+    every trigger).
+
+    Scale: state is one (long, double) pair per user partitioned by the
+    grouping key across executors; each trigger touches only the keys
+    present in that micro-batch. Arrow moves batches, the state store
+    handles persistence/recovery.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [total]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -103,3 +103,33 @@ def test_zip_alignment_invariants(spark):
     zipped = zip_frames([a, b], [["k"], ["k2"]])
     assert zipped.count() == n
     assert zipped.filter(F.col("k") != F.col("k2")).count() == 0  # same order → aligned
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF with 4 probes over 16 cells must recover a solid share of
+    the exact top-5 (recall is the operator's contract; the oracle
+    only pins determinism)."""
+    from pyspark.sql import functions as F
+
+    from mindseye_dataframes_spark.operators.similarity import (
+        ann_topk_ivf,
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("cv"))
+    exact = {
+        (r["qid"], r["nid"])
+        for r in cosine_topk(queries, corpus, "qid", "qv", "nid", "cv", 5).collect()
+    }
+    approx = {
+        (r["qid"], r["nid"])
+        for r in ann_topk_ivf(
+            queries, corpus, "qid", "qv", "nid", "cv", 5, n_centroids=16, n_probe=4
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall

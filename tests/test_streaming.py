@@ -59,3 +59,42 @@ def test_sliding_window_runs(spark, events_dir):
     stream = read_event_stream(spark, events_dir)
     result = run_bounded(sliding_avg(stream), "t_sliding")
     assert result.count() > 0
+
+
+def test_stateful_running_totals_across_batches(spark, events_dir):
+    """applyInPandasWithState: per-user state must accumulate across
+    micro-batches (maxFilesPerTrigger=1 over 4 files → 4 triggers),
+    ending at the batch groupBy totals."""
+    from mindseye_dataframes_spark.streaming.events import user_running_totals
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .load(events_dir)
+    )
+    updates = run_bounded(
+        user_running_totals(stream), "t_state", output_mode="update"
+    ).collect()
+    # update mode re-emits a user's running totals each trigger the
+    # user appears in: the max n_events row per user is the final state
+    final = {}
+    for r in updates:
+        if r["user_id"] not in final or r["n_events"] > final[r["user_id"]]["n_events"]:
+            final[r["user_id"]] = r
+    batch = {
+        r["user_id"]: r
+        for r in spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(final) == set(batch) and len(batch) > 1
+    for uid, row in final.items():
+        assert row["n_events"] == batch[uid]["n"]
+        assert abs(row["sum_value"] - batch[uid]["s"]) < 1e-6
+    # at least one user must have been updated in more than one trigger
+    assert len(updates) > len(final)
