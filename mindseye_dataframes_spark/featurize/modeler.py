@@ -55,7 +55,7 @@ LOSS_KEY = "__loss__"
 class Channel:
     path: str  # hierarchical key path, e.g. "lineitem/l_quantity"
     col: str  # spark column accessor, e.g. "l_quantity" or "a.b"
-    kind: str  # "categorical" | "numeric"
+    kind: str  # "categorical" | "numeric" | "vector"
     dtype: str = "string"  # spark simpleString of the source column
 
 
@@ -113,6 +113,16 @@ class DataframeModeler:
                 out.append(Channel(p, c, "categorical", dt.simpleString()))
             elif isinstance(dt, (T.DoubleType, T.FloatType)):
                 out.append(Channel(p, c, "numeric", dt.simpleString()))
+            elif isinstance(dt, T.TimestampType):
+                # SURVEY §1.2 extension: timestamp → epoch-seconds
+                # double, then the standard z-score numeric channel
+                out.append(Channel(p, c, "numeric", "timestamp"))
+            elif isinstance(dt, T.ArrayType) and isinstance(
+                dt.elementType, (T.DoubleType, T.FloatType)
+            ):
+                # SURVEY §1.2 extension: embedding column → learned
+                # affine map [dim → default_size]
+                out.append(Channel(p, c, "vector", dt.simpleString()))
             # other types are not featurized (documented type matrix)
         return out
 
@@ -121,6 +131,7 @@ class DataframeModeler:
         chans = self.channels(df.schema)
         cats = [ch for ch in chans if ch.kind == "categorical"]
         nums = [ch for ch in chans if ch.kind == "numeric"]
+        vecs = [ch for ch in chans if ch.kind == "vector"]
 
         discovered_keys: list[str] = []
         discover = []
@@ -160,11 +171,15 @@ class DataframeModeler:
         if nums:
             aggs = []
             for ch in nums:
-                x = dec(F.col(ch.col), 4, 18)
+                src = (
+                    F.col(ch.col).cast("double")
+                    if ch.dtype == "timestamp"
+                    else F.col(ch.col)
+                )
                 aggs += [
-                    F.count(F.col(ch.col)).alias(f"n__{ch.path}"),
-                    F.sum(x).cast("double").alias(f"s__{ch.path}"),
-                    F.sum(dec(F.col(ch.col), 4, 14) * dec(F.col(ch.col), 4, 14))
+                    F.count(src).alias(f"n__{ch.path}"),
+                    F.sum(dec(src, 4, 18)).cast("double").alias(f"s__{ch.path}"),
+                    F.sum(dec(src, 4, 14) * dec(src, 4, 14))
                     .cast("double")
                     .alias(f"q__{ch.path}"),
                 ]
@@ -182,6 +197,24 @@ class DataframeModeler:
                     p = self.strategy.mapping_power
                     init = seeded_unit_rms_tensor(tkey, p * size).reshape(p, size)
                     self.context.transforms[tkey] = init / np.sqrt(p)
+
+        if vecs:
+            # dimension probe: one tiny agg, never a row collect
+            dims = df.agg(
+                *[
+                    F.max(F.size(F.col(ch.col))).alias(f"d__{ch.path}")
+                    for ch in vecs
+                ]
+            ).collect()[0]
+            for ch in vecs:
+                d = int(dims[f"d__{ch.path}"] or 0)
+                key = f"vector/{ch.path}"
+                if d and key not in self.context.transforms:
+                    size = self.strategy.size(ch.path)
+                    init = seeded_unit_rms_tensor(key, d * size).reshape(d, size)
+                    # scale so the projected output stays unit-RMS for
+                    # unit-RMS inputs (same convention as transforms)
+                    self.context.transforms[key] = init / np.sqrt(d)
 
         if label_col is not None:
             # dimension probe happens via strategy.size on the label path
@@ -225,9 +258,35 @@ class DataframeModeler:
                     rows[i] = vec
                 out += rows
                 caches[ch.path] = vals
+            elif ch.kind == "vector":
+                w = params.get(f"vector/{ch.path}")
+                if w is None:
+                    continue  # no vectors seen at init (empty column)
+                d = w.shape[0]
+                mat = np.zeros((n, d))
+                for i, v in enumerate(col):
+                    if v is None:
+                        continue  # null vector -> zero contribution
+                    a = np.asarray(v, dtype=np.float64)
+                    m = min(d, a.shape[0])
+                    mat[i, :m] = a[:m]  # ragged rows pad/truncate
+                out += mat @ w
+                caches[ch.path] = mat
             else:
+                if ch.dtype == "timestamp":
+                    # epoch seconds — matches Spark CAST(ts AS DOUBLE),
+                    # so executor features use the driver's moments
+                    arr = pd.to_datetime(col).to_numpy(dtype="datetime64[ns]")
+                    nat = np.isnat(arr)
+                    vals_np = arr.astype("int64").astype(np.float64) / 1e9
+                    vals_np[nat] = np.nan
+                else:
+                    vals_np = col.to_numpy(dtype=np.float64)
                 _, mean, std = stats[ch.path]
-                z = (col.to_numpy(dtype=np.float64) - mean) / std
+                z = (vals_np - mean) / std
+                # null numeric -> z=0 (the mean), mirroring the
+                # null-categorical zero-contribution convention
+                z = np.nan_to_num(z, nan=0.0)
                 feats = np.stack([z**i for i in range(mapping_power)], axis=1)  # [1, z, ...]
                 out += feats @ params[f"transform/{ch.path}"]
                 caches[ch.path] = feats
@@ -262,6 +321,8 @@ class DataframeModeler:
                     g = grad_in[idxs].sum(axis=0)
                     prev = grads.get(key)
                     grads[key] = g if prev is None else prev + g
+            elif ch.kind == "vector":
+                grads[f"vector/{ch.path}"] = caches[ch.path].T @ grad_in
             else:
                 feats = caches[ch.path]
                 grads[f"transform/{ch.path}"] = feats.T @ grad_in

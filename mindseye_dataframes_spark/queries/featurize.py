@@ -161,3 +161,30 @@ def q40_featurize_pipeline(spark, sf_dir):
     modeler = DataframeModeler(ModelingStrategy(default_size=8))
     modeler.init_keys(li)
     return modeler.eval_to_dataframe(li, "features")
+
+
+@query(
+    "q65_featurize_temporal_embedding",
+    oracle=None,  # numpy matmul inside mapInPandas — not SQL-expressible
+    tags=("featurize", "parity:type-extension"),
+)
+def q65_featurize_temporal_embedding(spark, sf_dir):
+    """Type-matrix extension end-to-end (SURVEY §1.2): timestamp →
+    epoch-seconds z-score channel (events.ts) joined with an
+    embedding-vector channel (embeddings.embedding → learned affine
+    map), featurized in one pass. Rows-only driver check; channel
+    value semantics covered by tests/test_featurize.py."""
+    from mindseye_dataframes_spark.featurize import DataframeModeler, ModelingStrategy
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type", "value")
+        .filter(F.col("event_id") % 100 < 10)  # bounded slice for the gate
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("event_id"), "embedding"
+    )
+    joined = ev.join(emb, "event_id", "left")
+    modeler = DataframeModeler(ModelingStrategy(default_size=8))
+    modeler.init_keys(joined.drop("event_id"))
+    return modeler.eval_to_dataframe(joined, "features", passthrough=["event_id"])

@@ -210,3 +210,24 @@ def q50_approx_distinct(spark, sf_dir):
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "q63_stratified_sample",
+    oracle=None,  # engine-specific sampling; per-stratum fraction and
+    # seed determinism asserted in tests/test_sampling_catalog.py
+    tags=("sample", "parity:stratified"),
+)
+def q63_stratified_sample(spark, sf_dir):
+    """Stratified (per-group) sampling via ``sampleBy`` — curation
+    pipelines rebalance sources/languages this way. Seeded so the
+    sample is reproducible; fractions up-weight the rare 'R' stratum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sampled = li.sampleBy(
+        "l_returnflag", fractions={"A": 0.05, "N": 0.05, "R": 0.2}, seed=42
+    )
+    return (
+        sampled.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("l_returnflag")
+    )

@@ -184,3 +184,118 @@ def q58_language_id(spark, sf_dir):
         )
         .orderBy("lang", "lang_pred")
     )
+
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, punctuation runs —
+# each optionally preceded by one space (the GPT-2 pre-tokenizer shape,
+# simplified to the character classes both regex engines share).
+_BPE_RE = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+@query(
+    "q61_token_count_bpe",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS ws_tokens,
+             len(regexp_extract_all(text, '{_BPE_RE}')) AS bpe_tokens
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws_tokens) AS BIGINT) AS ws_tokens,
+           CAST(SUM(bpe_tokens) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(bpe_tokens) AS DOUBLE) / CAST(SUM(ws_tokens) AS DOUBLE) AS bpe_per_word
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "parity:token-count"),
+)
+def q61_token_count_bpe(spark, sf_dir):
+    """Token-count estimation for LLM-pipeline budgeting: whitespace
+    tokens vs a BPE-ish regex pre-tokenizer (letter/digit/punct runs
+    with optional leading space). One scan, two JVM-side regex/array
+    expressions, one small group-by — no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.size(tokens("text")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))).alias(
+            "bpe_tokens"
+        ),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").alias("ws_tokens"),
+            F.sum("bpe_tokens").alias("bpe_tokens"),
+            (
+                F.sum("bpe_tokens").cast("double")
+                / F.sum("ws_tokens").cast("double")
+            ).alias("bpe_per_word"),
+        )
+        .orderBy("lang")
+    )
+
+
+# Winnowing (MOSS-style rolling-hash fingerprinting): hash every
+# character k-gram, slide a w-window over the hash sequence, keep each
+# window's minimum — a position-robust document sketch.
+_WIN_K = 8  # k-gram length (characters)
+_WIN_W = 4  # winnowing window (hashes)
+
+
+@query(
+    "q62_winnow_fingerprints",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(length(text) - {_WIN_K - 1}, 1) + 1),
+               i -> md5(substr(text, i, {_WIN_K}))
+             ) AS kg
+      FROM documents
+    ), w AS (
+      SELECT doc_id, kg,
+             list_distinct(list_transform(
+               range(1, greatest(len(kg) - {_WIN_W - 1}, 1) + 1),
+               j -> list_aggregate(kg[j:j+{_WIN_W - 1}], 'min')
+             )) AS fps
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(kg) AS INT) AS n_kgrams,
+           CAST(len(fps) AS INT) AS n_fps,
+           md5(array_to_string(list_sort(fps), ' ')) AS digest
+    FROM w ORDER BY doc_id
+    """,
+    tags=("text", "dedup", "parity:winnowing"),
+)
+def q62_winnow_fingerprints(spark, sf_dir):
+    """Document fingerprinting by winnowing (the rolling-hash scheme
+    behind MOSS): per-row array math only — k-gram hashes, windowed
+    minima, distinct — so it scales linearly with corpus size and
+    never shuffles until a downstream bucket join. The digest column
+    condenses the fingerprint set for exact cross-engine comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    kg = F.expr(
+        f"transform(sequence(1, greatest(length(text) - {_WIN_K - 1}, 1)),"
+        f" i -> md5(substring(text, i, {_WIN_K})))"
+    )
+    t = docs.select("doc_id", kg.alias("kg"))
+    fps = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size(kg) - {_WIN_W - 1}, 1)),"
+            f" j -> array_min(slice(kg, j, {_WIN_W})))"
+        )
+    )
+    return (
+        t.select("doc_id", F.size("kg").alias("n_kgrams"), fps.alias("fps"))
+        .select(
+            "doc_id",
+            "n_kgrams",
+            F.size("fps").alias("n_fps"),
+            F.md5(F.concat_ws(" ", F.array_sort("fps"))).alias("digest"),
+        )
+        .orderBy("doc_id")
+    )

@@ -174,3 +174,32 @@ def q21_first_last(spark, sf_dir):
         .distinct()
         .orderBy("user_id")
     )
+
+
+@query(
+    "q64_analytic_ranks",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           dense_rank()   OVER w AS drank,
+           CAST(percent_rank() OVER w AS DOUBLE) AS prank,
+           CAST(cume_dist()    OVER w AS DOUBLE) AS cdist
+    FROM orders
+    WHERE o_orderkey <= 2000
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderpriority, drank, o_orderkey
+    """,
+    tags=("window", "parity:analytic-ranks"),
+)
+def q64_analytic_ranks(spark, sf_dir):
+    """Remaining analytic rank family: dense_rank / percent_rank /
+    cume_dist — one window per partition key, order made total with
+    the key tiebreak so both engines agree exactly."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.dense_rank().over(w).alias("drank"),
+        F.percent_rank().over(w).cast("double").alias("prank"),
+        F.cume_dist().over(w).cast("double").alias("cdist"),
+    ).orderBy("o_orderpriority", "drank", "o_orderkey")

@@ -208,3 +208,75 @@ def test_hashed_bucket_strategy_caps_dictionary(spark):
         # output is exactly the (possibly shared) user-bucket embedding
         expect = params[strategy.key_for("user", f"user_{i}")]
         assert np.allclose(by_id[i], expect, atol=1e-12)
+
+
+def test_timestamp_channel_epoch_zscore(spark):
+    """Timestamp columns featurize as epoch-seconds z-scores: executor
+    features must reproduce CAST(ts AS DOUBLE) against driver moments."""
+    import numpy as np
+
+    from mindseye_dataframes_spark.featurize import DataframeModeler, ModelingStrategy
+
+    df = spark.createDataFrame(
+        [(0, "2024-01-01 00:00:00"), (1, "2024-01-02 00:00:00"), (2, None)],
+        "rid long, ts string",
+    ).select("rid", F.col("ts").cast("timestamp").alias("ts"))
+    feat = df.select("rid", "ts")
+    modeler = DataframeModeler(ModelingStrategy(default_size=4))
+    modeler.init_keys(feat.drop("rid"))
+    n, mean, std = modeler.context.stats["ts"]
+    assert n == 2  # null excluded from moments
+    epochs = [1704067200.0, 1704153600.0]
+    assert abs(mean - np.mean(epochs)) < 1e-6
+    w = modeler.context.transforms["transform/ts"]
+    out = {
+        r["rid"]: np.array(r["f"])
+        for r in modeler.eval_to_dataframe(feat, "f", passthrough=["rid"]).collect()
+    }
+    for rid, epoch in enumerate(epochs):
+        z = (epoch - mean) / std
+        want = np.array([1.0, z]) @ w
+        assert np.allclose(out[rid], want, atol=1e-9), rid
+    # null timestamp -> z=0 -> bias row only
+    assert np.allclose(out[2], np.array([1.0, 0.0]) @ w, atol=1e-9)
+
+
+def test_vector_channel_affine_and_gradients(spark):
+    """array<double> embedding columns project through a learned
+    [dim x size] map; gradients flow back into it during training."""
+    import numpy as np
+
+    from mindseye_dataframes_spark.featurize import (
+        CategorizingStrategy,
+        DataframeModeler,
+    )
+    from mindseye_dataframes_spark.featurize.layers import mlp
+
+    rows = [
+        (0, [1.0, 0.0, 2.0], "X"),
+        (1, [0.5, 1.5, -1.0], "Y"),
+        (2, None, "X"),
+    ]
+    df = spark.createDataFrame(rows, "rid long, emb array<double>, label string")
+    strategy = CategorizingStrategy(
+        "label", categories=2, value_index={"X": 0, "Y": 1}, default_size=4
+    )
+    modeler = DataframeModeler(strategy)
+    modeler.init_keys(df.drop("rid"), "label")
+    w = modeler.context.transforms["vector/emb"]
+    assert w.shape == (3, 4)
+    out = {
+        r["rid"]: np.array(r["f"])
+        for r in modeler.eval_to_dataframe(
+            df.drop("label"), "f", passthrough=["rid"]
+        ).collect()
+    }
+    assert np.allclose(out[0], np.array([1.0, 0.0, 2.0]) @ w, atol=1e-9)
+    assert np.allclose(out[2], np.zeros(4), atol=1e-12)  # null vector -> zero
+    net = mlp("m", 4, [5], 2)
+    for k, v in net.init_params().items():
+        modeler.context.layers[k] = v
+    loss, grads = modeler.eval(df.drop("rid"), net, "label")
+    assert np.isfinite(loss)
+    assert "vector/emb" in grads and grads["vector/emb"].shape == (3, 4)
+    assert float(np.abs(grads["vector/emb"]).sum()) > 0

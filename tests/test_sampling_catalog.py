@@ -78,3 +78,28 @@ def test_approx_distinct_bounded_error(spark, sf_dir):
         F.countDistinct("l_orderkey").alias("exact"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.1
+
+
+def test_stratified_sample_fractions_and_determinism(spark):
+    from mindseye_dataframes_spark.sources.readers import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    totals = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    fracs = {"A": 0.05, "N": 0.05, "R": 0.2}
+    a = li.sampleBy("l_returnflag", fractions=fracs, seed=42)
+    b = li.sampleBy("l_returnflag", fractions=fracs, seed=42)
+    got_a = {
+        r["l_returnflag"]: r["n"]
+        for r in a.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # same seed → identical sample
+    assert sorted(r["l_orderkey"] for r in a.collect()) == sorted(
+        r["l_orderkey"] for r in b.collect()
+    )
+    # per-stratum rate lands near its target fraction
+    for flag, frac in fracs.items():
+        rate = got_a.get(flag, 0) / totals[flag]
+        assert abs(rate - frac) < 0.35 * frac + 0.01, (flag, rate, frac)
