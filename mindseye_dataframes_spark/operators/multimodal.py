@@ -115,3 +115,90 @@ def frame_sample(df: DataFrame, blob_col: str = "blob", every_n: int = 10) -> Da
     return ensure_min_parallelism(df).mapInPandas(
         sample, schema="frame_index int, frame_md5 string"
     )
+
+
+def resize_image(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Image resize plumbing: emits a resized payload column plus its
+    new metadata. Real kernel (Pillow) when available, else a
+    deterministic fake (content-hash-derived payload of the right
+    conceptual shape) clearly marked. The contract — binary in, binary
+    out, metadata refreshed, one Arrow pass, no shuffle — is real."""
+    keep = [c for c in df.columns if c != blob_col]
+    out_schema = ", ".join(
+        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in keep]
+        + ["resized binary", "resized_meta struct<size_bytes:bigint,content_md5:string,mime:string>"]
+    )
+
+    def resize(batches):
+        try:
+            import io
+
+            from PIL import Image
+
+            def kernel(payload: bytes) -> bytes:
+                img = Image.open(io.BytesIO(payload)).resize((target_w, target_h))
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                return buf.getvalue()
+
+        except ImportError:
+
+            def kernel(payload: bytes) -> bytes:
+                # FAKE: deterministic stand-in payload (hash-expanded to
+                # a size proportional to the target area)
+                seed = hashlib.md5(payload + f"{target_w}x{target_h}".encode()).digest()
+                reps = max(1, (target_w * target_h) // len(seed))
+                return (seed * reps)[: target_w * target_h]
+
+        for pdf in batches:
+            resized = pdf[blob_col].map(
+                lambda b: kernel(bytes(b) if b is not None else b"")
+            )
+            out = pdf[keep].copy()
+            out["resized"] = resized
+            out["resized_meta"] = resized.map(
+                lambda b: {
+                    "size_bytes": len(b),
+                    "content_md5": hashlib.md5(b).hexdigest(),
+                    "mime": "image/png",
+                }
+            )
+            yield out
+
+    return ensure_min_parallelism(df).mapInPandas(resize, schema=out_schema)
+
+
+def audio_features(
+    df: DataFrame, blob_col: str = "blob", n_coeffs: int = 8
+) -> DataFrame:
+    """Audio feature-extraction plumbing (STUB kernel): emits
+    (duration_sec, sample_rate, coeffs[n]) per payload — the MFCC-ish
+    shape a real librosa/torchaudio kernel would fill. Deterministic
+    fake derived from the content hash; schema, batching, and
+    partitioning are the real contract."""
+    keep = [c for c in df.columns if c != blob_col]
+    out_schema = ", ".join(
+        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in keep]
+        + ["duration_sec double, sample_rate int, coeffs array<double>"]
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            out = pdf[keep].copy()
+            payloads = pdf[blob_col].map(lambda b: bytes(b) if b is not None else b"")
+            digests = payloads.map(lambda p: hashlib.md5(p).digest())
+            out["duration_sec"] = [
+                round(0.5 + d[3] / 8.0, 3) for d in digests
+            ]
+            out["sample_rate"] = [16000 if d[4] % 2 else 44100 for d in digests]
+            out["coeffs"] = [
+                [(d[i % 16] - 128) / 128.0 for i in range(n_coeffs)] for d in digests
+            ]
+            yield out
+
+    return ensure_min_parallelism(df).mapInPandas(extract, schema=out_schema)

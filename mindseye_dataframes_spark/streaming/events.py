@@ -153,3 +153,16 @@ def user_running_totals(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of
+    ``operators.dedup.dedup_exact``: keeps the first arrival of each
+    key, with ``dropDuplicatesWithinWatermark`` so the key-store is
+    bounded by the watermark horizon instead of growing forever (the
+    only sane contract for an unbounded 100 TB/day stream)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

@@ -51,3 +51,35 @@ def test_frame_sample_stub(spark, sf_dir):
     rows = out.collect()
     assert len(rows) > 0
     assert all(r["frame_index"] % 7 == 0 for r in rows)
+
+
+def test_resize_image_stub(spark, sf_dir):
+    from mindseye_dataframes_spark.operators.multimodal import resize_image
+
+    df = _blob_df(spark, sf_dir)
+    out = resize_image(df.select("doc_id", "blob"), 32, 16).orderBy("doc_id")
+    rows = out.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["resized"] is not None and len(r["resized"]) > 0
+        assert r["resized_meta"]["size_bytes"] == len(r["resized"])
+        assert r["resized_meta"]["mime"] == "image/png"
+    # deterministic kernel
+    again = resize_image(df.select("doc_id", "blob"), 32, 16).orderBy("doc_id").collect()
+    assert [r["resized_meta"]["content_md5"] for r in rows] == [
+        r["resized_meta"]["content_md5"] for r in again
+    ]
+
+
+def test_audio_features_stub(spark, sf_dir):
+    from mindseye_dataframes_spark.operators.multimodal import audio_features
+
+    df = _blob_df(spark, sf_dir)
+    out = audio_features(df.select("doc_id", "blob"), n_coeffs=6).orderBy("doc_id")
+    rows = out.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert 0.5 <= r["duration_sec"] <= 32.5
+        assert r["sample_rate"] in (16000, 44100)
+        assert len(r["coeffs"]) == 6
+        assert all(-1.0 <= c <= 1.0 for c in r["coeffs"])

@@ -80,3 +80,55 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q22_asof_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
+    """Two tables bucketed by the join key (same count) must sort-merge
+    join with ZERO shuffle exchanges — the co-located-join layout that
+    removes the dominant per-query shuffle at 100 TB."""
+    from mindseye_dataframes_spark.sources.bucketing import read_table, write_bucketed
+    from mindseye_dataframes_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(orders, "t_orders_b", ["o_orderkey"], 8)
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "t_lineitem_b",
+        ["o_orderkey"],
+        8,
+    )
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = read_table(spark, "t_lineitem_b").join(
+                read_table(spark, "t_orders_b"), "o_orderkey"
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            # and it actually runs
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_ivf_probe_join_broadcasts_queries(spark, sf_dir):
+    """q60: the probe side (queries x n_probe cells) must broadcast —
+    the corpus never shuffles for an ANN lookup."""
+    plan = plan_of(spark, sf_dir, "q60_ann_ivf_topk")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lang_id_is_single_aggregate(spark, sf_dir):
+    """q58: language-ID is scan → partial agg → one exchange → final
+    agg; no join, no extra shuffle from the scoring expressions."""
+    plan = plan_of(spark, sf_dir, "q58_language_id")
+    assert "Join" not in plan
+    # exactly one shuffle for the groupBy (plus the orderBy range
+    # exchange at the sink — tolerated); never more
+    assert plan.count("Exchange hashpartitioning") <= 1

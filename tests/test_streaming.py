@@ -98,3 +98,18 @@ def test_stateful_running_totals_across_batches(spark, events_dir):
         assert abs(row["sum_value"] - batch[uid]["s"]) < 1e-6
     # at least one user must have been updated in more than one trigger
     assert len(updates) > len(final)
+
+
+def test_stream_dedup_within_watermark(spark, events_dir, tmp_path):
+    """Duplicated input collapses back to one row per key."""
+    from mindseye_dataframes_spark.streaming.events import dedup_stream
+
+    doubled_dir = str(tmp_path / "doubled")
+    base = spark.read.parquet(events_dir)
+    base.unionAll(base).repartition(4).write.mode("overwrite").parquet(doubled_dir)
+    stream = read_event_stream(spark, doubled_dir)
+    result = run_bounded(
+        dedup_stream(stream, ["event_id"]), "t_dedup", output_mode="append"
+    )
+    assert result.count() == base.count()
+    assert result.select("event_id").distinct().count() == base.count()
