@@ -122,12 +122,17 @@ def resize_image(
     target_w: int,
     target_h: int,
     blob_col: str = "blob",
+    kernel: str = "auto",
 ) -> DataFrame:
     """Image resize plumbing: emits a resized payload column plus its
     new metadata. Real kernel (Pillow) when available, else a
     deterministic fake (content-hash-derived payload of the right
     conceptual shape) clearly marked. The contract — binary in, binary
-    out, metadata refreshed, one Arrow pass, no shuffle — is real."""
+    out, metadata refreshed, one Arrow pass, no shuffle — is real.
+
+    ``kernel``: "auto" (Pillow if importable, else fake), "fake"
+    (always the deterministic stand-in — used by the oracle-checked
+    query so its values don't depend on library availability)."""
     keep = [c for c in df.columns if c != blob_col]
     out_schema = ", ".join(
         [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in keep]
@@ -135,29 +140,32 @@ def resize_image(
     )
 
     def resize(batches):
-        try:
-            import io
+        def fake_kernel(payload: bytes) -> bytes:
+            # FAKE: deterministic stand-in payload (hash-expanded to
+            # a size proportional to the target area)
+            seed = hashlib.md5(payload + f"{target_w}x{target_h}".encode()).digest()
+            reps = max(1, (target_w * target_h) // len(seed))
+            return (seed * reps)[: target_w * target_h]
 
-            from PIL import Image
+        run_kernel = fake_kernel
+        if kernel == "auto":
+            try:
+                import io
 
-            def kernel(payload: bytes) -> bytes:
-                img = Image.open(io.BytesIO(payload)).resize((target_w, target_h))
-                buf = io.BytesIO()
-                img.save(buf, format="PNG")
-                return buf.getvalue()
+                from PIL import Image
 
-        except ImportError:
+                def run_kernel(payload: bytes) -> bytes:
+                    img = Image.open(io.BytesIO(payload)).resize((target_w, target_h))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    return buf.getvalue()
 
-            def kernel(payload: bytes) -> bytes:
-                # FAKE: deterministic stand-in payload (hash-expanded to
-                # a size proportional to the target area)
-                seed = hashlib.md5(payload + f"{target_w}x{target_h}".encode()).digest()
-                reps = max(1, (target_w * target_h) // len(seed))
-                return (seed * reps)[: target_w * target_h]
+            except ImportError:
+                pass
 
         for pdf in batches:
             resized = pdf[blob_col].map(
-                lambda b: kernel(bytes(b) if b is not None else b"")
+                lambda b: run_kernel(bytes(b) if b is not None else b"")
             )
             out = pdf[keep].copy()
             out["resized"] = resized

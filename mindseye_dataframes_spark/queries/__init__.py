@@ -28,6 +28,9 @@ _MODULES = (
     "suppliers",
     "pipeline",
     "pivot",
+    "sources_formats",
+    "subqueries",
+    "maps_stats",
 )
 _loaded = False
 

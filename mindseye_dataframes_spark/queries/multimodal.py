@@ -7,7 +7,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mindseye_dataframes_spark.operators.multimodal import decode_image, pack_blob
+from mindseye_dataframes_spark.operators.multimodal import (
+    audio_features,
+    decode_image,
+    pack_blob,
+    resize_image,
+)
 from mindseye_dataframes_spark.queries.registry import query
 from mindseye_dataframes_spark.sources.readers import load_table
 
@@ -51,3 +56,64 @@ def q42_image_decode_features(spark, sf_dir):
     )
     packed = pack_blob(docs, "payload", mime="image/fake")
     return decode_image(packed.select("doc_id", "blob"), "blob").orderBy("doc_id")
+
+
+# The fake resize kernel emits md5(payload || 'WxH') repeated to fill
+# w*h bytes, so the payload's leading 16 bytes ARE that digest — DuckDB
+# can value-check the emitted binary end-to-end, not just its shape.
+@query(
+    "q66_image_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(512 AS BIGINT) AS size_bytes,
+           md5(text || '32x16') AS head_md5,
+           'image/png' AS mime
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "parity:resize"),
+)
+def q66_image_resize(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "utf-8")
+    )
+    packed = pack_blob(docs, "payload", mime="image/fake")
+    resized = resize_image(packed.select("doc_id", "blob"), 32, 16, kernel="fake")
+    return resized.select(
+        "doc_id",
+        F.col("resized_meta.size_bytes").alias("size_bytes"),
+        F.lower(F.hex(F.expr("substring(resized, 1, 16)"))).alias("head_md5"),
+        F.col("resized_meta.mime").alias("mime"),
+    ).orderBy("doc_id")
+
+
+# The audio stub derives every feature from md5(payload) bytes; DuckDB
+# re-derives the same bytes from md5(text) hex chars, so duration,
+# sample rate, and the coefficient vector are all value-checked.
+_HEXBYTE = (
+    "((strpos('0123456789abcdef', substr(hx, {hi}, 1))-1)*16"
+    " + strpos('0123456789abcdef', substr(hx, {lo}, 1))-1)"
+)
+
+
+@query(
+    "q67_audio_features",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
+    SELECT doc_id,
+           round(0.5 + {_HEXBYTE.format(hi=7, lo=8)} / 8.0, 3) AS duration_sec,
+           CASE WHEN {_HEXBYTE.format(hi=9, lo=10)} % 2 = 1
+                THEN 16000 ELSE 44100 END AS sample_rate,
+           list_transform(range(0, 4), i ->
+               ({_HEXBYTE.format(hi='2*i+1', lo='2*i+2')} - 128) / 128.0) AS coeffs
+    FROM h
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "parity:audio"),
+)
+def q67_audio_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "utf-8")
+    )
+    packed = pack_blob(docs, "payload", mime="audio/fake")
+    return audio_features(packed.select("doc_id", "blob"), n_coeffs=4).orderBy("doc_id")

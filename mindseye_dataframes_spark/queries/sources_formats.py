@@ -1,0 +1,73 @@
+"""Source-format queries: CSV and JSON scans + sinks (SURVEY §2B
+"file formats beyond Parquet").
+
+Each query round-trips a testdata table through the format and reads
+it back with an explicit schema (no inference pass), so the oracle —
+DuckDB over the original parquet — value-checks writer and reader
+together. Types chosen to be format-exact: ints/strings for CSV;
+JSON adds a double column (Jackson emits shortest-roundtrip doubles,
+so read-back is bit-exact).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from mindseye_dataframes_spark.queries.registry import query
+from mindseye_dataframes_spark.sources.readers import load_table, read_csv, read_json
+from mindseye_dataframes_spark.sources.sinks import write_csv, write_json, write_orc
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(tempfile.gettempdir(), "msdf_roundtrip", tag, name)
+
+
+@query(
+    "q68_csv_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    tags=("sources", "parity:csv"),
+)
+def q68_csv_roundtrip(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    path = _scratch(sf_dir, "nation_csv")
+    write_csv(nation, path)
+    return read_csv(spark, path, header=True, schema=nation.schema).orderBy(
+        "n_nationkey"
+    )
+
+
+@query(
+    "q69_json_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier ORDER BY s_suppkey
+    """,
+    tags=("sources", "parity:json"),
+)
+def q69_json_roundtrip(spark, sf_dir):
+    supplier = load_table(spark, sf_dir, "supplier")
+    path = _scratch(sf_dir, "supplier_json")
+    write_json(supplier, path)
+    return read_json(spark, path, schema=supplier.schema).orderBy("s_suppkey")
+
+
+@query(
+    "q72_orc_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM orders ORDER BY o_orderkey
+    """,
+    tags=("sources", "parity:orc"),
+)
+def q72_orc_roundtrip(spark, sf_dir):
+    """ORC sink + scan (columnar like parquet: pushdown/pruning apply).
+    Doubles and timestamps round-trip bit-exact through ORC's typed
+    columns — no text formatting involved."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    path = _scratch(sf_dir, "orders_orc")
+    write_orc(orders, path)
+    return spark.read.schema(orders.schema).orc(path).orderBy("o_orderkey")

@@ -35,8 +35,10 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_csv(
-    spark: SparkSession, path: str, header: bool = True, schema: str | None = None
+    spark: SparkSession, path: str, header: bool = True, schema=None
 ) -> DataFrame:
+    """Schema may be a DDL string or a StructType; None → infer (an
+    extra pass — always pass the schema on large inputs)."""
     reader = spark.read.option("header", str(header).lower())
     if schema is not None:
         reader = reader.schema(schema)
@@ -45,7 +47,7 @@ def read_csv(
     return reader.csv(path)
 
 
-def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)

@@ -25,3 +25,17 @@ def write_parquet(
 def write_noop(df: DataFrame) -> None:
     """Execute the full plan, discard output (benchmark sink)."""
     df.write.format("noop").mode("overwrite").save()
+
+
+def write_csv(
+    df: DataFrame, path: str, mode: str = "overwrite", header: bool = True
+) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)

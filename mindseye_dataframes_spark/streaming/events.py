@@ -166,3 +166,13 @@ def dedup_stream(
     bounded by the watermark horizon instead of growing forever (the
     only sane contract for an unbounded 100 TB/day stream)."""
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def enrich_stream(stream: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static join: enrich each event with a static dimension
+    row. Spark plans the static side as a broadcast re-resolved per
+    micro-batch, so the stream never shuffles — the standard pattern
+    for joining a 100 TB/day stream against a small/medium dim table
+    (for a huge dim, switch the static side to a stream and use a
+    watermarked stream-stream join)."""
+    return stream.join(F.broadcast(dim), on, "left")

@@ -132,3 +132,14 @@ def test_lang_id_is_single_aggregate(spark, sf_dir):
     # exactly one shuffle for the groupBy (plus the orderBy range
     # exchange at the sink — tolerated); never more
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_scalar_subquery_decorrelated(spark, sf_dir):
+    """q70: Catalyst must decorrelate the per-row scalar subqueries
+    into per-brand aggregates joined back (broadcast — brand
+    cardinality is tiny at any scale); a correlated re-execution or
+    nested-loop shape would be quadratic at 100 TB."""
+    plan = plan_of(spark, sf_dir, "q70_scalar_subquery")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -113,3 +113,25 @@ def test_stream_dedup_within_watermark(spark, events_dir, tmp_path):
     )
     assert result.count() == base.count()
     assert result.select("event_id").distinct().count() == base.count()
+
+
+def test_stream_static_enrichment(spark, events_dir, sf_dir):
+    """Stream-static broadcast join matches the same join run in batch."""
+    from mindseye_dataframes_spark.sources.readers import load_table
+    from mindseye_dataframes_spark.streaming.events import enrich_stream
+
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .selectExpr("c_custkey AS user_id", "c_name", "c_nationkey")
+    )
+    stream = read_event_stream(spark, events_dir)
+    result = run_bounded(
+        enrich_stream(stream, dim), "t_enrich", output_mode="append"
+    )
+    batch = spark.read.parquet(events_dir).join(dim, "user_id", "left")
+    assert result.count() == batch.count()
+    # every matched event carries the dim columns
+    assert (
+        result.filter("c_name IS NULL").count()
+        == batch.filter("c_name IS NULL").count()
+    )
