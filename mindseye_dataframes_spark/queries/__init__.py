@@ -31,6 +31,7 @@ _MODULES = (
     "sources_formats",
     "subqueries",
     "maps_stats",
+    "curation",
 )
 _loaded = False
 
