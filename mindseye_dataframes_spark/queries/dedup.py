@@ -177,3 +177,64 @@ def q34_embedding_near_dup(spark, sf_dir):
         .filter(F.col("cos_r") >= 0.4)
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "q77_dup_clusters",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) >= 3
+                  THEN list_distinct(list_transform(range(1, len(string_split(text, ' '))-1),
+                       i -> concat_ws(' ', string_split(text, ' ')[i], string_split(text, ' ')[i+1], string_split(text, ' ')[i+2])))
+                  ELSE [text] END AS t
+      FROM documents
+    ), sigs AS (
+      SELECT doc_id,
+             list_transform(range(0, 16), i ->
+               list_aggregate(list_transform(t, s -> md5(concat(i, ':', s))), 'min')) AS sig
+      FROM toks
+    ), buckets AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, 4), j ->
+               concat(j, ':', md5(array_to_string(sig[j*4+1 : j*4+4], ','))))) AS band_key
+      FROM sigs
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b USING (band_key)
+      WHERE a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM cands
+      JOIN toks ta ON ta.doc_id = id_a
+      JOIN toks tb ON tb.doc_id = id_b
+      WHERE CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
+              / CAST(len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t)) AS DOUBLE) >= 0.5
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(s, d) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    )
+    SELECT s AS doc_id, MIN(d) AS cluster_id FROM reach GROUP BY s ORDER BY doc_id
+    """,
+    tags=("dedup", "iterative", "parity:connected-components"),
+)
+def q77_dup_clusters(spark, sf_dir):
+    """Transitive-closure dedup clusters: every doc in a verified
+    near-dup pair (same pairs as q32) labeled with the min doc id of
+    its connected component — the unit curation actually deletes by.
+    Spark side is iterative min-label propagation
+    (`operators/components.py`); oracle is a recursive-CTE reachability
+    closure over the identical pair relation."""
+    from mindseye_dataframes_spark.operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_verified_pairs(docs, "text", "doc_id", threshold=0.5)
+    return (
+        connected_components(
+            pairs, out_node="doc_id", out_component="cluster_id"
+        ).orderBy("doc_id")
+    )
