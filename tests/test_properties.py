@@ -133,3 +133,18 @@ def test_ivf_recall_vs_exact(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_connected_components_chain_transitivity(spark):
+    """A-B, B-C, plus an isolated pair D-E: closure must label A,B,C
+    with min(A) even though A and C share no edge, and keep D,E apart."""
+    from mindseye_dataframes_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        (r["node_id"], r["component_id"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
