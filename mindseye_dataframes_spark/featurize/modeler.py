@@ -94,6 +94,23 @@ class DataframeModeler:
         self.strategy = strategy
         self.context = context or ModelContext()
         self.root = root
+        # broadcasts created by eval_to_dataframe stay alive while the
+        # (lazy) result DataFrame is unconsumed; they are released on
+        # the next call or via release_broadcasts() (unpersist, not
+        # destroy — a re-used broadcast re-ships lazily from the driver)
+        self._live_broadcasts: list = []
+
+    def release_broadcasts(self) -> None:
+        """Drop executor copies of broadcasts from earlier
+        ``eval_to_dataframe`` calls. Called automatically at the start
+        of each new inference call so repeated inference on a
+        long-lived session doesn't accumulate broadcast blocks."""
+        for bc in self._live_broadcasts:
+            try:
+                bc.unpersist()
+            except Exception:
+                pass  # session already stopped
+        self._live_broadcasts.clear()
 
     # -- schema recursion (P5 / F1-F3) ---------------------------------
     def channels(self, schema: T.StructType, path: str | None = None, col: str = "") -> list[Channel]:
@@ -338,16 +355,37 @@ class DataframeModeler:
 
     # -- M1: batch inference ------------------------------------------
     def eval_to_dataframe(
-        self, df: DataFrame, name: str = "features", network: Network | None = None,
+        self, df: DataFrame | list[DataFrame], name: str = "features",
+        network: Network | None = None,
         label_col: str | None = None, passthrough: list[str] | None = None,
+        order_keys: list[list[str]] | None = None,
     ) -> DataFrame:
         """Featurize (plus optional network forward) into a new column
         ``name: array<double>`` (`ModelingStrategy.scala:167-186`).
+
+        ``df`` may be a LIST of DataFrames — the reference's N-ary
+        signature (`DataframeModeler.scala:48-50`): the frames are
+        positionally zipped (`:246-258`) before featurization, which
+        on an unordered relation requires one explicit unique
+        ``order_keys`` list per frame (SURVEY §7.3 risk 1).
 
         ``passthrough`` columns are excluded from featurization and
         copied into the output unchanged — the keyed alternative to
         the reference's positional zip of results back onto inputs.
         """
+        if isinstance(df, (list, tuple)):
+            from mindseye_dataframes_spark.operators.zip_frames import zip_frames
+
+            if len(df) == 1:
+                df = df[0]
+            else:
+                if order_keys is None:
+                    raise ValueError(
+                        "zipping multiple frames needs one order_keys list per "
+                        "frame: DataFrames are unordered (SURVEY §7.3 risk 1)"
+                    )
+                df = zip_frames(list(df), order_keys)
+        self.release_broadcasts()
         passthrough = passthrough or []
         chans = self.channels(
             T.StructType([f for f in df.schema.fields if f.name not in passthrough])
@@ -368,6 +406,7 @@ class DataframeModeler:
                 self.strategy,
             )
         )
+        self._live_broadcasts.append(bc)
 
         featurize = DataframeModeler._featurize
 

@@ -168,6 +168,49 @@ def q40_featurize_pipeline(spark, sf_dir):
 
 
 @query(
+    "q78_eval_identity",
+    oracle=f"""
+    WITH m AS ({_MOMENTS})
+    SELECT l_orderkey, l_linenumber,
+           (l_quantity - m.mean_q) / m.std_q
+             + CASE l_returnflag WHEN 'A' THEN 10.0 WHEN 'N' THEN 20.0
+                                 ELSE 30.0 END AS feat
+    FROM lineitem, m
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("featurize", "parity:M1,F1,F2,F3"),
+)
+def q78_eval_identity(spark, sf_dir):
+    """M1 batch inference (`ModelingStrategy.scala:167-186`) made
+    SQL-checkable: run the REAL ``eval_to_dataframe`` path (broadcast
+    params → Arrow mapInPandas → featurize → array<double> column) with
+    a degenerate pinned configuration — numeric transform [[0],[1]]
+    makes the z-score channel an identity, and the categorical
+    embeddings are pinned scalars — so the summed feature equals a
+    plain SQL expression over the exact-decimal moments."""
+    import numpy as np
+
+    from mindseye_dataframes_spark.featurize import DataframeModeler, ModelingStrategy
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    modeler = DataframeModeler(ModelingStrategy(default_size=1))
+    modeler.init_keys(li.select("l_quantity", "l_returnflag"))
+    modeler.context.transforms["transform/l_quantity"] = np.array([[0.0], [1.0]])
+    for v, c in (("A", 10.0), ("N", 20.0), ("R", 30.0)):
+        modeler.context.representations[f"l_returnflag={v}"] = np.array([c])
+    out = modeler.eval_to_dataframe(
+        li, "features", passthrough=["l_orderkey", "l_linenumber"]
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at("features", 1).alias("feat"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
     "q65_featurize_temporal_embedding",
     oracle=None,  # numpy matmul inside mapInPandas — not SQL-expressible
     tags=("featurize", "parity:type-extension"),

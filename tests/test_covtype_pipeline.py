@@ -76,6 +76,39 @@ def test_staging_view_schema(spark, covtype_staged):
     assert covtype_staged.count() == 3000
 
 
+def test_nary_eval_to_dataframe(spark):
+    """The reference's N-ary façade (`DataframeModeler.scala:48-50`):
+    eval_to_dataframe over a LIST of frames positionally zips them
+    (`:246-258`) before featurization. Equivalent to featurizing the
+    keyed join, row for row."""
+    from mindseye_dataframes_spark.featurize import ModelingStrategy
+
+    a = spark.range(300).select(
+        F.col("id").alias("ka"), (F.col("id") % 7).cast("double").alias("x")
+    )
+    b = spark.range(300).select(
+        F.col("id").alias("kb"), (F.col("id") % 3).cast("string").alias("c")
+    )
+    modeler = DataframeModeler(ModelingStrategy(default_size=4))
+    joined = a.join(b, F.col("ka") == F.col("kb")).select("ka", "x", "c")
+    modeler.init_keys(joined.drop("ka"))
+
+    nary = modeler.eval_to_dataframe(
+        [a, b],
+        "features",
+        passthrough=["ka", "kb"],
+        order_keys=[["ka"], ["kb"]],
+    )
+    single = modeler.eval_to_dataframe(joined, "features", passthrough=["ka"])
+    got = {r["ka"]: r["features"] for r in nary.collect()}
+    want = {r["ka"]: r["features"] for r in single.collect()}
+    assert len(got) == 300
+    assert got == want
+
+    with pytest.raises(ValueError, match="order_keys"):
+        modeler.eval_to_dataframe([a, b], "features")
+
+
 def test_covtype_training_and_zip_preview(spark, covtype_staged):
     strategy = CategorizingStrategy(
         "Cover_Type", categories=LABELS, base=1, default_size=10
