@@ -433,19 +433,30 @@ class DataframeModeler:
 
     # -- M2: distributed forward+backward ------------------------------
     def eval(
-        self, df: DataFrame, network: Network, label_col: str
+        self, df: DataFrame, network: Network, label_col: str,
+        loss_only: bool = False,
+        params_override: dict[str, np.ndarray] | None = None,
     ) -> tuple[float, dict[str, np.ndarray]]:
         """One distributed forward+backward pass: returns (mean loss,
         gradients by param key). Per-partition partial gradients are
         merged by a distributed groupBy-key array sum; only final
-        per-key gradients reach the driver."""
+        per-key gradients reach the driver.
+
+        ``loss_only`` skips the backward pass and gradient shuffle — the
+        cheap forward probe the bisection line search runs several times
+        per optimizer step. ``params_override`` evaluates a trial
+        parameter set without mutating the context."""
         chans = self.channels(df.schema)
         label_chan = next(c for c in chans if c.col == label_col)
         skip = {label_chan.path}
         spark = df.sparkSession
+        eval_params = (
+            params_override if params_override is not None
+            else self.context.all_params()
+        )
         bc = spark.sparkContext.broadcast(
             (
-                self.context.all_params(),
+                eval_params,
                 self.context.stats,
                 chans,
                 self.strategy.default_size,
@@ -454,13 +465,14 @@ class DataframeModeler:
                 network,
                 label_chan,
                 self.strategy,
+                loss_only,
             )
         )
         featurize = DataframeModeler._featurize
         route = DataframeModeler._route_feature_grads
 
         def fwd_bwd(batches):
-            params, stats, chans_b, size, power, skip_b, net, lchan, strat = bc.value
+            params, stats, chans_b, size, power, skip_b, net, lchan, strat, fwd_only = bc.value
             acc: dict[str, np.ndarray] = {}
             loss_sum, n_rows = 0.0, 0
             for pdf in batches:
@@ -487,9 +499,15 @@ class DataframeModeler:
                             vec if vec is not None else strat.initial_representation(key)
                         )
                 target = np.stack([table[v] for v in labels])
+                w = len(pdf)
+                if fwd_only:
+                    logits, _ = net.forward(params, x)
+                    loss, _, _ = net.head.forward_loss(logits, target)
+                    loss_sum += loss * w
+                    n_rows += w
+                    continue
                 loss, grads, grad_x = net.loss_and_grads(params, x, target)
                 grads.update(route(grad_x, chans_b, caches, skip_b, strat))
-                w = len(pdf)
                 loss_sum += loss * w
                 n_rows += w
                 # loss_and_grads returns batch-MEAN gradients; convert
@@ -525,7 +543,7 @@ class DataframeModeler:
         )
         loss_total, n_total = 0.0, 0
         grads: dict[str, np.ndarray] = {}
-        params = self.context.all_params()
+        params = eval_params
         for row in merged.collect():
             if row["key"] == LOSS_KEY:
                 loss_total, n_total = row["loss"], row["n"]
@@ -540,6 +558,56 @@ class DataframeModeler:
         return (loss_total / n_total, grads)
 
     # -- M3/M4: training loop ------------------------------------------
+    def _line_search(
+        self,
+        batch: DataFrame,
+        network: Network,
+        label_col: str,
+        grads: dict[str, np.ndarray],
+        f0: float,
+        t0: float,
+        max_probes: int = 3,
+    ) -> float:
+        """Bisection line search over the step size (the reference's
+        ``BisectionSearch``, `Trainer.scala:68-69,183-184`): ≥2
+        loss-only distributed probes per optimizer step, each a forward
+        pass over the SAME persisted batch (the probe cache — the
+        featurized tensors themselves cannot be reused across probes
+        because trial parameters change the featurization). Expands the
+        step while the loss improves, halves it while it regresses;
+        returns the best improving step, or 0.0 when none was found."""
+        base = self.context.all_params()
+        frozen = self.context.frozen
+
+        def probe(t: float) -> float:
+            trial = dict(base)
+            for k, g in grads.items():
+                if k in trial and k not in frozen:
+                    trial[k] = trial[k] - t * g
+            loss, _ = self.eval(
+                batch, network, label_col, loss_only=True, params_override=trial
+            )
+            return loss
+
+        probes: list[tuple[float, float]] = [(t0, probe(t0))]
+        if probes[-1][1] < f0:
+            while len(probes) < max(2, max_probes):
+                t_next = probes[-1][0] * 2.0
+                f_next = probe(t_next)
+                probes.append((t_next, f_next))
+                if f_next >= probes[-2][1]:
+                    break
+        else:
+            while len(probes) < max(2, max_probes):
+                t_next = probes[-1][0] / 2.0
+                f_next = probe(t_next)
+                probes.append((t_next, f_next))
+                if f_next < f0:
+                    break
+        self.probe_history.append(len(probes))
+        best_t, best_f = min(probes, key=lambda p: p[1])
+        return best_t if best_f < f0 else 0.0
+
     def fit(
         self,
         df: DataFrame,
@@ -550,39 +618,44 @@ class DataframeModeler:
         lr: float = 0.1,
         seed: int = 42,
         line_search: bool = True,
+        max_probes: int = 3,
         verbose: bool = False,
     ) -> list[float]:
         """Epoch schedule over sample fractions with gradient descent
-        and learning-rate halving on in-epoch loss regression — a
-        simplified backtracking stand-in for the reference's bisection
-        line search (`Trainer.scala:68-71,170-193`). Seeded sampling —
-        the reference left it unseeded (SURVEY §7.3 risk 4)."""
+        and a bisection line search per step, mirroring the reference's
+        ``GradientDescent`` + ``BisectionSearch``
+        (`Trainer.scala:68-71,170-193`). Each epoch's sampled batch is
+        persisted once (MEMORY_ONLY serialized, the reference's working
+        tier `Trainer.scala:174`) and shared by the gradient pass and
+        every line-search probe. Seeded sampling — the reference left
+        it unseeded (SURVEY §7.3 risk 4). Within an epoch the loss is
+        monotone non-increasing: a step is taken only when a probe
+        confirmed it improves the (deterministic) batch loss."""
+        from mindseye_dataframes_spark.sources.staging import stage
+
         if not self.context.representations and not self.context.stats:
             self.init_keys(df, label_col)
         for key, arr in network.init_params().items():
             self.context.layers.setdefault(key, arr)
         losses: list[float] = []
+        self.probe_history: list[int] = []
         for epoch, fraction in enumerate(fractions):
             batch = df.sample(fraction=min(fraction, 1.0), seed=seed + epoch)
-            batch = batch.persist()
+            batch = stage(batch, "working")
             try:
-                step_lr = lr
-                epoch_losses: list[float] = []
+                step = lr
                 for _ in range(max_iters):
                     loss, grads = self.eval(batch, network, label_col)
-                    epoch_losses.append(loss)
                     losses.append(loss)
                     if verbose:
                         print(f"epoch {epoch} fraction {fraction} loss {loss:.5f}")
-                    # compare within the epoch only — across epochs the
-                    # sample fraction changes and losses aren't comparable
-                    if (
-                        line_search
-                        and len(epoch_losses) >= 2
-                        and epoch_losses[-1] > epoch_losses[-2]
-                    ):
-                        step_lr /= 2  # halve on regression
-                    self.context.apply_gradients(grads, step_lr)
+                    if line_search:
+                        step = self._line_search(
+                            batch, network, label_col, grads, loss, step, max_probes
+                        )
+                        if step == 0.0:
+                            break  # no improving step on this batch
+                    self.context.apply_gradients(grads, step)
             finally:
                 batch.unpersist()
         return losses

@@ -1,0 +1,48 @@
+"""Storage-tier staging (SURVEY §4.2): the reference pins each
+pipeline stage to an explicit storage tier — raw scans DISK_ONLY
+(`Trainer.scala:94`: big, cold, read a handful of times), working sets
+MEMORY_ONLY_SER (`Trainer.scala:142`: compact serialized rows, hot),
+per-epoch training batches MEMORY_ONLY_SER persisted/unpersisted per
+epoch (`Trainer.scala:174,190`).
+
+PySpark note: ``StorageLevel.MEMORY_ONLY`` here IS the serialized
+variant (deserialized=False), i.e. Scala's MEMORY_ONLY_SER — PySpark
+dropped the ``_SER`` aliases because Python-side data is always
+serialized. ``MEMORY_AND_DISK`` is offered as the lenient tier for
+intermediates that are expensive to recompute but must never OOM.
+
+At 100 TB the tier choice is the difference between an epoch that
+re-reads the lake and one that reads executor memory: raw inputs don't
+fit in cluster RAM (disk tier), working sets are sized by the sample
+fraction to fit serialized (memory tier), and anything else should
+not be pinned at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+# tier name → storage level (reference call sites cited above)
+TIERS: dict[str, StorageLevel] = {
+    "raw": StorageLevel.DISK_ONLY,           # Trainer.scala:94
+    "working": StorageLevel.MEMORY_ONLY,     # = MEMORY_ONLY_SER; Trainer.scala:142,174
+    "intermediate": StorageLevel.MEMORY_AND_DISK,
+}
+
+
+def stage(df: DataFrame, tier: str = "working") -> DataFrame:
+    """Persist ``df`` at the named tier. Returns the same DataFrame so
+    call sites can chain; free with ``df.unpersist()`` (the reference
+    unpersists per-epoch batches, `Trainer.scala:190`)."""
+    try:
+        level = TIERS[tier]
+    except KeyError:
+        raise ValueError(f"unknown tier {tier!r}; one of {sorted(TIERS)}") from None
+    return df.persist(level)
+
+
+def storage_level_of(df: DataFrame) -> StorageLevel:
+    """Current storage level (useMemory=False and useDisk=False when
+    the frame is not persisted)."""
+    return df.storageLevel

@@ -110,6 +110,12 @@ def test_nary_eval_to_dataframe(spark):
 
 
 def test_covtype_training_and_zip_preview(spark, covtype_staged):
+    from mindseye_dataframes_spark.sources.staging import TIERS, stage
+
+    # raw staging tier pinned DISK_ONLY like `Trainer.scala:94`
+    raw = stage(covtype_staged, "raw")
+    assert raw.storageLevel == TIERS["raw"]
+
     strategy = CategorizingStrategy(
         "Cover_Type", categories=LABELS, base=1, default_size=10
     )
@@ -117,9 +123,16 @@ def test_covtype_training_and_zip_preview(spark, covtype_staged):
     net = mlp("covtype", 10, [20], LABELS)
 
     losses = modeler.fit(
-        covtype_staged, net, "Cover_Type", fractions=[0.3], max_iters=4, lr=0.3, seed=5
+        raw, net, "Cover_Type", fractions=[0.3], max_iters=4, lr=0.3, seed=5
     )
+    raw.unpersist()
     assert losses[-1] < losses[0], losses
+    # bisection line search (`Trainer.scala:68-69,183-184`): ≥2
+    # distributed probes per optimizer step, and within-epoch losses
+    # monotone non-increasing (steps only taken when a probe improved)
+    assert modeler.probe_history, "line search ran no probes"
+    assert all(p >= 2 for p in modeler.probe_history), modeler.probe_history
+    assert all(b <= a for a, b in zip(losses, losses[1:])), losses
 
     # evaluation preview (`Trainer.scala:195-200`): labels, features
     # and predictions zipped positionally (J1) under an explicit order
