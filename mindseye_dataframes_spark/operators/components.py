@@ -26,9 +26,16 @@ dedup graphs converge before plan depth matters.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
+
+
+class ComponentsNotConverged(RuntimeError):
+    """Raised when label propagation exhausts ``max_iter`` with labels
+    still changing — the returned clusters would be silently split."""
 
 
 def connected_components(
@@ -38,37 +45,53 @@ def connected_components(
     out_node: str = "node_id",
     out_component: str = "component_id",
     max_iter: int = 25,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Label every node in ``pairs`` with the min node id of its
     component. Returns ``[out_node, out_component]``, one row per
-    distinct node."""
-    edges = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    distinct node.
+
+    If the graph diameter exceeds ``max_iter`` the labels are only
+    partially propagated — long chains would split into several
+    cluster ids, i.e. silent over-retention in dedup curation. That
+    case now ``raise``s (:class:`ComponentsNotConverged`) by default,
+    or warns with ``on_nonconverged="warn"``; raise ``max_iter`` or
+    switch to large-star/small-star contraction (docstring above) for
+    genuinely long-chained graphs."""
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError("on_nonconverged must be 'raise' or 'warn'")
+    half = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    sym = half.union(half.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    # self-loops fold "keep own label" into the SAME join that gathers
+    # neighbor labels, so each round's plan references the previous
+    # round's labels exactly ONCE. The earlier formulation (join for
+    # the neighborhood min + coalesce against the old labels) embedded
+    # the labels plan twice per round — exponential logical-plan growth
+    # that OOMs the driver's analyzer near ~10 rounds even on tiny
+    # graphs. With one reference the plan grows linearly, and a
+    # periodic localCheckpoint truncates even that.
+    nodes = sym.select("s").distinct()
     edges = (
-        edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        sym.union(nodes.select("s", F.col("s").alias("d")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    labels = edges.select(F.col("s").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
+    labels = nodes.select(
+        F.col("s").alias("node"), F.col("s").alias("label")
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    for _ in range(max_iter):
-        nbr_min = (
+    changed = 0
+    for it in range(max_iter):
+        new_labels = (
             edges.join(labels, edges["d"] == labels["node"])
             .groupBy(edges["s"].alias("node"))
-            .agg(F.min("label").alias("nbr_label"))
+            .agg(F.min("label").alias("label"))
         )
-        new_labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+        if (it + 1) % 8 == 0:
+            # truncate the linearly-growing plan on long chains
+            new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -79,6 +102,18 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+
+    if changed != 0:
+        msg = (
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); clusters are split — "
+            "raise max_iter or use star-contraction for long chains"
+        )
+        if on_nonconverged == "raise":
+            edges.unpersist()
+            labels.unpersist()
+            raise ComponentsNotConverged(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
 
     edges.unpersist()
     return labels.select(

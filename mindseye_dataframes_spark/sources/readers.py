@@ -59,15 +59,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's parquet
     reader rejects; read it as raw nanos (legacy conf) and convert to
-    a microsecond timestamp — the same truncation DuckDB applies when
-    it reads nanos into its native micros TIMESTAMP, so oracle
-    comparisons agree.
+    a microsecond timestamp — floor division, matching DuckDB's
+    nanos→micros flooring (plain ``div`` truncates toward zero, which
+    diverges for pre-1970 timestamps). The legacy conf is captured at
+    analysis time, so it is restored immediately — no session-global
+    leak onto later parquet reads.
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        try:
+            prev = spark.conf.get(conf_key)
+        except Exception:
+            prev = None
+        spark.conf.set(conf_key, "true")
+        try:
+            df = read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+            if dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn(
+                    "ts",
+                    F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000")),
+                )
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
         return df
     return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -148,3 +148,27 @@ def test_connected_components_chain_transitivity(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A chain longer than max_iter can't finish propagating: partial
+    labels must never be returned silently (ADVICE r1)."""
+    import pytest
+
+    from mindseye_dataframes_spark.operators.components import (
+        ComponentsNotConverged,
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with pytest.raises(ComponentsNotConverged):
+        connected_components(chain, max_iter=2).collect()
+    # warn mode returns the partial labels but says so
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        out = connected_components(chain, max_iter=2, on_nonconverged="warn")
+        assert out.count() == 9
+    # and a sufficient max_iter converges with no warning
+    full = connected_components(chain, max_iter=10)
+    assert {r["component_id"] for r in full.collect()} == {0}
