@@ -2,12 +2,21 @@
 as opaque ``binary`` columns with typed metadata, plus Arrow-batched
 decode/feature-extract plumbing.
 
-The decode kernels are STUBBED: the container has no image/audio
-libraries, so ``decode_image`` tries Pillow and otherwise uses a
-deterministic fake decoder (dimensions derived from the payload hash)
-clearly marked as such. Everything Spark-side — schema, partitioning,
-UDF signatures, Arrow batch shapes — is real and tested; swapping the
-kernel for a real decoder changes no plumbing.
+Decode kernels, by format:
+
+- **PNG**: REAL decoder built on stdlib ``zlib`` + numpy — parses
+  chunks/IHDR, inflates IDAT, unfilters scanlines (filters 0-4), and
+  pools a grayscale plane into features. 8-bit gray/RGB/(A), no
+  interlace; other PNG shapes fall through to the fake.
+- **WAV (PCM)**: REAL decoder on stdlib ``wave`` + numpy — duration,
+  sample rate, and log-energy FFT band coefficients.
+- **Pillow**, when importable, takes precedence for images.
+- Everything else: a deterministic fake (hash-derived values), clearly
+  marked — the container ships no image/audio libraries beyond stdlib.
+
+Everything Spark-side — schema, partitioning, UDF signatures, Arrow
+batch shapes — is identical across real and fake kernels, so swapping
+in richer decoders changes no plumbing.
 
 Scale notes: payload bytes never shuffle — metadata extraction and
 decode are pure maps; `ensure_min_parallelism` spreads single-file
@@ -18,12 +27,143 @@ fetch lazily inside the UDF batch to keep scan volume down.
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
+import zlib
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mindseye_dataframes_spark.plans.parallelism import ensure_min_parallelism
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# PNG color type → samples per pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> dict | None:
+    """Real PNG decode (stdlib zlib + numpy): returns
+    ``{width, height, channels, pixels: ndarray[h, w, c]}`` or None if
+    the payload isn't a PNG this decoder supports (8-bit depth,
+    gray/RGB with optional alpha, non-interlaced)."""
+    if not payload.startswith(_PNG_MAGIC):
+        return None
+    pos, idat, meta = len(_PNG_MAGIC), [], None
+    while pos + 8 <= len(payload):
+        (length,) = np.frombuffer(payload[pos : pos + 4], dtype=">u4")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + int(length)]
+        pos += 12 + int(length)  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h = np.frombuffer(data[:8], dtype=">u4")
+            depth, color, _comp, _filt, interlace = data[8:13]
+            if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+                return None
+            meta = (int(w), int(h), _PNG_CHANNELS[color])
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if meta is None or not idat:
+        return None
+    w, h, c = meta
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        line = np.frombuffer(
+            raw[row_start + 1 : row_start + 1 + stride], dtype=np.uint8
+        ).astype(np.int64)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub/Average/Paeth need the in-row left neighbor
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - c] if x >= c else 0  # left
+                b = prev[x]  # up
+                if ftype == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (line[x] + (a + b) // 2) & 0xFF
+                elif ftype == 4:
+                    cc = prev[x - c] if x >= c else 0  # up-left
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                    cur[x] = (line[x] + pred) & 0xFF
+                else:
+                    return None  # invalid filter byte
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return {
+        "width": w,
+        "height": h,
+        "channels": c,
+        "pixels": out.reshape(h, w, c),
+    }
+
+
+def _png_features(pixels: np.ndarray) -> list[float]:
+    """2×2 block-mean over the luma plane, scaled to [0, 1] — the same
+    shape the Pillow branch emits (resize((2,2)).convert('L'))."""
+    h, w, c = pixels.shape
+    if c >= 3:
+        luma = (
+            0.299 * pixels[:, :, 0] + 0.587 * pixels[:, :, 1] + 0.114 * pixels[:, :, 2]
+        )
+    else:
+        luma = pixels[:, :, 0].astype(np.float64)
+    h2, w2 = max(h // 2, 1), max(w // 2, 1)
+    quads = [
+        luma[i * h2 : (i + 1) * h2 if i == 0 else h, j * w2 : (j + 1) * w2 if j == 0 else w]
+        for i in (0, 1)
+        for j in (0, 1)
+    ]
+    return [float(q.mean()) / 255.0 for q in quads]
+
+
+def decode_wav(payload: bytes, n_coeffs: int = 8) -> dict | None:
+    """Real WAV-PCM decode (stdlib wave + numpy): duration, sample
+    rate, and ``n_coeffs`` log-energy FFT band coefficients over the
+    mono-mixed signal. None when the payload isn't a PCM WAV."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            sr = w.getframerate()
+            ch = w.getnchannels()
+            sw = w.getsampwidth()
+            n = w.getnframes()
+            frames = w.readframes(n)
+    except (wave.Error, EOFError):
+        return None
+    if sw == 2:
+        samples = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:
+        samples = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        return None
+    if ch > 1:
+        samples = samples[: (len(samples) // ch) * ch].reshape(-1, ch).mean(axis=1)
+    spec = np.abs(np.fft.rfft(samples)) if len(samples) else np.zeros(1)
+    bands = np.array_split(spec, n_coeffs)
+    coeffs = [
+        round(float(np.log1p(b.mean())) if len(b) else 0.0, 6) for b in bands
+    ]
+    return {
+        "duration_sec": round(n / sr, 3) if sr else 0.0,
+        "sample_rate": int(sr),
+        "coeffs": coeffs,
+    }
 
 BLOB_META_SCHEMA = "size_bytes long, content_md5 string, mime string"
 
@@ -68,9 +208,8 @@ def decode_image(df: DataFrame, blob_col: str = "blob", id_col: str | None = Non
     )
 
     def decode(batches):
-        try:  # real decoder if the environment provides it
+        try:  # richest decoder first if the environment provides it
             from PIL import Image  # noqa: F401
-            import io
 
             def kernel(payload: bytes) -> dict:
                 img = Image.open(io.BytesIO(payload))
@@ -82,7 +221,18 @@ def decode_image(df: DataFrame, blob_col: str = "blob", id_col: str | None = Non
                 }
 
         except ImportError:
-            kernel = _fake_decode
+
+            def kernel(payload: bytes) -> dict:
+                # REAL stdlib PNG decode; deterministic fake otherwise
+                png = decode_png(payload)
+                if png is not None:
+                    return {
+                        "width": png["width"],
+                        "height": png["height"],
+                        "channels": png["channels"],
+                        "features": _png_features(png["pixels"]),
+                    }
+                return _fake_decode(payload)
 
         for pdf in batches:
             decoded = pdf[blob_col].map(lambda b: kernel(bytes(b) if b is not None else b""))
@@ -184,11 +334,11 @@ def resize_image(
 def audio_features(
     df: DataFrame, blob_col: str = "blob", n_coeffs: int = 8
 ) -> DataFrame:
-    """Audio feature-extraction plumbing (STUB kernel): emits
-    (duration_sec, sample_rate, coeffs[n]) per payload — the MFCC-ish
-    shape a real librosa/torchaudio kernel would fill. Deterministic
-    fake derived from the content hash; schema, batching, and
-    partitioning are the real contract."""
+    """Audio feature extraction: (duration_sec, sample_rate,
+    coeffs[n]) per payload. REAL kernel for PCM WAV payloads (stdlib
+    ``wave`` + numpy FFT band energies — see :func:`decode_wav`);
+    deterministic hash-derived fake for other formats (no audio codec
+    libraries in the environment). Same schema/batching either way."""
     keep = [c for c in df.columns if c != blob_col]
     out_schema = ", ".join(
         [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in keep]
@@ -196,17 +346,25 @@ def audio_features(
     )
 
     def extract(batches):
+        def kernel(p: bytes) -> dict:
+            real = decode_wav(p, n_coeffs)
+            if real is not None:
+                return real
+            d = hashlib.md5(p).digest()
+            return {
+                "duration_sec": round(0.5 + d[3] / 8.0, 3),
+                "sample_rate": 16000 if d[4] % 2 else 44100,
+                "coeffs": [(d[i % 16] - 128) / 128.0 for i in range(n_coeffs)],
+            }
+
         for pdf in batches:
             out = pdf[keep].copy()
-            payloads = pdf[blob_col].map(lambda b: bytes(b) if b is not None else b"")
-            digests = payloads.map(lambda p: hashlib.md5(p).digest())
-            out["duration_sec"] = [
-                round(0.5 + d[3] / 8.0, 3) for d in digests
-            ]
-            out["sample_rate"] = [16000 if d[4] % 2 else 44100 for d in digests]
-            out["coeffs"] = [
-                [(d[i % 16] - 128) / 128.0 for i in range(n_coeffs)] for d in digests
-            ]
+            decoded = pdf[blob_col].map(
+                lambda b: kernel(bytes(b) if b is not None else b"")
+            )
+            out["duration_sec"] = decoded.map(lambda d: d["duration_sec"])
+            out["sample_rate"] = decoded.map(lambda d: d["sample_rate"])
+            out["coeffs"] = decoded.map(lambda d: d["coeffs"])
             yield out
 
     return ensure_min_parallelism(df).mapInPandas(extract, schema=out_schema)

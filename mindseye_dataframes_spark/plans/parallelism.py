@@ -15,6 +15,14 @@ from pyspark.sql import DataFrame
 
 def ensure_min_parallelism(df: DataFrame, *repartition_cols: str) -> DataFrame:
     target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        # metadata-only fast path: a scan over >= target files can't be
+        # under-parallel, and answering from the file listing avoids
+        # the plan->RDD conversion that df.rdd forces on every call
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass  # non-file source; fall through to the precise check
     if df.rdd.getNumPartitions() >= target:
         return df
     if repartition_cols:

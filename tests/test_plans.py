@@ -134,6 +134,43 @@ def test_lang_id_is_single_aggregate(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 1
 
 
+def test_cube_rollup_grouping_sets_single_exchange(spark, sf_dir):
+    """The grouping-set lattice must be ONE Expand + one partial/final
+    hash-agg pair (one hash exchange); a per-set union-of-aggregates
+    shape would scan the fact table once per set at 100 TB."""
+    for name in ("q15_rollup", "q47_cube", "q59_grouping_sets"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Expand" in plan, name
+        assert plan.count("Exchange hashpartitioning") <= 1, (name, plan)
+
+
+def test_pivot_is_single_aggregate(spark, sf_dir):
+    """q57: conditional-aggregation pivot = one scan, one hash-agg
+    pair, no distinct-values pre-job and no join."""
+    plan = plan_of(spark, sf_dir, "q57_pivot")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_format_roundtrips_scan_shaped(spark, sf_dir):
+    """Round-trips must stay scan → sort-for-presentation: no shuffle
+    beyond the final orderBy's range exchange, no inference pass
+    (schema is supplied), and ORC scans keep columnar batches."""
+    for name in ("q68_csv_roundtrip", "q69_json_roundtrip", "q72_orc_roundtrip"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Exchange hashpartitioning" not in plan, (name, plan)
+        assert "Join" not in plan, name
+    orc = explain_formatted(spark, sf_dir, "q72_orc_roundtrip")
+    assert "ColumnarToRow" in orc or "Scan orc" in orc
+
+
+def test_percentiles_single_pass(spark, sf_dir):
+    """q46: exact percentiles are one aggregate pass, not a sort of
+    the whole table per group."""
+    plan = plan_of(spark, sf_dir, "q46_percentiles")
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
 def test_scalar_subquery_decorrelated(spark, sf_dir):
     """q70: Catalyst must decorrelate the per-row scalar subqueries
     into per-brand aggregates joined back (broadcast — brand
