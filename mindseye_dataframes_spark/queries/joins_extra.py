@@ -60,7 +60,7 @@ def q51_full_outer_join(spark, sf_dir):
     )
     SELECT (SELECT COUNT(*) FROM pairs) AS n_region_pairs,
            COUNT(*) AS n_parts,
-           SUM(CASE WHEN n_lines = 0 THEN 1 ELSE 0 END) AS unused_parts
+           CAST(SUM(CASE WHEN n_lines = 0 THEN 1 ELSE 0 END) AS BIGINT) AS unused_parts
     FROM liagg
     """,
     tags=("join", "parity:join-right,join-cross"),

@@ -27,9 +27,28 @@ def duckdb_oracle(sql: str, sf_dir: str):
                 con.execute(
                     f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
                 )
+        # The driver fetches oracle results through pandas, where
+        # DuckDB HUGEINT (e.g. SUM over integers without an outer
+        # CAST) degrades to float64 — fetchall() would hide that by
+        # returning exact Python ints. Mirror the degradation so the
+        # q25-class of driver-only failures reproduces locally.
+        hugeint_cols = {
+            r[0]
+            for r in con.execute(f"DESCRIBE {sql}").fetchall()
+            if r[1].upper() in ("HUGEINT", "UHUGEINT")
+        }
         cur = con.execute(sql)
         cols = [d[0] for d in cur.description]
         rows = cur.fetchall()
+        if hugeint_cols:
+            idx = [i for i, c in enumerate(cols) if c in hugeint_cols]
+            rows = [
+                tuple(
+                    float(v) if i in idx and v is not None else v
+                    for i, v in enumerate(r)
+                )
+                for r in rows
+            ]
         return cols, rows
     finally:
         con.close()
