@@ -179,9 +179,10 @@ def q34_embedding_near_dup(spark, sf_dir):
     )
 
 
-@query(
-    "q77_dup_clusters",
-    oracle="""
+# Shared by q77 (naive label propagation) and q79 (star contraction):
+# both must produce the identical transitive-closure clustering, so
+# they share one recursive-CTE reachability oracle.
+_CLOSURE_ORACLE = """
     WITH RECURSIVE toks AS (
       SELECT doc_id,
              CASE WHEN len(string_split(text, ' ')) >= 3
@@ -219,7 +220,12 @@ def q34_embedding_near_dup(spark, sf_dir):
       SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
     )
     SELECT s AS doc_id, MIN(d) AS cluster_id FROM reach GROUP BY s ORDER BY doc_id
-    """,
+    """
+
+
+@query(
+    "q77_dup_clusters",
+    oracle=_CLOSURE_ORACLE,
     tags=("dedup", "iterative", "parity:connected-components"),
 )
 def q77_dup_clusters(spark, sf_dir):
@@ -238,3 +244,27 @@ def q77_dup_clusters(spark, sf_dir):
             pairs, out_node="doc_id", out_component="cluster_id"
         ).orderBy("doc_id")
     )
+
+
+@query(
+    "q79_dup_clusters_star",
+    oracle=_CLOSURE_ORACLE,
+    tags=("dedup", "iterative", "parity:connected-components-star"),
+)
+def q79_dup_clusters_star(spark, sf_dir):
+    """Same transitive-closure clustering as q77, computed with
+    large-star/small-star contraction (Kiveris et al., SoCC'14,
+    `operators/components.py:connected_components_star`) — the
+    O(log n)-round scale path whose round count is independent of
+    graph diameter. Both queries share one reachability oracle, so the
+    driver verifies the two algorithms agree with SQL and with each
+    other."""
+    from mindseye_dataframes_spark.operators.components import (
+        connected_components_star,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_verified_pairs(docs, "text", "doc_id", threshold=0.5)
+    return connected_components_star(
+        pairs, out_node="doc_id", out_component="cluster_id"
+    ).orderBy("doc_id")

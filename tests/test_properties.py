@@ -172,3 +172,64 @@ def test_connected_components_nonconvergence_raises(spark):
     # and a sufficient max_iter converges with no warning
     full = connected_components(chain, max_iter=10)
     assert {r["component_id"] for r in full.collect()} == {0}
+
+
+def test_star_contraction_matches_naive_on_random_graphs(spark):
+    """large-star/small-star must agree with min-label propagation on
+    seeded random graphs (mixed cluster sizes, isolated pairs, dups)."""
+    import random
+
+    from mindseye_dataframes_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(n // 2)
+        ]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        naive = {
+            (r["node_id"], r["component_id"])
+            for r in connected_components(pairs, max_iter=60).collect()
+        }
+        star = {
+            (r["node_id"], r["component_id"])
+            for r in connected_components_star(pairs).collect()
+        }
+        assert star == naive, f"trial {trial}"
+
+
+def test_star_contraction_closes_long_chain_in_log_rounds(spark):
+    """A 200-hop path: naive propagation needs 200 rounds; star
+    contraction must close it within its default (50) budget — the
+    whole point of the algorithm."""
+    from mindseye_dataframes_spark.operators.components import (
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    out = connected_components_star(chain).collect()
+    assert len(out) == 201
+    assert {r["component_id"] for r in out} == {0}
+
+
+def test_star_contraction_self_loops_and_empty(spark):
+    """Self-pairs are isolated singletons; an all-self-loop input must
+    still return every node labeled with itself."""
+    from mindseye_dataframes_spark.operators.components import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(7, 7), (8, 8), (1, 2)], "id_a long, id_b long"
+    )
+    got = {
+        (r["node_id"], r["component_id"])
+        for r in connected_components_star(pairs).collect()
+    }
+    assert got == {(7, 7), (8, 8), (1, 1), (2, 1)}
