@@ -166,6 +166,22 @@ def py_minhash(items: list[str], k: int = MINHASH_K) -> list[str]:
     return [min(row) for row in digests]
 
 
+def py_char_ngrams(text: str, n: int = 8) -> list[str]:
+    """Distinct character n-grams, first-seen order. Shorter texts
+    collapse to the whole string (same degenerate-input rule as
+    :func:`py_shingles`)."""
+    if len(text) < n:
+        return [text]
+    seen: set[str] = set()
+    out: list[str] = []
+    for i in range(len(text) - n + 1):
+        g = text[i : i + n]
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
 def simhash16_sql(text_expr: str) -> str:
     """DuckDB SQL computing the same 16-bit SimHash as
     :func:`simhash16` (generated to keep the bit math in one place)."""

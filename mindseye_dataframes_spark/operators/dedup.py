@@ -189,3 +189,80 @@ def jaccard_verified_pairs(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    threshold: float = 0.5,
+    max_df: int = 50,
+) -> DataFrame:
+    """Character-n-gram Jaccard near-dup pairs via an inverted-index
+    candidate join (the prefix-filtering family — complements
+    MinHash-LSH with exact candidate semantics).
+
+    Spec: candidates are pairs sharing ≥1 *rare* n-gram (document
+    frequency ≤ ``max_df``); survivors have exact n-gram-set Jaccard
+    ≥ ``threshold`` over the FULL gram sets. The df cutoff is what
+    makes the inverted index scale: without it, a stop-gram appearing
+    in every doc turns the posting self-join into all-pairs. Near-dups
+    share many grams, so requiring one *rare* shared gram costs recall
+    only when every shared gram is corpus-common (then the pair is
+    boilerplate, not duplication).
+
+    Plan shape: one Arrow-batched gram pass (persisted — consumed by
+    both the posting join and the verify), explode → groupBy(gram) for
+    document frequency, posting-list self-join keyed on the gram,
+    distinct, then an equi-join verify with JVM-side
+    ``array_intersect``. Shuffles are bounded by posting-list size,
+    never O(n²).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from mindseye_dataframes_spark.functions.textfns import py_char_ngrams
+
+    grams_udf = F.pandas_udf(
+        lambda texts: texts.map(lambda t: py_char_ngrams(t, n)), "array<string>"
+    )
+    feats = (
+        ensure_min_parallelism(df, id_col)
+        .select(F.col(id_col), grams_udf(F.col(text_col)).alias("grams"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    postings = feats.select(F.col(id_col), F.explode("grams").alias("g"))
+    rare = (
+        postings.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") <= max_df)
+        .select("g")
+    )
+    rare_postings = postings.join(rare, "g")
+    a = rare_postings.select("g", F.col(id_col).alias("id_a"))
+    b = rare_postings.select("g", F.col(id_col).alias("id_b"))
+    candidates = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sized = feats.withColumn("n_grams", F.size("grams"))
+    ga = sized.select(
+        F.col(id_col).alias("id_a"),
+        F.col("grams").alias("grams_a"),
+        F.col("n_grams").alias("n_a"),
+    )
+    gb = sized.select(
+        F.col(id_col).alias("id_b"),
+        F.col("grams").alias("grams_b"),
+        F.col("n_grams").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter).cast("double")
+    return (
+        candidates.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

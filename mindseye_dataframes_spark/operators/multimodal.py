@@ -368,3 +368,59 @@ def audio_features(
             yield out
 
     return ensure_min_parallelism(df).mapInPandas(extract, schema=out_schema)
+
+
+def sample_video_frames(
+    df: DataFrame, blob_col: str = "blob", stride: int = 1
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame
+    (``frame_idx`` stepping by ``stride``), with per-frame content
+    digests — the shape a multimodal training pipeline feeds to a
+    frame encoder.
+
+    No video codec library ships in this environment, so the
+    container parse is a clearly-marked deterministic fake: frame
+    count and digests derive from md5(payload) (same honesty contract
+    as the image/audio fakes above). A real decoder (e.g. PyAV) slots
+    into ``kernel`` without touching the Spark plumbing: the
+    mapInPandas row-explosion, schema, and batching are production
+    shape.
+
+    Scale: pure map over payload partitions — frames multiply rows
+    ~n_frames/stride×, but payload bytes are dropped before the rows
+    fan out, so the exploded relation carries only ids + digests.
+    """
+    keep = [c for c in df.columns if c != blob_col]
+    out_schema = ", ".join(
+        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in keep]
+        + ["n_frames int, frame_idx int, ts_sec double, frame_md5 string"]
+    )
+
+    def sample(batches):
+        def kernel(p: bytes) -> list[dict]:
+            d = hashlib.md5(p).digest()
+            n_frames = (d[5] % 8) + 2  # fake container: 2..9 frames
+            return [
+                {
+                    "n_frames": n_frames,
+                    "frame_idx": i,
+                    "ts_sec": i / 24.0,  # fake container: fixed 24 fps
+                    "frame_md5": hashlib.md5(
+                        p + b":" + str(i).encode()
+                    ).hexdigest(),
+                }
+                for i in range(0, n_frames, stride)
+            ]
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                p = row[blob_col]
+                for fr in kernel(bytes(p) if p is not None else b""):
+                    rows.append({**{c: row[c] for c in keep}, **fr})
+            yield pd.DataFrame(
+                rows,
+                columns=keep + ["n_frames", "frame_idx", "ts_sec", "frame_md5"],
+            )
+
+    return ensure_min_parallelism(df).mapInPandas(sample, schema=out_schema)

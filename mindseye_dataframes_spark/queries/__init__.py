@@ -32,6 +32,7 @@ _MODULES = (
     "subqueries",
     "maps_stats",
     "curation",
+    "training",
 )
 _loaded = False
 

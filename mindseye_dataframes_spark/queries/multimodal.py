@@ -141,3 +141,41 @@ def q67_audio_features(spark, sf_dir):
         "sample_rate",
         *[F.element_at("coeffs", i + 1).alias(f"c{i}") for i in range(4)],
     ).orderBy("doc_id")
+
+
+# The fake video container derives n_frames from md5(payload) byte 5
+# and per-frame digests from md5(payload ':' idx) — DuckDB re-derives
+# both from the text, value-checking frame fan-out end-to-end.
+@query(
+    "q84_video_frame_sample",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, text, md5(text) AS hx FROM documents),
+         v AS (SELECT doc_id, text,
+                      ({_HEXBYTE.format(hi=11, lo=12)} % 8) + 2 AS n_frames
+               FROM h)
+    SELECT doc_id,
+           CAST(n_frames AS INT) AS n_frames,
+           CAST(f AS INT) AS frame_idx,
+           CAST(f AS DOUBLE) / 24.0 AS ts_sec,
+           md5(text || ':' || CAST(f AS VARCHAR)) AS frame_md5
+    FROM v, unnest(range(0, n_frames, 2)) AS u(f)
+    ORDER BY doc_id, frame_idx
+    """,
+    tags=("multimodal", "training", "parity:video-frames"),
+)
+def q84_video_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing (stride 2): binary payloads →
+    one row per sampled frame with per-frame digests, via
+    `operators/multimodal.py:sample_video_frames` (mapInPandas row
+    explosion; fake container parse, real Spark plumbing)."""
+    from mindseye_dataframes_spark.operators.multimodal import sample_video_frames
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "utf-8")
+    )
+    packed = pack_blob(docs, "payload", mime="video/fake")
+    return (
+        sample_video_frames(packed.select("doc_id", "blob"), stride=2)
+        .select("doc_id", "n_frames", "frame_idx", "ts_sec", "frame_md5")
+        .orderBy("doc_id", "frame_idx")
+    )

@@ -71,3 +71,33 @@ def q72_orc_roundtrip(spark, sf_dir):
     path = _scratch(sf_dir, "orders_orc")
     write_orc(orders, path)
     return spark.read.schema(orders.schema).orc(path).orderBy("o_orderkey")
+
+
+@query(
+    "q85_partitioned_layout_roundtrip",
+    oracle="""
+    SELECT lang, source, doc_id, n_chars
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("sources", "layout", "parity:partitioned-parquet"),
+)
+def q85_partitioned_layout_roundtrip(spark, sf_dir):
+    """Hive-partitioned parquet layout: write documents partitioned by
+    ``lang`` with ``sortWithinPartitions(doc_id)`` (partition pruning
+    on lang + clustered doc_id ranges for min/max skipping — the
+    layout a 100 TB corpus store wants), read back, and value-check
+    the round trip. ``lang`` comes back as the partition directory
+    column, so the writer/reader pair — not just the scan — is under
+    oracle."""
+    from mindseye_dataframes_spark.sources.sinks import write_parquet
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "source", "doc_id", "n_chars"
+    )
+    path = _scratch(sf_dir, "documents_partitioned")
+    write_parquet(docs.sortWithinPartitions("doc_id"), path, partition_by=["lang"])
+    return (
+        spark.read.schema(docs.schema).parquet(path)
+        .select("lang", "source", "doc_id", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -180,3 +180,41 @@ def test_scalar_subquery_decorrelated(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_training_layout_no_single_partition_window(spark, sf_dir):
+    """q81/q82 use the two-phase distributed scan — any data-path
+    window must be hash-partitioned by the frozen range partition id,
+    never SinglePartition."""
+    for name in ("q81_pack_sequences", "q82_seeded_shuffle"):
+        plan = plan_of(spark, sf_dir, name)
+        body = plan.split("AdaptiveSparkPlan")[-1]
+        for line in body.splitlines():
+            if "Window" in line and "windowspecdefinition" in line:
+                assert "SinglePartition" not in line, (name, line)
+
+
+def test_mixture_sample_broadcasts_rates(spark, sf_dir):
+    """The rates relation is tiny → broadcast join; the fact table
+    must not hash-shuffle (presentation sort is the only exchange)."""
+    plan = plan_of(spark, sf_dir, "q83_mixture_sample")
+    assert "BroadcastHashJoin" in plan
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    assert "hashpartitioning" not in body
+
+
+def test_ngram_inverted_index_is_equi_join(spark, sf_dir):
+    """Posting-list candidate generation must stay an equi-join on the
+    gram — a nested-loop/cartesian here is the O(n²) failure mode the
+    inverted index exists to avoid."""
+    plan = plan_of(spark, sf_dir, "q80_ngram_jaccard_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_video_frame_sample_is_pure_map(spark, sf_dir):
+    """Frame sampling is a map over payload partitions — no
+    hash-partition exchange anywhere in the plan."""
+    plan = plan_of(spark, sf_dir, "q84_video_frame_sample")
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    assert "hashpartitioning" not in body

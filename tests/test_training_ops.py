@@ -1,0 +1,102 @@
+"""Unit tests for the training-data layout operators (packing,
+shuffle, mixture sampling, n-gram dedup, video frame sampling) —
+edge cases the oracle queries don't reach (zero counts, missing
+groups, permutation laws)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mindseye_dataframes_spark.operators.dedup import ngram_jaccard_pairs
+from mindseye_dataframes_spark.operators.multimodal import sample_video_frames
+from mindseye_dataframes_spark.operators.packing import (
+    mixture_sample,
+    pack_sequences,
+    seeded_shuffle,
+    with_global_prefix_sum,
+)
+
+
+def test_prefix_sum_is_exclusive_and_contiguous(spark):
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 5) for i in range(100)], "id long, v long"
+    )
+    rows = {
+        r["id"]: r
+        for r in with_global_prefix_sum(df, "v", ["id"], out_col="ps").collect()
+    }
+    acc = 0
+    for i in range(100):
+        assert rows[i]["ps"] == acc, i
+        acc += (i * 7) % 5
+
+
+def test_pack_sequences_blocks_cover_stream(spark):
+    # include zero-length docs: they must occupy exactly one block
+    df = spark.createDataFrame(
+        [(0, 10), (1, 0), (2, 300), (3, 5), (4, 256)], "id long, n long"
+    )
+    out = {r["id"]: r for r in pack_sequences(df, "n", ["id"], 256).collect()}
+    assert out[0]["start_offset"] == 0 and out[0]["first_block"] == 0
+    assert out[1]["n_blocks"] == 1  # empty doc collapses to one block
+    assert out[2]["start_offset"] == 10
+    # doc 2 spans tokens 10..309 → blocks 0 and 1
+    assert (out[2]["first_block"], out[2]["last_block"]) == (0, 1)
+    # doc 4 starts at 315, ends at 570 → blocks 1..2
+    assert out[4]["start_offset"] == 315
+    assert (out[4]["first_block"], out[4]["last_block"]) == (1, 2)
+
+
+def test_seeded_shuffle_is_permutation_and_seed_sensitive(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    a = {r["id"]: r["shuffle_pos"] for r in seeded_shuffle(df, ["id"], "s1").collect()}
+    assert sorted(a.values()) == list(range(500))
+    b = {r["id"]: r["shuffle_pos"] for r in seeded_shuffle(df, ["id"], "s2").collect()}
+    assert sorted(b.values()) == list(range(500))
+    assert a != b  # different seed → different permutation
+    a2 = {r["id"]: r["shuffle_pos"] for r in seeded_shuffle(df, ["id"], "s1").collect()}
+    assert a == a2  # same seed → identical permutation
+
+
+def test_mixture_sample_whitelists_and_is_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(400)], "id long, g string"
+    )
+    kept = mixture_sample(df, "g", "id", {"a": 1.0}).collect()
+    assert all(r["g"] == "a" for r in kept)  # 'b' absent from rates → dropped
+    assert len(kept) == 200  # rate 1.0 keeps every 'a'
+    half = mixture_sample(df, "g", "id", {"a": 0.5})
+    n1, n2 = half.count(), half.count()
+    assert n1 == n2  # deterministic under recomputation
+    assert 0 < n1 < 200
+
+
+def test_ngram_jaccard_finds_exact_dup(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely unrelated content with different words"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(df, "text", "doc_id", n=8, threshold=0.5, max_df=10)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got == {(1, 2): 1.0}
+
+
+def test_video_frame_sample_stride_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, f"payload-{i}".encode()) for i in range(20)], "id long, blob binary"
+    )
+    out = sample_video_frames(df, "blob", stride=2).collect()
+    by_id: dict[int, list] = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r)
+    for rid, rows in by_id.items():
+        n = rows[0]["n_frames"]
+        assert 2 <= n <= 9
+        assert sorted(r["frame_idx"] for r in rows) == list(range(0, n, 2))
+        assert all(r["ts_sec"] == r["frame_idx"] / 24.0 for r in rows)
+    again = sample_video_frames(df, "blob", stride=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
