@@ -51,7 +51,9 @@ def with_global_prefix_sum(
     """
     keys = [F.col(k) for k in order_keys]
     if num_partitions is None:
-        inp = df.rdd.getNumPartitions()
+        from mindseye_dataframes_spark.plans.parallelism import scan_partitions
+
+        inp = scan_partitions(df)
         num_partitions = min(
             df.sparkSession.sparkContext.defaultParallelism, max(4, inp * 2)
         )

@@ -61,7 +61,9 @@ def with_row_index(
         # single-file local input doesn't need defaultParallelism-wide
         # shuffles (measured 30% faster at sf0.1), while a many-split
         # cluster input still fans out to full parallelism
-        inp = df.rdd.getNumPartitions()
+        from mindseye_dataframes_spark.plans.parallelism import scan_partitions
+
+        inp = scan_partitions(df)
         num_partitions = min(
             df.sparkSession.sparkContext.defaultParallelism, max(4, inp * 2)
         )

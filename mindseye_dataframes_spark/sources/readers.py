@@ -54,8 +54,17 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
+# (applicationId, sf_dir, name) -> DataFrame. spark.read.parquet
+# re-reads footers and rebuilds the file index on every call (~120ms
+# measured even for a single local file); DataFrames are immutable
+# plan handles, so sharing one per (session, table) is safe and makes
+# repeated query construction O(py4j-call) instead of O(footer-read).
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table from an sf directory.
+    """Load one testdata table from an sf directory (memoized per
+    session — see ``_TABLE_CACHE``).
 
     ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's parquet
     reader rejects; read it as raw nanos (legacy conf) and convert to
@@ -65,6 +74,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     analysis time, so it is restored immediately — no session-global
     leak onto later parquet reads.
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table(spark, sf_dir, name)
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         conf_key = "spark.sql.legacy.parquet.nanosAsLong"
         try:
