@@ -84,27 +84,48 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
-        try:
-            prev = spark.conf.get(conf_key)
-        except Exception:
-            prev = None
-        spark.conf.set(conf_key, "true")
-        try:
-            df = read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
-            if dict(df.dtypes).get("ts") == "bigint":
-                df = df.withColumn(
-                    "ts",
-                    F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000")),
-                )
-        finally:
-            if prev is None:
-                spark.conf.unset(conf_key)
-            else:
-                spark.conf.set(conf_key, prev)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name != "events":
+        return read_parquet(spark, path)
+
+    # events.parquet stores TIMESTAMP(NANOS). Reader behavior varies by
+    # Spark version: ≥4.1 reads it natively as TIMESTAMP_NTZ (micros,
+    # truncated); older versions reject it unless the legacy nanosAsLong
+    # conf re-types the column as raw int64. Normalize both paths to a
+    # session-tz TIMESTAMP so downstream unix_micros()/window() calls
+    # and the DuckDB oracle (which renders naive micros) agree — the
+    # session tz is pinned to UTC, making the NTZ→LTZ cast value-exact.
+    try:
+        df = read_parquet(spark, path)
+        ts_type = dict(df.dtypes).get("ts")
+    except Exception:
+        df, ts_type = None, None
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if df is not None and ts_type != "bigint":
         return df
-    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        prev = spark.conf.get(conf_key)
+    except Exception:
+        prev = None
+    spark.conf.set(conf_key, "true")
+    try:
+        df = read_parquet(spark, path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            # floor division, matching DuckDB's nanos→micros flooring
+            # (plain ``div`` truncates toward zero, diverging pre-1970)
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000")),
+            )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
