@@ -36,19 +36,15 @@ _MODULES = (
 )
 _loaded = False
 
-# Queries already hash-verified green by a previous driver round
-# (CORRECTNESS_r01.json). The driver checks only the FIRST 50 entries
-# of ``queries()``, so ordering IS the verification strategy: queries
-# with no green row yet go first, already-proven ones fill the window
-# behind them, and oracle-less (rows-only) queries go last. Update this
-# set each round from the latest CORRECTNESS file.
-PROVEN_GREEN = {
-    "q01_pricing_summary", "q02_filter_project", "q03_staging_cast",
-    "q04_topk_orders", "q05_revenue_by_region", "q06_dictionary_keys",
-    "q07_group_moments", "q08_semi_join", "q09_anti_join",
-    "q10_outer_join_agg", "q11_union_groups", "q12_intersect_except",
-    "q13_zip_positional", "q14_count_distinct", "q15_rollup",
-    "q16_window_topn", "q17_window_lag_delta", "q18_running_sum",
+# Queries already hash-verified green by a previous driver round.
+# The driver checks only the FIRST 50 entries of ``queries()``, so
+# ordering IS the verification strategy: queries with no green row yet
+# go first, already-proven ones fill the window behind them (least
+# recently verified first, so regression coverage rotates), and
+# oracle-less (rows-only) queries go last. Update these sets each
+# round from the latest CORRECTNESS file.
+PROVEN_R01_ONLY = {
+    # green in CORRECTNESS_r01.json, not re-checked in r02
     "q19_moving_avg", "q20_ntile_rank", "q21_first_last",
     "q22_asof_join", "q23_range_join", "q24_tumbling_window",
     "q26_text_stats", "q27_quality_by_lang", "q28_token_frequency",
@@ -60,14 +56,37 @@ PROVEN_GREEN = {
     "q61_token_count_bpe", "q62_winnow_fingerprints",
     "q64_analytic_ranks", "q66_image_resize", "q77_dup_clusters",
 }
+PROVEN_R02 = {
+    # green in CORRECTNESS_r02.json (50/50)
+    "q01_pricing_summary", "q02_filter_project", "q03_staging_cast",
+    "q04_topk_orders", "q05_revenue_by_region", "q06_dictionary_keys",
+    "q07_group_moments", "q08_semi_join", "q09_anti_join",
+    "q10_outer_join_agg", "q11_union_groups", "q12_intersect_except",
+    "q13_zip_positional", "q14_count_distinct", "q15_rollup",
+    "q16_window_topn", "q17_window_lag_delta", "q18_running_sum",
+    "q25_sessionization", "q43_string_functions", "q44_date_functions",
+    "q45_math_functions", "q46_percentiles", "q47_cube",
+    "q51_full_outer_join", "q52_right_and_cross", "q53_json_extraction",
+    "q54_supplier_volume", "q55_sliding_window", "q56_curation_funnel",
+    "q57_pivot", "q59_grouping_sets", "q67_audio_features",
+    "q68_csv_roundtrip", "q69_json_roundtrip", "q70_scalar_subquery",
+    "q71_conditional_agg", "q72_orc_roundtrip", "q73_map_column",
+    "q74_exact_stats", "q75_hash_sample", "q76_profile_columns",
+    "q78_eval_identity", "q79_dup_clusters_star",
+    "q80_ngram_jaccard_pairs", "q81_pack_sequences", "q82_seeded_shuffle",
+    "q83_mixture_sample", "q84_video_frame_sample",
+    "q85_partitioned_layout_roundtrip",
+}
 
 
 def _order_key(item: tuple[str, Query]) -> tuple[int, str]:
     name, q = item
     if q.oracle is None:
-        group = 2  # rows-only checks last — never burn a window slot
-    elif name in PROVEN_GREEN:
-        group = 1  # regression coverage behind the unproven set
+        group = 3  # rows-only checks last — never burn a window slot
+    elif name in PROVEN_R02:
+        group = 2  # freshest evidence: verify last
+    elif name in PROVEN_R01_ONLY:
+        group = 1  # stalest evidence: rotate back into the window
     else:
         group = 0  # no green row yet: claim a window slot
     return (group, name)

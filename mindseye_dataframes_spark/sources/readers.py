@@ -66,13 +66,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table from an sf directory (memoized per
     session — see ``_TABLE_CACHE``).
 
-    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; read it as raw nanos (legacy conf) and convert to
-    a microsecond timestamp — floor division, matching DuckDB's
-    nanos→micros flooring (plain ``div`` truncates toward zero, which
-    diverges for pre-1970 timestamps). The legacy conf is captured at
-    analysis time, so it is restored immediately — no session-global
-    leak onto later parquet reads.
+    ``events.parquet`` stores TIMESTAMP(NANOS); handling is version
+    dependent — see ``_load_table`` for the dual NTZ/legacy path.
     """
     key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
@@ -88,17 +83,25 @@ def _load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name != "events":
         return read_parquet(spark, path)
 
-    # events.parquet stores TIMESTAMP(NANOS). Reader behavior varies by
-    # Spark version: ≥4.1 reads it natively as TIMESTAMP_NTZ (micros,
-    # truncated); older versions reject it unless the legacy nanosAsLong
-    # conf re-types the column as raw int64. Normalize both paths to a
-    # session-tz TIMESTAMP so downstream unix_micros()/window() calls
-    # and the DuckDB oracle (which renders naive micros) agree — the
-    # session tz is pinned to UTC, making the NTZ→LTZ cast value-exact.
+    # The driver's current events.parquet stores TIMESTAMP(MICROS) and
+    # reads directly. Older drops stored TIMESTAMP(NANOS); keep a compat
+    # path: some Spark builds read NANOS natively (as NTZ or LTZ micros,
+    # FLOORING sub-microsecond values — verified empirically on a
+    # pre-1970 fixture: -999ns → -1µs), others reject it unless the
+    # legacy nanosAsLong conf re-types the column as raw int64. DuckDB's
+    # nanos→micros conversion TRUNCATES toward zero (-999ns → 0µs), so
+    # the two engines diverge on pre-1970 sub-µs NANOS values — only on
+    # the native path, which we can't intercept. The legacy path below
+    # truncates to match DuckDB. Post-1970 values agree on every path
+    # (floor == trunc for non-negatives). Session tz is pinned UTC, so
+    # the NTZ→LTZ cast is value-exact.
     try:
         df = read_parquet(spark, path)
         ts_type = dict(df.dtypes).get("ts")
-    except Exception:
+    except Exception as exc:  # narrow: only the nanos rejection falls through
+        msg = str(exc)
+        if "Illegal Parquet type" not in msg and "NANOS" not in msg:
+            raise  # missing file / corrupt footer / permissions: surface now
         df, ts_type = None, None
     if ts_type == "timestamp_ntz":
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -114,11 +117,10 @@ def _load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     try:
         df = read_parquet(spark, path)
         if dict(df.dtypes).get("ts") == "bigint":
-            # floor division, matching DuckDB's nanos→micros flooring
-            # (plain ``div`` truncates toward zero, diverging pre-1970)
+            # ``div`` truncates toward zero, matching DuckDB's
+            # nanos→micros truncation (-999ns → 0µs, verified)
             df = df.withColumn(
-                "ts",
-                F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000")),
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
     finally:
         if prev is None:

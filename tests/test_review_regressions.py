@@ -130,3 +130,53 @@ def test_ann_empty_corpus_returns_empty(spark):
     out = ann_topk_lsh(queries, empty, "qid", "qv", "nid", "cv", k=3)
     assert out.count() == 0
     assert out.columns == ["qid", "rank", "nid", "cos_r"]
+
+
+def test_nanos_parquet_compat_matches_duckdb(spark, tmp_path):
+    """ADVICE r2: the TIMESTAMP(NANOS) compat path in `_load_table` must
+    agree with DuckDB on pre-1970 non-µs-aligned values.
+
+    DuckDB truncates nanos→micros toward zero (-999ns → 0µs); Spark's
+    native NANOS reader floors (-999ns → -1µs). The legacy-int64 path is
+    the only one we control, so it truncates to match DuckDB. A tz-naive
+    NANOS file exercises that path (this Spark build rejects it
+    natively, falling through to the legacy conf)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mindseye_dataframes_spark.sources.readers import _load_table
+
+    nanos = [-1_500_001_234, -999, 999, 1_500_001_234]
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array(nanos, pa.timestamp("ns")),
+        }
+    )
+    path = tmp_path / "events.parquet"
+    pq.write_table(table, str(path))
+
+    oracle = dict(
+        duckdb.sql(
+            f"select event_id, epoch_us(ts) from '{path}' order by event_id"
+        ).fetchall()
+    )
+    df = _load_table(spark, str(tmp_path), "events")
+    got = {
+        r["event_id"]: r["us"]
+        for r in df.select(
+            "event_id", F.unix_micros(F.col("ts")).alias("us")
+        ).collect()
+    }
+    assert got == oracle  # {1: -1500001, 2: 0, 3: 0, 4: 1500001}
+
+
+def test_missing_parquet_raises_immediately(spark, tmp_path):
+    """ADVICE r2: a missing events file must surface the real error, not
+    be silently retried under the legacy nanos conf."""
+    from mindseye_dataframes_spark.sources.readers import _load_table
+
+    with pytest.raises(Exception) as exc_info:
+        _load_table(spark, str(tmp_path / "nope"), "events")
+    assert "NANOS" not in str(exc_info.value)
