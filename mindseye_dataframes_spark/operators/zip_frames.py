@@ -6,31 +6,45 @@ equi-join on the index, schemas concatenated
 (`DataframeModeler.scala:246-258`, used at `Trainer.scala:196-200`).
 
 DataFrames are unordered, so positional semantics need a defined row
-order. The public API therefore takes an explicit **unique** order key
-per input (SURVEY §7.3 risk 1). The row index is computed without a
-single-partition global sort:
+order. The public API therefore takes an explicit **unique, non-null**
+order key per input (SURVEY §7.3 risk 1). The dense row index is
+computed without a single-partition global sort, by one of two
+strategies:
 
-1. ``repartitionByRange(order_keys)`` — ordered, distributed ranges —
-   then **persist**: Spark's RangePartitioner seeds boundary sampling
-   with the RDD id, so re-computing the exchange (another action, or
-   an unreused plan branch) can pick different boundaries; pinning the
-   materialized partitions is the only sound way to reference the same
-   partitioning twice,
-2. per-partition counts (one row per partition, collected — O(parts),
-   never O(rows)) → cumulative offsets broadcast back,
-3. ``row_number()`` partitioned by ``spark_partition_id()`` — local,
-   parallel; ``index = offset + local_rank - 1``.
+**Sampled-boundary path** (default when the input plan is only
+scan/project/filter — i.e. cheap and deterministic to recompute):
 
-This is what RDD ``zipWithIndex`` does physically, expressed in the
-DataFrame API so the rest of the plan stays in Catalyst. Scale cost:
-one materialization (memory, spilling to disk) of the projected
-input — the honest price of positional semantics on an unordered
-relation, the same barrier the reference's ``zipWithIndex`` pays.
+1. one column-pruned pass collects a deterministic hash-sample of the
+   order keys (md5-threshold, O(sample) to the driver) from which
+   global range-boundary literals are derived,
+2. every row's range bucket is then a *pure expression* (struct
+   comparisons against those literals) — deterministic, so the
+   per-bucket counts branch and the ``row_number`` branch can each
+   recompute it from the scan with no persisted snapshot and no
+   boundary-resampling hazard,
+3. bucket counts → cumulative offsets (O(buckets) window) are
+   broadcast back; ``index = offset + local_rank - 1``.
+
+This shuffles the full rows exactly once (by bucket, for the local
+rank) and never materializes a cache — at 100 TB the only wide cost
+is that one shuffle, and the sample pass reads just the key columns.
+
+**Persisted-range path** (fallback for expensive upstreams — joins,
+aggregates, UDF stages): ``repartitionByRange`` + persist. Spark's
+RangePartitioner seeds boundary sampling with the RDD id, so
+re-computing the exchange can pick different boundaries; pinning the
+materialized partitions is the only sound way to reference that
+partitioning twice. This pays one materialization but evaluates the
+upstream once instead of three times.
+
+Both paths are what RDD ``zipWithIndex`` does physically, expressed in
+the DataFrame API so the rest of the plan stays in Catalyst.
 """
 
 from __future__ import annotations
 
 import builtins
+import re
 from functools import reduce
 
 from pyspark.sql import DataFrame, Window
@@ -39,59 +53,184 @@ from pyspark.storagelevel import StorageLevel
 
 ROW_INDEX = "_zip_index"
 
+# logical-plan nodes that are cheap + deterministic to re-evaluate:
+# anything else (Join/Aggregate/Window/Generate/Sample/...) makes the
+# input worth persisting instead of recomputing per branch
+_RESCAN_CHEAP_NODES = frozenset(
+    {"Project", "Filter", "Relation", "LocalRelation", "InMemoryRelation", "Range"}
+)
+_NODE_RE = re.compile(r"[A-Za-z]+")
+
+
+def _rescan_cheap(df: DataFrame) -> bool:
+    """True when ``df``'s optimized plan contains only scan / project /
+    filter nodes, so evaluating it three times costs three pruned scans
+    rather than three joins."""
+    try:
+        tree = df._jdf.queryExecution().optimizedPlan().treeString()
+    except Exception:
+        return False  # non-classic backend: be conservative
+    for line in tree.splitlines():
+        m = _NODE_RE.search(line)
+        if m and m.group(0) not in _RESCAN_CHEAP_NODES:
+            return False
+    return True
+
+
+def _default_partitions(df: DataFrame) -> int:
+    # scale the exchange with the input, not the cluster: a single-file
+    # local input doesn't need defaultParallelism-wide shuffles
+    # (measured 30% faster at sf0.1), while a many-split cluster input
+    # still fans out to full parallelism
+    from mindseye_dataframes_spark.plans.parallelism import scan_partitions
+
+    inp = scan_partitions(df)
+    return min(df.sparkSession.sparkContext.defaultParallelism, max(4, inp * 2))
+
+
+# (applicationId, analyzed-plan semanticHash, order_keys, parts) →
+# boundary tuples. Boundaries are a pure function of the (immutable)
+# input data, so like ``plans.parallelism._PARTS_CACHE`` the two probe
+# jobs are paid once per distinct plan per session, not per query run.
+_BOUNDS_CACHE: dict[tuple, list[tuple]] = {}
+
+
+def _sample_boundaries(
+    df: DataFrame, order_keys: list[str], parts: int
+) -> list[tuple]:
+    """Deterministic range boundaries: hash-sample the key columns
+    (pure function of the data — same rows every run, any partitioning)
+    and take evenly spaced picks from the sorted sample. O(sample) on
+    the driver; one column-pruned pass over the input."""
+    try:
+        cache_key = (
+            df.sparkSession.sparkContext.applicationId,
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            tuple(order_keys),
+            parts,
+        )
+    except Exception:
+        cache_key = None
+    if cache_key is not None and cache_key in _BOUNDS_CACHE:
+        return _BOUNDS_CACHE[cache_key]
+    bounds = _compute_boundaries(df, order_keys, parts)
+    if cache_key is not None:
+        _BOUNDS_CACHE[cache_key] = bounds
+    return bounds
+
+
+def _compute_boundaries(
+    df: DataFrame, order_keys: list[str], parts: int
+) -> list[tuple]:
+    n = df.select(*order_keys).count()
+    if n == 0 or parts <= 1:
+        return []
+    target = parts * 40
+    thr = builtins.min(1_000_000, builtins.max(1, (target * 1_000_000) // n))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("\x1f", *[F.col(k).cast("string") for k in order_keys])),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    sample = [
+        tuple(r)
+        for r in df.select(*order_keys).filter(h % 1_000_000 < thr).collect()
+    ]
+    if not sample:
+        return []
+    sample.sort()
+    step = builtins.max(1, len(sample) // parts)
+    picks = sample[step::step][: parts - 1]
+    # drop duplicate boundaries (near-constant keys): fewer, valid buckets
+    out: list[tuple] = []
+    for b in picks:
+        if not out or b != out[-1]:
+            out.append(b)
+    return out
+
+
+def _bucket_expr(df: DataFrame, order_keys: list[str], boundaries: list[tuple]):
+    """bucket = number of boundaries ≤ key (struct comparison against
+    literals — lexicographic, deterministic, whole-stage codegen)."""
+    if not boundaries:
+        return F.lit(0)
+    dtypes = dict(df.select(*order_keys).dtypes)
+    key_struct = F.struct(*[F.col(k) for k in order_keys])
+    acc = F.lit(0)
+    for b in boundaries:
+        lit_struct = F.struct(
+            *[
+                F.lit(v).cast(dtypes[k]).alias(k)
+                for k, v in zip(order_keys, b)
+            ]
+        )
+        acc = acc + F.when(key_struct >= lit_struct, 1).otherwise(0)
+    return acc
+
+
+def _attach_index(
+    bucketed: DataFrame, order_keys: list[str], index_col: str
+) -> DataFrame:
+    """Shared tail: per-bucket counts → cumulative offsets (broadcast,
+    O(buckets)) + local rank → dense global index."""
+    keys = [F.col(k) for k in order_keys]
+    counts = bucketed.groupBy("_zip_part").agg(F.count(F.lit(1)).alias("_zip_n"))
+    cum = Window.orderBy("_zip_part").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_zip_part",
+        F.coalesce(F.sum("_zip_n").over(cum), F.lit(0)).alias("_zip_offset"),
+    )
+    local = Window.partitionBy("_zip_part").orderBy(*keys)
+    return (
+        bucketed.withColumn("_zip_local", F.row_number().over(local))
+        .join(F.broadcast(offsets), "_zip_part")
+        .withColumn(index_col, (F.col("_zip_offset") + F.col("_zip_local") - 1))
+        .drop("_zip_part", "_zip_local", "_zip_offset")
+    )
+
 
 def with_row_index(
     df: DataFrame,
     order_keys: list[str],
     index_col: str = ROW_INDEX,
     num_partitions: int | None = None,
+    recompute_safe: bool | None = None,
 ) -> DataFrame:
     """Add a dense 0-based row index following ``order_keys`` order.
 
-    ``order_keys`` must be a unique key — equal keys have no defined
-    position (range partitioning may split ties across partitions).
+    ``order_keys`` must be a unique, non-null key — equal keys have no
+    defined position, and null ordering differs across range buckets.
 
-    The returned plan reads a persisted snapshot of the re-ranged
-    input; for very large zips free it afterwards with
-    ``spark.catalog.clearCache()`` (or let LRU eviction handle it).
+    ``recompute_safe``: True forces the sampled-boundary path (input
+    evaluated once full-width plus two column-pruned passes), False
+    forces the persisted-range path (input evaluated once, one
+    materialization); None auto-detects from the plan shape.
     """
-    keys = [F.col(k) for k in order_keys]
-    if num_partitions is None:
-        # scale the range exchange with the input, not the cluster: a
-        # single-file local input doesn't need defaultParallelism-wide
-        # shuffles (measured 30% faster at sf0.1), while a many-split
-        # cluster input still fans out to full parallelism
-        from mindseye_dataframes_spark.plans.parallelism import scan_partitions
+    if recompute_safe is None:
+        recompute_safe = _rescan_cheap(df)
+    parts = num_partitions or _default_partitions(df)
 
-        inp = scan_partitions(df)
-        num_partitions = min(
-            df.sparkSession.sparkContext.defaultParallelism, max(4, inp * 2)
+    if recompute_safe:
+        boundaries = _sample_boundaries(df, order_keys, parts)
+        bucketed = df.withColumn(
+            "_zip_part", _bucket_expr(df, order_keys, boundaries)
         )
-    parts = num_partitions
+        return _attach_index(bucketed, order_keys, index_col)
+
+    keys = [F.col(k) for k in order_keys]
     ranged = (
         df.repartitionByRange(parts, *keys)
         .withColumn("_zip_part", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-
-    # This action materializes the cache, freezing partition boundaries;
-    # only one count per partition reaches the driver, never row data.
-    counts = ranged.groupBy("_zip_part").agg(F.count(F.lit(1)).alias("n")).collect()
-    offsets, acc = [], 0
-    for row in sorted(counts, key=lambda r: r["_zip_part"]):
-        offsets.append((row["_zip_part"], acc))
-        acc += row["n"]
-    offsets_df = df.sparkSession.createDataFrame(
-        offsets, "_zip_part int, _zip_offset long"
-    )
-
-    local = Window.partitionBy("_zip_part").orderBy(*keys)
-    return (
-        ranged.withColumn("_zip_local", F.row_number().over(local))
-        .join(F.broadcast(offsets_df), "_zip_part")
-        .withColumn(index_col, (F.col("_zip_offset") + F.col("_zip_local") - 1))
-        .drop("_zip_part", "_zip_local", "_zip_offset")
-    )
+    # This action materializes the cache, freezing partition boundaries
+    # (see module docstring); only counts reach the driver, never rows.
+    ranged.count()
+    return _attach_index(ranged, order_keys, index_col)
 
 
 def zip_frames(

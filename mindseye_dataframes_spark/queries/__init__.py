@@ -33,6 +33,7 @@ _MODULES = (
     "maps_stats",
     "curation",
     "training",
+    "llm_prep",
 )
 _loaded = False
 

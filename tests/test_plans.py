@@ -218,3 +218,66 @@ def test_video_frame_sample_is_pure_map(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q84_video_frame_sample")
     body = plan.split("AdaptiveSparkPlan")[-1]
     assert "hashpartitioning" not in body
+
+
+def test_zip_sampled_path_no_cache_no_range_exchange(spark, sf_dir):
+    """Scan-backed zips must take the sampled-boundary path: no
+    persisted snapshot (InMemoryTableScan) and no RangePartitioning
+    exchange — bucket ids are pure expressions, so the only wide cost
+    is the hashpartitioning shuffle for the local rank."""
+    plan = plan_of(spark, sf_dir, "q13_zip_positional")
+    assert "InMemoryTableScan" not in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_zip_persist_path_for_expensive_upstream(spark):
+    """A join-shaped upstream must fall back to the persisted-range
+    path instead of recomputing the join three times."""
+    from mindseye_dataframes_spark.operators.zip_frames import (
+        _rescan_cheap,
+        with_row_index,
+    )
+
+    a = spark.range(100).withColumnRenamed("id", "k")
+    b = spark.range(100).withColumnRenamed("id", "k")
+    joined = a.join(b, "k")
+    assert not _rescan_cheap(joined)
+    assert _rescan_cheap(a.filter("k > 3").select("k"))
+    out = with_row_index(joined, ["k"], index_col="rid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan  # persisted snapshot reused
+    rows = {r["k"]: r["rid"] for r in out.collect()}
+    assert rows == {k: k for k in range(100)}
+
+
+def test_pii_redaction_is_pure_map(spark, sf_dir):
+    """q86 must stay a narrow codegen map over the scan — no joins, no
+    aggregates, no Python workers (regexp work is JVM-side)."""
+    plan = plan_of(spark, sf_dir, "q86_pii_redaction")
+    for bad in ("Join", "HashAggregate", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan
+
+
+def test_contamination_screen_broadcasts_benchmark(spark, sf_dir):
+    """q87: the benchmark shingle set is small by definition — the
+    corpus side must never shuffle for the join."""
+    plan = plan_of(spark, sf_dir, "q87_contamination_screen")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunking_is_generate_no_join(spark, sf_dir):
+    """q88: chunking is generate+project over the scan — row-local,
+    shuffle only for the final presentation sort."""
+    plan = plan_of(spark, sf_dir, "q88_chunk_documents")
+    assert "Generate" in plan  # explode(sequence(...))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_vector_features_no_python_udf(spark, sf_dir):
+    """q90: higher-order array lambdas must run JVM-side."""
+    plan = plan_of(spark, sf_dir, "q90_vector_features")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
