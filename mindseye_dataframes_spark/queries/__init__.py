@@ -34,6 +34,7 @@ _MODULES = (
     "curation",
     "training",
     "llm_prep",
+    "scale_patterns",
 )
 _loaded = False
 

@@ -1,0 +1,274 @@
+"""Operator patterns that keep working at 100 TB.
+
+q91 token position index — per-document token → (first position,
+occurrence count) via ``posexplode``. Generate+aggregate, one
+exchange; the inverted-index building block for q80/q87-style joins.
+
+q92 binned interval join — the scale rewrite of an inequality join.
+A naive ``a.ts BETWEEN b.ts - 6h AND b.ts + 6h`` theta-join plans as
+BroadcastNestedLoopJoin (O(n·m) comparisons — a cluster-killer).
+Binning both sides to 12-hour buckets (= window width) turns it into
+an *equi*-join on ``(user_id, bin)`` with ≤3 candidate bins exploded
+on the probe side, then the exact predicate filters survivors. Same
+result set, hash-join plan, linear shuffle. The oracle runs the
+naive theta-join SQL — DuckDB can afford it at sf0.01 — proving the
+rewrite is semantics-preserving.
+
+q93 trailing-window anomaly flags — value > 2× trailing average,
+computed entirely in exact decimal (see ``functions/exact.py``):
+``value·n > 2·Σ`` cross-multiplied so no division ever happens —
+engine-exact, no fp-drift false flags.
+
+q94 distinctive terms — per-source top-3 tokens by an integer
+tf/df score (``tf·1e6 div df``) with lexicographic tie-breaks:
+TF-IDF's ranking power without floating-point logs, so the ranking
+is bit-identical on every engine.
+
+q95 price histogram — 20 equi-width buckets over integer *cents*
+(``round(price·100)``): bucket arithmetic is pure BIGINT, so bucket
+edges cannot drift between engines. Global min/max come from a
+broadcast 1-row aggregate (scalar-subquery shape).
+
+q96 CDC compaction (latest-per-key) — the upsert-log → snapshot
+operator: ``row_number() OVER (PARTITION BY key ORDER BY ts DESC,
+id DESC) = 1``. One hash exchange + per-partition sort; ties broken
+by id so replays are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mindseye_dataframes_spark.queries.registry import query
+from mindseye_dataframes_spark.sources.readers import load_table
+
+_HOUR_US = 3_600_000_000
+_BIN_US = 12 * _HOUR_US  # bin width == interval width (±6h)
+
+
+@query(
+    "q91_token_positions",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents WHERE doc_id < 50),
+    tok AS (SELECT doc_id, list_extract(ws, CAST(pos AS INT)) AS token, pos
+            FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS pos) p)
+    SELECT doc_id, token,
+           CAST(min(pos) AS BIGINT) AS first_pos,
+           CAST(count(*) AS BIGINT) AS n_occur
+    FROM tok GROUP BY doc_id, token ORDER BY doc_id, token
+    """,
+    tags=("text", "lateral", "parity:posexplode"),
+)
+def q91_token_positions(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "token"))
+        .groupBy("doc_id", "token")
+        .agg(
+            (F.min("pos0") + 1).cast("long").alias("first_pos"),
+            F.count(F.lit(1)).alias("n_occur"),
+        )
+        .orderBy("doc_id", "token")
+    )
+
+
+@query(
+    "q92_binned_interval_join",
+    oracle="""
+    SELECT e.event_id AS error_id, c.event_id AS click_id,
+           e.user_id AS user_id
+    FROM events e JOIN events c
+      ON c.user_id = e.user_id AND c.event_type = 'click'
+    WHERE e.event_type = 'error'
+      AND c.ts BETWEEN e.ts - INTERVAL 6 HOUR AND e.ts + INTERVAL 6 HOUR
+    ORDER BY error_id, click_id
+    """,
+    tags=("join", "interval", "scale-rewrite"),
+)
+def q92_binned_interval_join(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            F.unix_micros("ts").alias("e_us"),
+        )
+        # probe side: a ±half-bin window can only land in 3 bins
+        .withColumn(
+            "bin",
+            F.explode(
+                F.array(
+                    F.expr(f"e_us div {_BIN_US} - 1"),
+                    F.expr(f"e_us div {_BIN_US}"),
+                    F.expr(f"e_us div {_BIN_US} + 1"),
+                )
+            ),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.unix_micros("ts").alias("c_us"),
+        F.expr(f"unix_micros(ts) div {_BIN_US}").alias("bin"),
+    )
+    return (
+        errors.join(
+            clicks,
+            (errors["user_id"] == clicks["c_user"]) & (errors["bin"] == clicks["bin"]),
+        )
+        .filter(
+            (F.col("c_us") >= F.col("e_us") - 6 * _HOUR_US)
+            & (F.col("c_us") <= F.col("e_us") + 6 * _HOUR_US)
+        )
+        .select("error_id", "click_id", "user_id")
+        .orderBy("error_id", "click_id")
+    )
+
+
+@query(
+    "q93_trailing_anomaly",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id, value,
+             CAST(value AS DECIMAL(18,6)) AS dv,
+             SUM(CAST(value AS DECIMAL(18,6))) OVER w AS trail_sum,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_trail
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+    SELECT event_id, user_id, value, n_trail
+    FROM t WHERE n_trail >= 5 AND dv * n_trail > 2 * trail_sum
+    ORDER BY event_id
+    """,
+    tags=("window", "anomaly", "exact-decimal"),
+)
+def q93_trailing_anomaly(spark, sf_dir):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    dv = F.col("value").cast("decimal(18,6)")
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            dv.alias("dv"),
+            F.sum(dv).over(w).alias("trail_sum"),
+            F.count(F.lit(1)).over(w).alias("n_trail"),
+        )
+        .filter(
+            (F.col("n_trail") >= 5)
+            & (F.col("dv") * F.col("n_trail") > 2 * F.col("trail_sum"))
+        )
+        .select("event_id", "user_id", "value", "n_trail")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q94_distinctive_terms",
+    oracle="""
+    WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    tf AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n_tf
+           FROM tok GROUP BY source, token),
+    idf AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_df
+            FROM tok GROUP BY token),
+    scored AS (SELECT source, token, n_tf, n_df,
+                      n_tf * 1000000 // n_df AS score
+               FROM tf JOIN idf USING (token))
+    SELECT source, token, n_tf, n_df, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY score DESC, token) AS rn
+      FROM scored) WHERE rn <= 3
+    ORDER BY source, score DESC, token
+    """,
+    tags=("text", "tfidf", "north-star"),
+)
+def q94_distinctive_terms(spark, sf_dir):
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n_tf"))
+    idf = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("n_df"))
+    scored = tf.join(F.broadcast(idf), "token").withColumn(
+        "score", F.expr("n_tf * 1000000 div n_df")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("score"), "token")
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= 3)
+        .select("source", "token", "n_tf", "n_df", "score")
+        .orderBy("source", F.desc("score"), "token")
+    )
+
+
+@query(
+    "q95_price_histogram",
+    oracle="""
+    WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    m AS (SELECT min(cents) AS mn, max(cents) AS mx FROM c)
+    SELECT least(19, (cents - mn) * 20 // (mx - mn + 1)) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(cents) AS lo_cents, max(cents) AS hi_cents
+    FROM c, m
+    GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("agg", "histogram"),
+)
+def q95_price_histogram(spark, sf_dir):
+    cents = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    )
+    minmax = cents.agg(F.min("cents").alias("mn"), F.max("cents").alias("mx"))
+    return (
+        cents.crossJoin(F.broadcast(minmax))
+        .select(
+            F.least(F.lit(19), F.expr("(cents - mn) * 20 div (mx - mn + 1)")).alias(
+                "bucket"
+            ),
+            "cents",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q96_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id, event_type, value, ts FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    ORDER BY user_id
+    """,
+    tags=("window", "cdc", "compaction"),
+)
+def q96_latest_per_key(spark, sf_dir):
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value", "ts")
+        .orderBy("user_id")
+    )

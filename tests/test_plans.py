@@ -281,3 +281,35 @@ def test_vector_features_no_python_udf(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q90_vector_features")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_binned_interval_join_is_hash_join(spark, sf_dir):
+    """q92's reason to exist: the interval join must plan as an
+    equi-join (hash/sort-merge on (user_id, bin)), never as the
+    O(n*m) BroadcastNestedLoopJoin the naive theta-join produces."""
+    plan = plan_of(spark, sf_dir, "q92_binned_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_distinctive_terms_broadcasts_df_side(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q94_distinctive_terms")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_histogram_minmax_is_broadcast_scalar(spark, sf_dir):
+    """q95: the global min/max is a 1-row broadcast, not a shuffle of
+    the fact side against itself."""
+    plan = plan_of(spark, sf_dir, "q95_price_histogram")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_latest_per_key_single_exchange(spark, sf_dir):
+    """q96 CDC compaction: one hash exchange for the window, plus the
+    presentation sort — nothing else."""
+    plan = plan_of(spark, sf_dir, "q96_latest_per_key")
+    assert plan.count("Exchange hashpartitioning") == 1
