@@ -272,3 +272,120 @@ def q96_latest_per_key(spark, sf_dir):
         .select("user_id", "event_id", "event_type", "value", "ts")
         .orderBy("user_id")
     )
+
+
+def _morton_sql(xe: str, ye: str, bits: int, divop: str) -> str:
+    """Portable 2-D Morton (Z-order) code as pure integer arithmetic —
+    no engine-specific bit operators, so the SAME formula (modulo the
+    integer-division spelling) runs on Spark and DuckDB: interleave
+    bit i of x into position 2i and bit i of y into 2i+1 via
+    ((v div 2^i) % 2) * 4^i."""
+    terms = []
+    for i in range(bits):
+        p2, p4 = 2**i, 4**i
+        terms.append(f"((({xe}) {divop} {p2}) % 2) * {p4}")
+        terms.append(f"((({ye}) {divop} {p2}) % 2) * {2 * p4}")
+    return " + ".join(terms)
+
+
+_MORTON_SPARK = _morton_sql("l_partkey % 1024", "l_suppkey % 1024", 10, "div")
+_MORTON_DUCK = _morton_sql("l_partkey % 1024", "l_suppkey % 1024", 10, "//")
+
+
+@query(
+    "q97_zorder_layout",
+    oracle=f"""
+    WITH m AS (SELECT l_partkey, l_suppkey,
+                      {_MORTON_DUCK} AS zcode
+               FROM lineitem)
+    SELECT zcode // 4096 AS zfile,
+           CAST(count(*) AS BIGINT) AS n,
+           min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+           min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+    FROM m GROUP BY zfile ORDER BY zfile
+    """,
+    tags=("layout", "zorder", "scale-rewrite"),
+)
+def q97_zorder_layout(spark, sf_dir):
+    """Z-order clustering for multi-dimensional data-skipping: sort by
+    an interleaved-bit code and every output block covers a tight
+    (partkey × suppkey) rectangle, so min/max footer stats prune scans
+    on EITHER predicate column. The emitted per-block ranges are
+    exactly the skipping index a 100 TB writer would persist. Morton
+    math is a pure narrow map (codegen, no shuffle); the stats are one
+    hash-aggregate."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.expr(_MORTON_SPARK).alias("zcode"),
+        )
+        .select(F.expr("zcode div 4096").alias("zfile"), "l_partkey", "l_suppkey")
+        .groupBy("zfile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+        .orderBy("zfile")
+    )
+
+
+@query(
+    "q98_gap_fill",
+    oracle="""
+    WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, value, ts FROM events),
+    b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+    days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+             FROM b),
+    users AS (SELECT DISTINCT user_id FROM ev),
+    daily AS (SELECT user_id, day, arg_max(value, ts) AS day_value
+              FROM ev GROUP BY user_id, day)
+    SELECT users.user_id, days.day,
+           last_value(daily.day_value IGNORE NULLS) OVER (
+             PARTITION BY users.user_id ORDER BY days.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff,
+           daily.day_value IS NOT NULL AS had_event
+    FROM users CROSS JOIN days
+    LEFT JOIN daily ON daily.user_id = users.user_id AND daily.day = days.day
+    ORDER BY users.user_id, days.day
+    """,
+    tags=("timeseries", "gap-fill", "north-star"),
+)
+def q98_gap_fill(spark, sf_dir):
+    """Time-series regularization: project an irregular event stream
+    onto a daily grid and forward-fill the last observation — the
+    hypertable-rollup companion every feature-store export needs.
+    Daily last-observation = ``max_by(value, ts)`` (ts unique per
+    user — verified at both scale factors); the grid is a broadcast
+    cross of two tiny sides (distinct users × day span), so the only
+    full shuffle is the per-user window. Rows before a user's first
+    event stay NULL by design."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "value", "ts"
+    )
+    bounds = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    days = bounds.select(F.explode(F.expr("sequence(d0, d1)")).alias("day"))
+    users = ev.select("user_id").distinct()
+    daily = ev.groupBy("user_id", "day").agg(
+        F.max_by("value", F.col("ts")).alias("day_value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        users.crossJoin(F.broadcast(days))
+        .join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.last("day_value", ignorenulls=True).over(w).alias("value_ff"),
+            F.col("day_value").isNotNull().alias("had_event"),
+        )
+        .orderBy("user_id", "day")
+    )

@@ -313,3 +313,20 @@ def test_latest_per_key_single_exchange(spark, sf_dir):
     presentation sort — nothing else."""
     plan = plan_of(spark, sf_dir, "q96_latest_per_key")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_zorder_is_map_plus_single_aggregate(spark, sf_dir):
+    """q97: morton coding must stay inside whole-stage codegen — one
+    hash-aggregate exchange, no joins, no Python."""
+    plan = plan_of(spark, sf_dir, "q97_zorder_layout")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_gap_fill_grid_sides_broadcast(spark, sf_dir):
+    """q98: the user×day grid is built from broadcast tiny sides; the
+    only full-data hash exchange feeds the per-user window."""
+    plan = plan_of(spark, sf_dir, "q98_gap_fill")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # tiny days side, by design
