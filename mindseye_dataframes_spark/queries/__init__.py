@@ -35,6 +35,7 @@ _MODULES = (
     "training",
     "llm_prep",
     "scale_patterns",
+    "lakehouse",
 )
 _loaded = False
 

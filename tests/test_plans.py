@@ -330,3 +330,10 @@ def test_gap_fill_grid_sides_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q98_gap_fill")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # tiny days side, by design
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """q100: both window functions share one per-user exchange+sort."""
+    plan = plan_of(spark, sf_dir, "q100_scd2_intervals")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1  # lead+row_number fused in one node

@@ -180,3 +180,28 @@ def test_missing_parquet_raises_immediately(spark, tmp_path):
     with pytest.raises(Exception) as exc_info:
         _load_table(spark, str(tmp_path / "nope"), "events")
     assert "NANOS" not in str(exc_info.value)
+
+
+def test_merge_upsert_semantics(spark):
+    """keep/update/insert markers; update columns subset of base —
+    missing columns inherit base values; bad columns rejected."""
+    from mindseye_dataframes_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+    upd = spark.createDataFrame(
+        [(2, 99.0), (4, 40.0)], "k long, v double"  # no 'name' column
+    )
+    out = {r["k"]: r for r in merge_upsert(base, upd, ["k"]).collect()}
+    assert out[1]["action"] == "keep" and out[1]["v"] == 10.0
+    assert out[2]["action"] == "update" and out[2]["v"] == 99.0
+    assert out[2]["name"] == "b"  # inherited from base
+    assert out[4]["action"] == "insert" and out[4]["name"] is None
+
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([(1, 2.0)], "k long, nope double")
+    with _pytest.raises(ValueError):
+        merge_upsert(base, bad, ["k"])
