@@ -36,6 +36,7 @@ _MODULES = (
     "llm_prep",
     "scale_patterns",
     "lakehouse",
+    "analytics_extra",
 )
 _loaded = False
 

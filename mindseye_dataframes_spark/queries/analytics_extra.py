@@ -1,0 +1,85 @@
+"""Per-key model fitting and blocked fuzzy matching.
+
+q101 per-user trend — built-in linear regression aggregates
+(``regr_slope``/``regr_intercept``/``regr_count``) of event value
+against day-of-month. Day-of-month keeps |x| small so the covariance
+accumulators don't cancel catastrophically; round(6) absorbs the
+residual ulp difference from partial-aggregation order. One hash
+exchange, all JVM. The grouped-map pandas twin for kernels with no
+built-in aggregate lives in ``operators/grouped.py`` and is pinned to
+this query's results in tests.
+
+q102 blocked fuzzy match — entity resolution over part names:
+``levenshtein ≤ 2`` within a ``p_brand`` block. Blocking is the scale
+story: the quadratic edit-distance comparison only runs inside small
+same-brand buckets (an equi-join), never across the full corpus —
+the same blocked shape as the LSH dedup family (q32), with an exact
+integer distance both engines define identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mindseye_dataframes_spark.queries.registry import query
+from mindseye_dataframes_spark.sources.readers import load_table
+
+
+@query(
+    "q101_trend_per_user",
+    oracle="""
+    SELECT user_id,
+           round(regr_slope(value, day(ts)), 6) AS slope,
+           round(regr_intercept(value, day(ts)), 6) AS intercept,
+           CAST(regr_count(value, day(ts)) AS BIGINT) AS n
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("agg", "regression"),
+)
+def q101_trend_per_user(spark, sf_dir):
+    x = F.dayofmonth("ts").cast("double")
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.regr_slope(F.col("value"), x), 6).alias("slope"),
+            F.round(F.regr_intercept(F.col("value"), x), 6).alias("intercept"),
+            F.regr_count(F.col("value"), x).alias("n"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q102_fuzzy_name_match",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ORDER BY key_a, key_b
+    """,
+    tags=("join", "fuzzy", "north-star"),
+)
+def q102_fuzzy_name_match(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand"),
+    )
+    return (
+        a.join(b, "brand")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= 2)
+        .select("key_a", "key_b", "name_a", "name_b", "dist")
+        .orderBy("key_a", "key_b")
+    )

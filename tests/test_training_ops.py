@@ -100,3 +100,34 @@ def test_video_frame_sample_stride_and_determinism(spark):
         assert all(r["ts_sec"] == r["frame_idx"] / 24.0 for r in rows)
     again = sample_video_frames(df, "blob", stride=2).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_grouped_ols_matches_builtin_regression(spark, sf_dir):
+    """The applyInPandas grouped-map kernel must agree with the JVM
+    regr_slope/regr_intercept aggregates on the same data."""
+    from pyspark.sql import functions as F
+
+    from mindseye_dataframes_spark.operators.grouped import grouped_ols
+    from mindseye_dataframes_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.dayofmonth("ts").cast("double").alias("x"), "value"
+    )
+    ours = {
+        r["user_id"]: r for r in grouped_ols(ev, "user_id", "x", "value").collect()
+    }
+    ref = {
+        r["user_id"]: r
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.regr_slope("value", "x").alias("slope"),
+            F.regr_intercept("value", "x").alias("intercept"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert set(ours) == set(ref)
+    for k in ref:
+        assert ours[k]["n"] == ref[k]["n"]
+        assert abs(ours[k]["slope"] - ref[k]["slope"]) < 1e-9
+        assert abs(ours[k]["intercept"] - ref[k]["intercept"]) < 1e-9
