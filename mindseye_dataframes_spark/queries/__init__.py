@@ -37,6 +37,7 @@ _MODULES = (
     "scale_patterns",
     "lakehouse",
     "analytics_extra",
+    "reshape",
 )
 _loaded = False
 
