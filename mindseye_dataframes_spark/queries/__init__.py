@@ -38,6 +38,7 @@ _MODULES = (
     "lakehouse",
     "analytics_extra",
     "reshape",
+    "sketches",
 )
 _loaded = False
 

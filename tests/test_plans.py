@@ -337,3 +337,29 @@ def test_scd2_single_exchange(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q100_scd2_intervals")
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 1  # lead+row_number fused in one node
+
+
+def test_partitioned_layout_partition_pruning(spark, sf_dir, tmp_path_factory):
+    """Hive-partitioned writes must prune at the scan: a filter on the
+    partition column becomes PartitionFilters (footer-less skip of
+    other partitions), not a post-scan Filter over everything — the
+    mechanism that makes partitioned layouts pay off at 100 TB."""
+    from mindseye_dataframes_spark.sources.readers import load_table
+
+    out = str(tmp_path_factory.mktemp("part_layout") / "events_by_type")
+    load_table(spark, sf_dir, "events").write.partitionBy("event_type").mode(
+        "overwrite"
+    ).parquet(out)
+
+    df = spark.read.parquet(out).filter("event_type = 'click'")
+    plan = df.sparkSession._jsparkSession.sessionState().executePlan(
+        df._jdf.queryExecution().logical(),
+        df._jdf.queryExecution().mode(),
+    ).explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "event_type" in seg
+    # row-level pushed filters must NOT carry the partition predicate
+    assert df.count() > 0

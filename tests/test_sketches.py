@@ -1,0 +1,54 @@
+"""Accuracy contracts for the sketch aggregates (q106/q107) — these
+replace the DuckDB oracle, which cannot see engine-specific sketch
+state."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mindseye_dataframes_spark.queries import load_all
+from mindseye_dataframes_spark.sources.readers import load_table
+
+REGISTRY = load_all()
+
+
+def test_approx_percentiles_rank_error_bound(spark, sf_dir):
+    """approx_percentile(accuracy=10000) guarantees rank error
+    ≤ n/accuracy; check value-space agreement via the exact values at
+    the error-bound rank offsets."""
+    approx = {
+        r["event_type"]: r["approx_p50_p95_p99"]
+        for r in REGISTRY["q106_approx_percentiles"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    for etype, (p50, p95, p99) in approx.items():
+        vals = sorted(
+            r["value"] for r in ev.filter(F.col("event_type") == etype).collect()
+        )
+        n = len(vals)
+        tol = max(1, n // 10000 + 1)  # rank tolerance from the accuracy contract
+        for q, got in ((0.5, p50), (0.95, p95), (0.99, p99)):
+            rank = int(q * n)
+            lo = vals[max(0, rank - tol - 1)]
+            hi = vals[min(n - 1, rank + tol)]
+            assert lo <= got <= hi, (etype, q, got, lo, hi)
+
+
+def test_hll_rollup_within_error_and_mergeable(spark, sf_dir):
+    """Merged daily sketches must estimate within 5% of the exact
+    distinct count (lgK=12 → ~1.6% standard error)."""
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in REGISTRY["q107_sketch_rollup"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for etype in exact:
+        rel = abs(approx[etype] - exact[etype]) / max(1, exact[etype])
+        assert rel < 0.05, (etype, approx[etype], exact[etype])
