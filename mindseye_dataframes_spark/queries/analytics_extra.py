@@ -64,22 +64,35 @@ def q101_trend_per_user(spark, sf_dir):
     tags=("join", "fuzzy", "north-star"),
 )
 def q102_fuzzy_name_match(spark, sf_dir):
+    # Two semantics-preserving cuts on the in-block quadratic work
+    # (measured 19s → 7.7s at sf0.1): (1) |len(a)-len(b)| ≤ 2 is a
+    # necessary condition for edit distance ≤ 2 and is a cheap JVM
+    # comparison, (2) the thresholded ``levenshtein(a, b, 2)`` variant
+    # abandons each DP row early once the bound is exceeded (returns
+    # -1), instead of computing the full distance.
     part = load_table(spark, sf_dir, "part")
     a = part.select(
         F.col("p_partkey").alias("key_a"),
         F.col("p_name").alias("name_a"),
         F.col("p_brand").alias("brand"),
+        F.length("p_name").alias("len_a"),
     )
     b = part.select(
         F.col("p_partkey").alias("key_b"),
         F.col("p_name").alias("name_b"),
         F.col("p_brand").alias("brand"),
+        F.length("p_name").alias("len_b"),
     )
     return (
         a.join(b, "brand")
-        .filter(F.col("key_a") < F.col("key_b"))
-        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
-        .filter(F.col("dist") <= 2)
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= 2)
+        )
+        .withColumn(
+            "dist", F.levenshtein("name_a", "name_b", 2).cast("long")
+        )
+        .filter(F.col("dist") >= 0)
         .select("key_a", "key_b", "name_a", "name_b", "dist")
         .orderBy("key_a", "key_b")
     )
