@@ -39,6 +39,7 @@ _MODULES = (
     "analytics_extra",
     "reshape",
     "sketches",
+    "quality_gate",
 )
 _loaded = False
 

@@ -1,0 +1,160 @@
+"""Corpus admission checks and event-stream hygiene.
+
+q108 quality gate — the declarative expectations engine
+(``operators/expectations.py``) over ``lineitem``: six checks
+(row floor, null-free keys, key uniqueness, quantity/discount ranges,
+return-flag domain) evaluated in ONE aggregate pass. The oracle
+recomputes every check as plain SQL aggregates — bit-exact integer
+counts and booleans.
+
+q109 debounce — drop events of the same (user, type) arriving within
+60 s of the previous one: the lag-window hygiene filter that kills
+double-fires before sessionization. Integer-microsecond comparison,
+one hash exchange.
+
+q110 ordered funnel — view → click → purchase with strict temporal
+ordering per user: min-timestamp per stage joined stepwise
+(click after first view, purchase after that click), then one row of
+stage counts. Joins are per-user equi-joins (no theta), so the
+funnel costs three keyed aggregates at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mindseye_dataframes_spark.operators.expectations import (
+    check_in_range,
+    check_in_set,
+    check_min_rows,
+    check_not_null,
+    check_unique,
+    run_checks,
+)
+from mindseye_dataframes_spark.queries.registry import query
+from mindseye_dataframes_spark.sources.readers import load_table
+
+
+@query(
+    "q108_quality_gate",
+    oracle="""
+    WITH a AS (
+      SELECT count(*) AS n_rows,
+             count(*) - count(l_orderkey) AS null_keys,
+             count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS dupes,
+             CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                           THEN 1 ELSE 0 END) AS BIGINT) AS qty_out,
+             CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS disc_out,
+             CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS flag_out
+      FROM lineitem)
+    SELECT 'in_range:l_discount' AS "check", disc_out = 0 AS passed,
+           CAST(disc_out AS BIGINT) AS observed FROM a
+    UNION ALL
+    SELECT 'in_range:l_quantity', qty_out = 0, CAST(qty_out AS BIGINT) FROM a
+    UNION ALL
+    SELECT 'in_set:l_returnflag', flag_out = 0, CAST(flag_out AS BIGINT) FROM a
+    UNION ALL
+    SELECT 'min_rows', n_rows >= 1000, CAST(n_rows AS BIGINT) FROM a
+    UNION ALL
+    SELECT 'not_null:l_orderkey', null_keys = 0, CAST(null_keys AS BIGINT) FROM a
+    UNION ALL
+    SELECT 'unique:l_orderkey,l_linenumber', dupes = 0, CAST(dupes AS BIGINT) FROM a
+    ORDER BY "check"
+    """,
+    tags=("quality", "expectations", "north-star"),
+)
+def q108_quality_gate(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return run_checks(
+        li,
+        [
+            check_min_rows(1000),
+            check_not_null("l_orderkey"),
+            check_unique("l_orderkey", "l_linenumber"),
+            check_in_range("l_quantity", 1, 50),
+            check_in_range("l_discount", 0.0, 0.1),
+            check_in_set("l_returnflag", ["A", "N", "R"]),
+        ],
+    )
+
+
+@query(
+    "q109_debounce",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts FROM (
+      SELECT event_id, user_id, event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events)
+    WHERE prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 60000000
+    ORDER BY event_id
+    """,
+    tags=("window", "debounce", "hygiene"),
+)
+def q109_debounce(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(
+            F.col("prev_ts").isNull()
+            | (F.unix_micros("ts") - F.unix_micros("prev_ts") > 60_000_000)
+        )
+        .select("event_id", "user_id", "event_type", "ts")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q110_ordered_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS tc
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS tp
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY e.user_id)
+    SELECT CAST(count(v.user_id) AS BIGINT) AS n_view,
+           CAST(count(c.user_id) AS BIGINT) AS n_click_after_view,
+           CAST(count(p.user_id) AS BIGINT) AS n_full_funnel
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+    tags=("funnel", "analytics"),
+)
+def q110_ordered_funnel(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("tv").alias("n_view"),
+            F.count("tc").alias("n_click_after_view"),
+            F.count("tp").alias("n_full_funnel"),
+        )
+    )

@@ -363,3 +363,11 @@ def test_partitioned_layout_partition_pruning(spark, sf_dir, tmp_path_factory):
     assert "event_type" in seg
     # row-level pushed filters must NOT carry the partition predicate
     assert df.count() > 0
+
+
+def test_quality_gate_single_aggregate_pass(spark, sf_dir):
+    """q108: N checks must cost exactly one scan + one aggregate —
+    never one job per check."""
+    plan = plan_of(spark, sf_dir, "q108_quality_gate")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan

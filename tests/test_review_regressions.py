@@ -205,3 +205,29 @@ def test_merge_upsert_semantics(spark):
     bad = spark.createDataFrame([(1, 2.0)], "k long, nope double")
     with _pytest.raises(ValueError):
         merge_upsert(base, bad, ["k"])
+
+
+def test_expectations_fail_and_single_pass(spark):
+    """A violated check must report passed=False with the violation
+    count; all checks compile into ONE aggregate (no per-check jobs)."""
+    from mindseye_dataframes_spark.operators.expectations import (
+        check_in_range,
+        check_min_rows,
+        check_unique,
+        run_checks,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (1, 50.0), (2, -3.0)], "k long, v double"
+    )
+    out = run_checks(
+        df, [check_min_rows(10), check_unique("k"), check_in_range("v", 0, 10)]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one pass over the input: a single scan feeding one aggregate
+    # (the post-agg exchanges move O(n_checks) rows, not data)
+    assert plan.count("Scan") == 1
+    rows = {r["check"]: r for r in out.collect()}
+    assert rows["min_rows"]["passed"] is False and rows["min_rows"]["observed"] == 3
+    assert rows["unique:k"]["passed"] is False and rows["unique:k"]["observed"] == 1
+    assert rows["in_range:v"]["passed"] is False and rows["in_range:v"]["observed"] == 2
