@@ -233,3 +233,71 @@ def test_star_contraction_self_loops_and_empty(spark):
         for r in connected_components_star(pairs).collect()
     }
     assert got == {(7, 7), (8, 8), (1, 1), (2, 1)}
+
+
+def test_merge_upsert_idempotent(spark):
+    """Applying the same changelog twice must not change values —
+    only the action audit differs (insert becomes update)."""
+    from mindseye_dataframes_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    upd = spark.createDataFrame([(2, 99.0), (9, 90.0)], "k long, v double")
+    once = merge_upsert(base, upd, ["k"]).drop("action")
+    twice = merge_upsert(once, upd, ["k"]).drop("action")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_chunking_reassembles_text(spark, sf_dir):
+    """Non-overlapping chunks (stride == width) concatenated in
+    chunk order must reconstruct the original document exactly."""
+    from pyspark.sql import functions as F
+
+    from mindseye_dataframes_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    chunks = docs.select(
+        "doc_id",
+        F.explode(F.expr("sequence(1, n_chars, 120)")).alias("start"),
+        F.expr("substring(text, CAST(start AS INT), 120)").alias("chunk"),
+    )
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "", F.array_sort(F.collect_list(F.struct("start", "chunk"))).getField("chunk")
+            ).alias("rebuilt")
+        )
+    )
+    joined = docs.join(rebuilt, "doc_id").select("doc_id", "text", "rebuilt")
+    assert joined.filter(F.col("text") != F.col("rebuilt")).count() == 0
+
+
+def test_debounce_idempotent(spark, sf_dir):
+    """Debouncing an already-debounced stream is a no-op."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mindseye_dataframes_spark.sources.readers import load_table
+
+    def debounce(df):
+        # coarser key + wider gap than q109 so the property bites even
+        # on the sparse sf0.001 fixture
+        w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        return (
+            df.withColumn("prev_ts", F.lag("ts").over(w))
+            .filter(
+                F.col("prev_ts").isNull()
+                | (F.unix_micros("ts") - F.unix_micros("prev_ts") > 3_600_000_000)
+            )
+            .drop("prev_ts")
+        )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    once = debounce(ev)
+    n_once = once.count()
+    assert n_once < ev.count()  # something actually debounced
+    assert debounce(once).count() == n_once
