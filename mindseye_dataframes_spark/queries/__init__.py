@@ -40,6 +40,7 @@ _MODULES = (
     "reshape",
     "sketches",
     "quality_gate",
+    "incremental",
 )
 _loaded = False
 

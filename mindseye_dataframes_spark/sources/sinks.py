@@ -39,3 +39,33 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
+
+
+def write_zordered(
+    df, path: str, cols: list[str], bits: int = 10, files: int = 16
+) -> None:
+    """Write ``df`` clustered by a 2-D Z-order (Morton) code over two
+    integer columns: range-partition by the interleaved code, sort
+    within partitions, one file per range. Every output file then
+    covers a tight rectangle in (cols[0] × cols[1]) space, so parquet
+    min/max footer stats prune scans on EITHER column — multi-
+    dimensional data skipping from plain parquet, no table format
+    needed. The morton map is a narrow codegen expression; the only
+    wide cost is the single range exchange any sorted write pays.
+    """
+    from pyspark.sql import functions as F
+
+    from mindseye_dataframes_spark.queries.scale_patterns import _morton_sql
+
+    if len(cols) != 2:
+        raise ValueError("z-order clustering takes exactly two columns")
+    mask = (1 << bits) - 1
+    z = _morton_sql(f"{cols[0]} % {mask + 1}", f"{cols[1]} % {mask + 1}", bits, "div")
+    (
+        df.withColumn("_z", F.expr(z))
+        .repartitionByRange(files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -371,3 +371,41 @@ def test_quality_gate_single_aggregate_pass(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q108_quality_gate")
     assert plan.count("FileScan") == 1
     assert "Join" not in plan
+
+
+def test_zordered_write_produces_tight_file_rectangles(spark, sf_dir, tmp_path_factory):
+    """write_zordered: each output file's (partkey, suppkey) bounding
+    rectangle must cover far less than the full key space — the
+    data-skipping property that makes Z-order worth the sort. Checked
+    against the actual written files' per-file min/max."""
+    from pyspark.sql import functions as F
+
+    from mindseye_dataframes_spark.sources.readers import load_table
+    from mindseye_dataframes_spark.sources.sinks import write_zordered
+
+    out = str(tmp_path_factory.mktemp("zorder") / "lineitem_z")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    write_zordered(li, out, ["l_partkey", "l_suppkey"], files=8)
+
+    stats = (
+        spark.read.parquet(out)
+        .withColumn("file", F.input_file_name())
+        .groupBy("file")
+        .agg(
+            (F.max("l_partkey") - F.min("l_partkey")).alias("dp"),
+            (F.max("l_suppkey") - F.min("l_suppkey")).alias("ds"),
+        )
+        .collect()
+    )
+    assert len(stats) >= 4  # actually split into multiple files
+    full = li.agg(
+        (F.max("l_partkey") - F.min("l_partkey")).alias("dp"),
+        (F.max("l_suppkey") - F.min("l_suppkey")).alias("ds"),
+    ).collect()[0]
+    # average file rectangle area must be a small fraction of the
+    # full key-space area (here: < 30% — random placement would be ~100%)
+    areas = [max(1, r["dp"]) * max(1, r["ds"]) for r in stats]
+    frac = (sum(areas) / len(areas)) / (max(1, full["dp"]) * max(1, full["ds"]))
+    assert frac < 0.30, frac
