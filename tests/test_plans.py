@@ -409,3 +409,38 @@ def test_zordered_write_produces_tight_file_rectangles(spark, sf_dir, tmp_path_f
     areas = [max(1, r["dp"]) * max(1, r["ds"]) for r in stats]
     frac = (sum(areas) / len(areas)) / (max(1, full["dp"]) * max(1, full["ds"]))
     assert frac < 0.30, frac
+
+
+def _assert_no_blowup(plan: str):
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_remaining_new_queries_plan_shapes(spark, sf_dir):
+    """Batch guardrails: every round-3 query keeps its intended scale
+    shape — no nested-loop/cartesian anywhere, window/agg queries at
+    exactly one data exchange."""
+    one_exchange = {
+        "q89_corpus_extremes",
+        "q93_trailing_anomaly",
+        "q96_latest_per_key",
+        "q109_debounce",
+    }
+    for name in one_exchange:
+        plan = plan_of(spark, sf_dir, name)
+        _assert_no_blowup(plan)
+        assert plan.count("Exchange hashpartitioning") == 1, name
+
+    for name in (
+        "q99_merge_upsert",
+        "q104_nullsafe_join",
+        "q110_ordered_funnel",
+        "q111_incremental_agg",
+        "q105_twap",
+    ):
+        _assert_no_blowup(plan_of(spark, sf_dir, name))
+
+    # unpivot is an Expand, never a shuffle of its own
+    plan = plan_of(spark, sf_dir, "q103_unpivot_metrics")
+    assert "Expand" in plan
+    _assert_no_blowup(plan)
