@@ -424,3 +424,43 @@ def sample_video_frames(
             )
 
     return ensure_min_parallelism(df).mapInPandas(sample, schema=out_schema)
+
+
+def image_phash(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Perceptual average-hash (aHash) per image: decode → grayscale
+    feature grid → threshold each cell against the grid mean → pack
+    bits → hex string. Identical payloads always collide; near-
+    identical images collide with high probability — which is what
+    makes the hash a *dedup key*: an exact groupBy/join on ``phash``
+    replaces pairwise image comparison, the same all-pairs→bucket
+    rewrite as MinHash-LSH for text (operators/dedup.py). Decode and
+    hash are one Arrow-batched pass; the kernel chain is the same
+    real-PNG-else-fake fallback as ``decode_image``."""
+    keep = [c for c in df.columns if c != blob_col]
+    out_schema = ", ".join(
+        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in keep]
+        + ["phash string"]
+    )
+
+    def hash_batches(batches):
+        def kernel(payload: bytes) -> str:
+            png = decode_png(payload)
+            feats = (
+                _png_features(png["pixels"])
+                if png is not None
+                else _fake_decode(payload)["features"]
+            )
+            mean = sum(feats) / len(feats)
+            bits = 0
+            for f in feats:
+                bits = (bits << 1) | (1 if f > mean else 0)
+            return f"{bits:0{(len(feats) + 3) // 4}x}"
+
+        for pdf in batches:
+            out = pdf[keep].copy()
+            out["phash"] = pdf[blob_col].map(
+                lambda b: kernel(bytes(b) if b is not None else b"")
+            )
+            yield out
+
+    return ensure_min_parallelism(df).mapInPandas(hash_batches, schema=out_schema)

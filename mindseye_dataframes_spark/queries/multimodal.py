@@ -179,3 +179,38 @@ def q84_video_frame_sample(spark, sf_dir):
         .select("doc_id", "n_frames", "frame_idx", "ts_sec", "frame_md5")
         .orderBy("doc_id", "frame_idx")
     )
+
+
+@query(
+    "q112_image_phash_clusters",
+    oracle=None,  # phash derives from the decode kernel — rows-only
+    tags=("multimodal", "dedup", "north-star"),
+)
+def q112_image_phash_clusters(spark, sf_dir):
+    """Image dedup via perceptual hash: payloads (synthesized with
+    forced duplicates — every doc shares its image with doc_id % 300)
+    → aHash → groupBy(phash) clusters. The all-pairs image comparison
+    becomes one hash-aggregate, the multimodal twin of exact text
+    dedup (q30)."""
+    from mindseye_dataframes_spark.operators.multimodal import image_phash
+
+    docs = load_table(spark, sf_dir, "documents")
+    shared = docs.select(
+        (F.col("doc_id") % 300).alias("img_key"), F.col("text")
+    ).dropDuplicates(["img_key"])
+    payloads = (
+        docs.select("doc_id", (F.col("doc_id") % 300).alias("img_key"))
+        .join(shared, "img_key")
+        .withColumn("payload", F.encode("text", "utf-8"))
+    )
+    packed = pack_blob(payloads, "payload", mime="image/fake")
+    hashed = image_phash(packed.select("doc_id", "blob"), "blob")
+    return (
+        hashed.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .filter(F.col("n_images") > 1)
+        .orderBy("canonical_id")
+    )

@@ -204,3 +204,19 @@ def test_audio_features_real_wav_kernel(spark):
     assert row["coeffs"] == direct["coeffs"]
     # 440 Hz lives in the first of 4 bands over 0-4000 Hz: dominant energy
     assert row["coeffs"][0] == max(row["coeffs"]), row["coeffs"]
+
+
+def test_image_phash_dedup_clusters(spark, sf_dir):
+    """Identical payloads must collide (same phash), clusters must be
+    deterministic across runs, and forced duplicates must be found."""
+    from mindseye_dataframes_spark.queries import load_all
+
+    q = load_all()["q112_image_phash_clusters"]
+    rows1 = sorted(map(tuple, q.fn(spark, sf_dir).collect()))
+    rows2 = sorted(map(tuple, q.fn(spark, sf_dir).collect()))
+    assert rows1 == rows2  # deterministic
+    # sf0.001+: docs 300..499 share payloads with 0..199 → clusters exist
+    total_dups = sum(r[1] for r in rows1)
+    assert total_dups >= 2
+    for _, n_images, canonical in rows1:
+        assert n_images >= 2 and canonical < 300
