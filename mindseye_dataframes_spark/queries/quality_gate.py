@@ -158,3 +158,41 @@ def q110_ordered_funnel(spark, sf_dir):
             F.count("tp").alias("n_full_funnel"),
         )
     )
+
+
+@query(
+    "q113_udtf_token_windows",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents WHERE doc_id < 100),
+    starts AS (
+      SELECT doc_id, ws, CAST(s.i AS INT) AS i,
+             CAST((s.i - 1) / 15 AS INT) AS win_idx
+      FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws), 15)) AS i) s
+      WHERE s.i = 1 OR s.i + 5 <= len(ws))
+    SELECT doc_id, win_idx,
+           array_to_string(list_slice(ws, i, i + 19), ' ') AS window_text,
+           CAST(least(20, len(ws) - i + 1) AS INT) AS n_tokens
+    FROM starts ORDER BY doc_id, win_idx
+    """,
+    tags=("udtf", "parity:table-function"),
+)
+def q113_udtf_token_windows(spark, sf_dir):
+    """Python UDTF surface (``functions/udtfs.py``) addressed via SQL
+    LATERAL — sliding 20-token windows at stride 15, matched exactly
+    by a built-in SQL oracle. Restricted to doc_id < 100: the UDTF is
+    the per-row-Python API demonstration, not the scale path (q88 is
+    the codegen form)."""
+    from mindseye_dataframes_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.win_idx, t.window_text, t.n_tokens
+        FROM _udtf_docs d, LATERAL token_windows(d.text) t
+        ORDER BY d.doc_id, t.win_idx
+        """
+    )
