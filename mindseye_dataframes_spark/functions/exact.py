@@ -77,3 +77,57 @@ def oracle_davg(expr: str, scale: int = SCALE) -> str:
         f"CAST(SUM(CAST(({expr}) AS DECIMAL({PRECISION},{scale}))) AS DOUBLE)"
         f" / CAST(COUNT({expr}) AS DOUBLE)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer-cents accumulation: the fast path for 2-decimal measures.
+#
+# Decimal aggregation is exact but ~2.3× slower than BIGINT hash-agg
+# (measured at sf0.1: 0.89s vs 0.38s for the q01 aggregate). When the
+# measure is exactly k-decimal, summing round(x·10^k) as BIGINT is
+# equally exact and codegens to plain long adds. Conversion to double
+# at the end ((double)sum / 10^k) is the same correctly-rounded value
+# decimal→double produces while |sum| < 2^53; past 2^53 both engines
+# still agree (identical int64→double + IEEE division on both sides)
+# even though the result may differ from the decimal path by 1 ulp.
+# BIGINT overflow bounds the method at |Σ x·10^k| < 2^63 — for q01's
+# 3-factor charge (scale 10^6) that is ~sf30; per-query docstrings
+# state the ceiling. Products of cents factors stay exact integers,
+# so multi-factor measures (price·(1-disc)·(1+tax)) need no widening
+# rules at all.
+# ---------------------------------------------------------------------------
+
+
+def cents(col: Column | str, k: int = 2) -> Column:
+    """round(x·10^k) as BIGINT — exact for k-decimal measures. The
+    *100 product sits ~1e-12 from an integer, so HALF_UP (Spark) vs
+    half-away (DuckDB) can never disagree (no exact ties)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * (10**k)).cast("long")
+
+
+def csum(col: Column | str, k: int = 2) -> Column:
+    """Order-independent SUM via integer cents → double."""
+    return F.sum(cents(col, k)).cast("double") / float(10**k)
+
+
+def cavg(col: Column | str, k: int = 2) -> Column:
+    """Order-independent AVG via integer cents → double / count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(cents(c, k)).cast("double") / float(10**k)) / F.count(
+        c
+    ).cast("double")
+
+
+def oracle_csum(expr: str, k: int = 2) -> str:
+    return (
+        f"CAST(SUM(CAST(round(({expr}) * {10**k}) AS BIGINT)) AS DOUBLE)"
+        f" / {float(10**k)}"
+    )
+
+
+def oracle_cavg(expr: str, k: int = 2) -> str:
+    return (
+        f"(CAST(SUM(CAST(round(({expr}) * {10**k}) AS BIGINT)) AS DOUBLE)"
+        f" / {float(10**k)}) / CAST(COUNT({expr}) AS DOUBLE)"
+    )
