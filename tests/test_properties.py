@@ -301,3 +301,56 @@ def test_debounce_idempotent(spark, sf_dir):
     n_once = once.count()
     assert n_once < ev.count()  # something actually debounced
     assert debounce(once).count() == n_once
+
+
+def test_edit_distance_join_matches_bruteforce(spark):
+    """PassJoin segment blocking must find EXACTLY the brute-force
+    pair set on an adversarial corpus: seeded random strings plus
+    mutated copies (substitutions/inserts/deletes at every distance
+    0-4, crossing the k=2 acceptance boundary)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mindseye_dataframes_spark.operators.edit_join import edit_distance_join
+
+    rng = random.Random(42)
+    alpha = "abcdef"
+    rows = []
+    rid = 0
+    for base_i in range(30):
+        base = "".join(rng.choice(alpha) for _ in range(rng.randint(5, 14)))
+        rows.append((rid, base, "blk")); rid += 1
+        for n_edits in (1, 2, 3, 4):
+            s = list(base)
+            for _ in range(n_edits):
+                op = rng.choice("sid")
+                pos = rng.randrange(len(s)) if s else 0
+                if op == "s" and s:
+                    s[pos] = rng.choice(alpha)
+                elif op == "i":
+                    s.insert(pos, rng.choice(alpha))
+                elif s:
+                    del s[pos]
+            if len(s) >= 3:
+                rows.append((rid, "".join(s), "blk")); rid += 1
+    df = spark.createDataFrame(rows, "k long, txt string, blk string")
+
+    got = {
+        (r["key_a"], r["key_b"], r["dist"])
+        for r in edit_distance_join(df, "k", "txt", "blk", k=2).collect()
+    }
+    brute = {
+        (r["key_a"], r["key_b"], r["dist"])
+        for r in df.alias("a")
+        .crossJoin(df.selectExpr("k as k2", "txt as txt2"))
+        .filter("k < k2")
+        .select(
+            F.col("k").alias("key_a"),
+            F.col("k2").alias("key_b"),
+            F.levenshtein("txt", "txt2", 2).cast("long").alias("dist"),
+        )
+        .filter("dist >= 0")
+        .collect()
+    }
+    assert got == brute and len(brute) > 10
