@@ -92,14 +92,10 @@ def q86_pii_redaction(spark, sf_dir):
     )
 
 
-# word 8-gram shingles as a SQL expression (guarded for short docs:
-# sequence(1, n) with n < 1 would count DOWN in Spark, so gate on size)
-_SHINGLES = (
-    "CASE WHEN size(split(text, ' ')) >= 8 THEN "
-    "transform(sequence(1, size(split(text, ' ')) - 7), "
-    "i -> array_join(slice(split(text, ' '), i, 8), ' ')) "
-    "ELSE array() END"
-)
+# word 8-gram shingles via the Arrow-batched UDF (3× faster than the
+# interpreted SQL transform form — see functions/textfns.word_ngrams_udf);
+# duplicates are kept and removed relationally below, matching the
+# oracle's unnest+DISTINCT semantics
 
 
 @query(
@@ -119,8 +115,10 @@ _SHINGLES = (
     tags=("dedup", "contamination", "north-star"),
 )
 def q87_contamination_screen(spark, sf_dir):
+    from mindseye_dataframes_spark.functions.textfns import word_ngrams_udf
+
     docs = load_table(spark, sf_dir, "documents")
-    sh = F.explode(F.expr(_SHINGLES)).alias("shingle")
+    sh = F.explode(word_ngrams_udf(8)(F.col("text"))).alias("shingle")
     bench = (
         docs.filter(F.col("source") == "src0").select(sh).distinct()
     )
