@@ -177,3 +177,88 @@ def q60_ann_ivf_topk(spark, sf_dir):
         queries, corpus, "query_id", "qv", "neighbor_id", "cv", k=_K,
         n_centroids=_IVF_CELLS, n_probe=_IVF_PROBE,
     ).orderBy("query_id", "rank")
+
+
+@query(
+    "q114_embedding_normalize",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, label, CAST(d.dim AS INT) AS dim,
+             CAST(round(CAST(list_extract(embedding, CAST(d.dim AS INT) + 1)
+                             AS DOUBLE) * 1000000) AS BIGINT) AS x6
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(0, len(embedding) - 1)) AS dim) d),
+    stats AS (
+      SELECT label, dim,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x6) AS DOUBLE) AS s,
+             CAST(sum(x6 * x6) AS DOUBLE) AS q
+      FROM x GROUP BY label, dim),
+    m AS (
+      SELECT label, dim, n,
+             s / n / 1000000.0 AS mu,
+             sqrt(greatest(q / n / 1000000000000.0
+                           - (s / n / 1000000.0) * (s / n / 1000000.0), 0)) AS sigma
+      FROM stats)
+    SELECT x.vec_id, x.label, x.dim,
+           CASE WHEN m.sigma > 0
+                THEN round((CAST(x.x6 AS DOUBLE) / 1000000.0 - m.mu) / m.sigma, 4)
+                ELSE 0.0 END AS z
+    FROM x JOIN m ON x.label = m.label AND x.dim = m.dim
+    ORDER BY x.vec_id, x.dim
+    """,
+    tags=("vector", "normalize", "north-star"),
+)
+def q114_embedding_normalize(spark, sf_dir):
+    """Per-label, per-dimension z-score normalization of embeddings —
+    the feature-standardization pass a training pipeline runs before
+    mixing corpora. Engine-exact by construction: inputs quantized to
+    integer micros (round-half-away, identical both engines), moments
+    accumulated as exact BIGINT sums (|Σx6²| < 2^53 at this scale),
+    and the μ/σ/z arithmetic written as the same IEEE double sequence
+    on both sides, final round(4). One explode (narrow), one
+    hash-aggregate over (label, dim), one broadcast-sized stats join
+    — at 100 TB the stats side is always tiny (labels × dims)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.round(F.col("xf").cast("double") * 1_000_000).cast("long").alias("x6"),
+    )
+    stats = x.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x6").cast("double").alias("s"),
+        F.sum(F.col("x6") * F.col("x6")).cast("double").alias("q"),
+    )
+    mu = F.col("s") / F.col("n") / 1e6
+    m = stats.select(
+        "label",
+        "dim",
+        mu.alias("mu"),
+        F.sqrt(F.greatest(F.col("q") / F.col("n") / 1e12 - mu * mu, F.lit(0.0))).alias(
+            "sigma"
+        ),
+    )
+    return (
+        x.join(F.broadcast(m), ["label", "dim"])
+        .select(
+            "vec_id",
+            "label",
+            "dim",
+            F.when(
+                F.col("sigma") > 0,
+                F.round(
+                    (F.col("x6").cast("double") / 1e6 - F.col("mu")) / F.col("sigma"),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("z"),
+        )
+        .orderBy("vec_id", "dim")
+    )
