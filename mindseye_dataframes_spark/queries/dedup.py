@@ -268,3 +268,51 @@ def q79_dup_clusters_star(spark, sf_dir):
     return connected_components_star(
         pairs, out_node="doc_id", out_component="cluster_id"
     ).orderBy("doc_id")
+
+
+@query(
+    "q115_dedup_survivorship",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, lang, source, n_chars,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fp
+      FROM documents)
+    SELECT fp,
+           CAST(count(*) AS BIGINT) AS n_members,
+           arg_max(doc_id, n_chars * 100000 + doc_id) AS survivor_id,
+           min(doc_id) AS first_seen_id,
+           max(n_chars) AS survivor_chars,
+           arg_max(lang, n_chars * 100000 + doc_id) AS survivor_lang,
+           arg_max(source, n_chars * 100000 + doc_id) AS survivor_source
+    FROM f GROUP BY fp HAVING count(*) > 1
+    ORDER BY fp
+    """,
+    tags=("dedup", "survivorship", "north-star"),
+)
+def q115_dedup_survivorship(spark, sf_dir):
+    """Survivorship: after clustering duplicates (here: order-
+    insensitive bag fingerprint, catching token-shuffled copies), pick
+    the canonical record per cluster with explicit field-level rules —
+    longest document wins (deterministic integer rank, ties to higher
+    doc_id), provenance keeps the earliest id. One hash-aggregate over
+    the fingerprint; the same ``max_by`` rank drives every survivor
+    field so the chosen record is consistent across columns."""
+    from mindseye_dataframes_spark.functions.textfns import bag_fingerprint
+
+    rank = F.col("n_chars") * 100000 + F.col("doc_id")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("fp", bag_fingerprint(F.col("text")))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max_by(F.col("doc_id"), rank).alias("survivor_id"),
+            F.min("doc_id").alias("first_seen_id"),
+            F.max("n_chars").alias("survivor_chars"),
+            F.max_by(F.col("lang"), rank).alias("survivor_lang"),
+            F.max_by(F.col("source"), rank).alias("survivor_source"),
+        )
+        .filter(F.col("n_members") > 1)
+        .orderBy("fp")
+    )
