@@ -41,6 +41,7 @@ _MODULES = (
     "sketches",
     "quality_gate",
     "incremental",
+    "corpus_stats",
 )
 _loaded = False
 
@@ -52,15 +53,8 @@ _loaded = False
 # oracle-less (rows-only) queries go last. Update these sets each
 # round from the latest CORRECTNESS file.
 PROVEN_R01_ONLY = {
-    # green in CORRECTNESS_r01.json, not re-checked in r02
-    "q19_moving_avg", "q20_ntile_rank", "q21_first_last",
-    "q22_asof_join", "q23_range_join", "q24_tumbling_window",
-    "q26_text_stats", "q27_quality_by_lang", "q28_token_frequency",
-    "q29_simhash_fingerprints", "q30_exact_dedup",
-    "q31_minhash_signatures", "q32_lsh_dup_pairs", "q33_simhash_clusters",
-    "q34_embedding_near_dup", "q35_cosine_topk", "q36_ann_lsh_topk",
-    "q37_zscore_expansion", "q38_onehot_labels", "q39_param_identity",
-    "q41_blob_metadata", "q58_language_id", "q60_ann_ivf_topk",
+    # green in CORRECTNESS_r01.json only — two rounds stale, the
+    # highest-priority proven queries to rotate back into the window
     "q61_token_count_bpe", "q62_winnow_fingerprints",
     "q64_analytic_ranks", "q66_image_resize", "q77_dup_clusters",
 }
@@ -85,18 +79,41 @@ PROVEN_R02 = {
     "q83_mixture_sample", "q84_video_frame_sample",
     "q85_partitioned_layout_roundtrip",
 }
+PROVEN_R03 = {
+    # green in CORRECTNESS_r03.json (49/50; the one red, q114, is
+    # deliberately absent so it claims a group-0 slot until green)
+    "q100_scd2_intervals", "q101_trend_per_user", "q102_fuzzy_name_match",
+    "q103_unpivot_metrics", "q104_nullsafe_join", "q105_twap",
+    "q108_quality_gate", "q109_debounce", "q110_ordered_funnel",
+    "q111_incremental_agg", "q113_udtf_token_windows",
+    "q115_dedup_survivorship", "q19_moving_avg", "q20_ntile_rank",
+    "q21_first_last", "q22_asof_join", "q23_range_join",
+    "q24_tumbling_window", "q26_text_stats", "q27_quality_by_lang",
+    "q28_token_frequency", "q29_simhash_fingerprints", "q30_exact_dedup",
+    "q31_minhash_signatures", "q32_lsh_dup_pairs", "q33_simhash_clusters",
+    "q34_embedding_near_dup", "q35_cosine_topk", "q36_ann_lsh_topk",
+    "q37_zscore_expansion", "q38_onehot_labels", "q39_param_identity",
+    "q41_blob_metadata", "q58_language_id", "q60_ann_ivf_topk",
+    "q86_pii_redaction", "q87_contamination_screen", "q88_chunk_documents",
+    "q89_corpus_extremes", "q90_vector_features", "q91_token_positions",
+    "q92_binned_interval_join", "q93_trailing_anomaly",
+    "q94_distinctive_terms", "q95_price_histogram", "q96_latest_per_key",
+    "q97_zorder_layout", "q98_gap_fill", "q99_merge_upsert",
+}
 
 
 def _order_key(item: tuple[str, Query]) -> tuple[int, str]:
     name, q = item
     if q.oracle is None:
-        group = 3  # rows-only checks last — never burn a window slot
+        group = 4  # rows-only checks last — never burn a window slot
+    elif name in PROVEN_R03:
+        group = 3  # freshest evidence: verify last
     elif name in PROVEN_R02:
-        group = 2  # freshest evidence: verify last
+        group = 2  # one round stale: fill the window behind the stale set
     elif name in PROVEN_R01_ONLY:
         group = 1  # stalest evidence: rotate back into the window
     else:
-        group = 0  # no green row yet: claim a window slot
+        group = 0  # no green row yet (q114 + this round's new): claim a slot
     return (group, name)
 
 

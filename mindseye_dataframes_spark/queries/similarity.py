@@ -202,7 +202,7 @@ def q60_ann_ivf_topk(spark, sf_dir):
       FROM stats)
     SELECT x.vec_id, x.label, x.dim,
            CASE WHEN m.sigma > 0
-                THEN round((CAST(x.x6 AS DOUBLE) / 1000000.0 - m.mu) / m.sigma, 4)
+                THEN round((CAST(x.x6 AS DOUBLE) / 1000000.0 - m.mu) / m.sigma, 4) + 0.0
                 ELSE 0.0 END AS z
     FROM x JOIN m ON x.label = m.label AND x.dim = m.dim
     ORDER BY x.vec_id, x.dim
@@ -252,10 +252,14 @@ def q114_embedding_normalize(spark, sf_dir):
             "dim",
             F.when(
                 F.col("sigma") > 0,
+                # + 0.0 normalizes IEEE -0.0 to +0.0 (Spark's round emits
+                # -0.0 for tiny negative z where DuckDB emits +0.0; the
+                # driver's value-hash distinguishes the sign bit).
                 F.round(
                     (F.col("x6").cast("double") / 1e6 - F.col("mu")) / F.col("sigma"),
                     4,
-                ),
+                )
+                + F.lit(0.0),
             )
             .otherwise(F.lit(0.0))
             .alias("z"),
