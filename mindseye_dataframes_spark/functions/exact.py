@@ -119,6 +119,40 @@ def cavg(col: Column | str, k: int = 2) -> Column:
     ).cast("double")
 
 
+# ---------------------------------------------------------------------------
+# Collision-free composite ranks for max_by/arg_max survivor picks.
+#
+# DuckDB's arg_max has no struct-rank overload (verified on 1.0), so a
+# composite (major, minor) ordering must be encoded in a single
+# scalar. An integer rank `major * K + minor` silently breaks once
+# minor >= K — the exact 100×-scale trap. Instead encode each
+# non-negative BIGINT component as a fixed-width zero-padded string:
+# lexicographic order on the concatenation equals numeric order on
+# the tuple, with NO ceiling for any int64 value. Both engines compare
+# strings bytewise (no collation surprises with digits), and both
+# have arg_max/max_by over VARCHAR ranks.
+# ---------------------------------------------------------------------------
+
+_PAD = 19  # digits in 2^63-1
+
+
+def tuple_rank(*cols: Column | str) -> Column:
+    """Spark-side collision-free rank for max_by/min_by over a tuple
+    of non-negative integer columns (major first)."""
+    parts = [
+        F.lpad((F.col(c) if isinstance(c, str) else c).cast("string"), _PAD, "0")
+        for c in cols
+    ]
+    return F.concat(*parts)
+
+
+def oracle_tuple_rank(*exprs: str) -> str:
+    """DuckDB twin of :func:`tuple_rank` (same padded encoding)."""
+    return " || ".join(
+        f"lpad(CAST(({e}) AS VARCHAR), {_PAD}, '0')" for e in exprs
+    )
+
+
 def oracle_csum(expr: str, k: int = 2) -> str:
     return (
         f"CAST(SUM(CAST(round(({expr}) * {10**k}) AS BIGINT)) AS DOUBLE)"

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from mindseye_dataframes_spark.functions.exact import oracle_tuple_rank, tuple_rank
 from mindseye_dataframes_spark.functions.vectors import cosine_ranked
 from mindseye_dataframes_spark.operators.dedup import (
     dedup_exact,
@@ -270,9 +271,12 @@ def q79_dup_clusters_star(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+_SURV_RANK = oracle_tuple_rank("n_chars", "doc_id")
+
+
 @query(
     "q115_dedup_survivorship",
-    oracle="""
+    oracle=f"""
     WITH f AS (
       SELECT doc_id, lang, source, n_chars,
              md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
@@ -280,11 +284,11 @@ def q79_dup_clusters_star(spark, sf_dir):
       FROM documents)
     SELECT fp,
            CAST(count(*) AS BIGINT) AS n_members,
-           arg_max(doc_id, n_chars * 100000 + doc_id) AS survivor_id,
+           arg_max(doc_id, {_SURV_RANK}) AS survivor_id,
            min(doc_id) AS first_seen_id,
            max(n_chars) AS survivor_chars,
-           arg_max(lang, n_chars * 100000 + doc_id) AS survivor_lang,
-           arg_max(source, n_chars * 100000 + doc_id) AS survivor_source
+           arg_max(lang, {_SURV_RANK}) AS survivor_lang,
+           arg_max(source, {_SURV_RANK}) AS survivor_source
     FROM f GROUP BY fp HAVING count(*) > 1
     ORDER BY fp
     """,
@@ -294,13 +298,14 @@ def q115_dedup_survivorship(spark, sf_dir):
     """Survivorship: after clustering duplicates (here: order-
     insensitive bag fingerprint, catching token-shuffled copies), pick
     the canonical record per cluster with explicit field-level rules —
-    longest document wins (deterministic integer rank, ties to higher
-    doc_id), provenance keeps the earliest id. One hash-aggregate over
-    the fingerprint; the same ``max_by`` rank drives every survivor
-    field so the chosen record is consistent across columns."""
+    longest document wins (padded-string tuple rank, collision-free
+    for ANY int64 doc_id — no scale ceiling; ties to higher doc_id),
+    provenance keeps the earliest id. One hash-aggregate over the
+    fingerprint; the same ``max_by`` rank drives every survivor field
+    so the chosen record is consistent across columns."""
     from mindseye_dataframes_spark.functions.textfns import bag_fingerprint
 
-    rank = F.col("n_chars") * 100000 + F.col("doc_id")
+    rank = tuple_rank("n_chars", "doc_id")
     return (
         load_table(spark, sf_dir, "documents")
         .withColumn("fp", bag_fingerprint(F.col("text")))

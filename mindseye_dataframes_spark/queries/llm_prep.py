@@ -23,9 +23,9 @@ splits. Chunks are emitted as md5 digests + lengths so the oracle
 compares exactly without hauling text.
 
 q89 corpus extremes — per-source arg-min/max (``max_by``/``min_by``
-with a collision-free integer rank: ties on n_chars broken by doc_id
-so both engines pick the same row), exact median, and totals. One
-hash-aggregate, one exchange.
+with a collision-free padded-string tuple rank: ties on n_chars
+broken by doc_id so both engines pick the same row, no id ceiling).
+One hash-aggregate, one exchange.
 
 q90 vector features via higher-order functions — per-embedding
 positive-component count, L1 norm, sum of squares, max |x| computed
@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from mindseye_dataframes_spark.functions.exact import oracle_tuple_rank, tuple_rank
 from mindseye_dataframes_spark.queries.registry import query
 from mindseye_dataframes_spark.sources.readers import load_table
 
@@ -148,9 +149,13 @@ def q87_contamination_screen(spark, sf_dir):
     tags=("text", "chunking", "north-star"),
 )
 def q88_chunk_documents(spark, sf_dir):
+    """Empty docs yield zero chunks: Spark's sequence(1, 0, 90) THROWS
+    (DuckDB's generate_series returns no rows), so guard n_chars > 0
+    before the explode — same semantics, no crash on empty input."""
     chunk = F.expr("substring(text, CAST(start AS INT), 120)")
     return (
         load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
         .select(
             "doc_id",
             "text",
@@ -169,11 +174,11 @@ def q88_chunk_documents(spark, sf_dir):
 
 @query(
     "q89_corpus_extremes",
-    oracle="""
+    oracle=f"""
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
-           arg_max(doc_id, n_chars * 100000 + doc_id) AS longest_doc,
-           arg_min(doc_id, n_chars * 100000 + doc_id) AS shortest_doc,
+           arg_max(doc_id, {oracle_tuple_rank("n_chars", "doc_id")}) AS longest_doc,
+           arg_min(doc_id, {oracle_tuple_rank("n_chars", "doc_id")}) AS shortest_doc,
            median(n_chars) AS median_chars,
            CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY source ORDER BY source
@@ -181,7 +186,9 @@ def q88_chunk_documents(spark, sf_dir):
     tags=("agg", "parity:max_by"),
 )
 def q89_corpus_extremes(spark, sf_dir):
-    rank = F.col("n_chars") * 100000 + F.col("doc_id")
+    """Longest/shortest doc per source via collision-free padded-string
+    tuple rank (no doc_id ceiling — see functions/exact.py)."""
+    rank = tuple_rank("n_chars", "doc_id")
     return (
         load_table(spark, sf_dir, "documents")
         .groupBy("source")

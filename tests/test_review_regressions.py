@@ -231,3 +231,43 @@ def test_expectations_fail_and_single_pass(spark):
     assert rows["min_rows"]["passed"] is False and rows["min_rows"]["observed"] == 3
     assert rows["unique:k"]["passed"] is False and rows["unique:k"]["observed"] == 1
     assert rows["in_range:v"]["passed"] is False and rows["in_range:v"]["observed"] == 2
+
+
+def test_tuple_rank_no_id_ceiling(spark):
+    """VERDICT r3: the q115/q89 survivor rank must stay collision-free
+    for doc_id far beyond the old integer-rank's 100000 ceiling. The
+    padded-string tuple rank orders by (n_chars, doc_id) for any int64,
+    and Spark max_by agrees with DuckDB arg_max on the same encoding."""
+    import duckdb
+
+    from mindseye_dataframes_spark.functions.exact import (
+        oracle_tuple_rank,
+        tuple_rank,
+    )
+
+    # doc_id >> 100000: with the old rank (n_chars*100000 + doc_id) the
+    # huge id of the SHORTER doc (10 chars, id 7e10) would beat the
+    # longer doc (500 chars, id 3); the tuple rank must pick id 3.
+    rows = [
+        (3, 500, "g"),
+        (70_000_000_000, 10, "g"),
+        (9_223_372_036_854, 500, "g"),  # tie on n_chars -> higher id wins
+        (5, 7, "h"),
+        (100_001, 7, "h"),  # tie on n_chars, id past old ceiling
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long, grp string")
+    got = {
+        r["grp"]: r["survivor"]
+        for r in df.groupBy("grp")
+        .agg(F.max_by("doc_id", tuple_rank("n_chars", "doc_id")).alias("survivor"))
+        .collect()
+    }
+    assert got == {"g": 9_223_372_036_854, "h": 100_001}
+
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, {c})" for i, c in [(r[0], r[1]) for r in rows[:3]])
+    (oracle_survivor,) = con.execute(
+        f"SELECT arg_max(doc_id, {oracle_tuple_rank('n_chars', 'doc_id')}) "
+        f"FROM (VALUES {vals}) t(doc_id, n_chars)"
+    ).fetchone()
+    assert oracle_survivor == 9_223_372_036_854
