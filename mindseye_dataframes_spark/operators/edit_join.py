@@ -49,9 +49,11 @@ def edit_distance_join(
 ) -> DataFrame:
     """All (key_a < key_b) pairs within a block with
     ``levenshtein(text_a, text_b) <= k``. Returns
-    (key_a, key_b, name_a, name_b, dist). Strings must have
-    length ≥ k+1 (shorter rows are compared exhaustively in-block —
-    the pigeonhole lemma needs one char per segment)."""
+    (key_a, key_b, name_a, name_b, dist). Strings of length ≥ k+1 go
+    through segment blocking; rows with length ≤ k (where the
+    pigeonhole lemma can't apply — it needs one char per segment) are
+    compared exhaustively in-block and unioned back in, so the result
+    is exact for ALL string lengths."""
     n = k + 1
     base = df.select(
         F.col(key_col).alias("key"),
@@ -78,16 +80,28 @@ def edit_distance_join(
         F.col("s.i").alias("i"), F.col("s.seg").alias("seg"),
     )
 
-    # --- probe side: substrings for every (build length ±k, segment,
-    # shift ±k) combination — constant fan-out, validity-filtered
-    # the pigeonhole lemma is symmetric, so every qualifying pair is
-    # found from the shorter (or equal) side probing the longer —
-    # dl ∈ [0, k] instead of [-k, k] cuts probe fan-out ~40%
+    # --- probe side: substrings for every (build length +dl, segment,
+    # shift) combination — constant fan-out, validity-filtered.
+    # Two candidate-set reductions (both preserve exactness, proven by
+    # the brute-force property test):
+    # 1. symmetry: every qualifying pair is found from the shorter (or
+    #    equal) side probing the longer — dl ∈ [0, k], not [-k, k];
+    # 2. multi-match-aware position filter: it suffices to probe the
+    #    FIRST error-free segment of an optimal alignment. Errors
+    #    strictly before segment i are then ≥ i (each earlier segment
+    #    holds one) and ≥ |sh| (probe substring starts at p_i + sh, so
+    #    the prefix alignment's net indel balance is -sh, costing ≥
+    #    |sh| errors); the suffix alignment must absorb the remaining
+    #    net length change dl + sh, costing ≥ |dl + sh| errors. Total
+    #    ≤ k  ⇒  max(i, |sh|) + |dl + sh| ≤ k.
+    #    At k=2 this cuts probe fan-out 45 → 18 combos per row
+    #    (proven exact against brute force in test_properties.py).
     combos = ", ".join(
         f"named_struct('i', {i}, 'dl', {dl}, 'sh', {sh})"
         for i in range(n)
         for dl in range(0, k + 1)
         for sh in range(-k, k + 1)
+        if max(i, abs(sh)) + abs(dl + sh) <= k
     )
     probe = (
         base.select(
@@ -127,7 +141,7 @@ def edit_distance_join(
         .distinct()
     )
     names = base.select("key", "txt")
-    return (
+    segmented = (
         candidates.join(
             names.select(F.col("key").alias("key_a"), F.col("txt").alias("name_a")),
             "key_a",
@@ -140,3 +154,30 @@ def edit_distance_join(
         .filter(F.col("dist") >= 0)
         .select("key_a", "key_b", "name_a", "name_b", "dist")
     )
+
+    # --- short-string fallback: the pigeonhole lemma needs one char
+    # per segment, so pairs where BOTH strings have length <= k never
+    # reach the probe (its len_b >= k+1 filter). Pairs with one short
+    # and one long side ARE found (the shorter side probes the longer,
+    # whose segments are non-empty). Rows with length <= k are a tiny
+    # constant-bounded set per block (alphabet^k strings at most), so
+    # an exhaustive in-block equi-join on blk is O(short²) per block —
+    # negligible at any scale, and disjoint from the segmented path
+    # (whose build side always has length >= k+1).
+    short = base.filter(F.col("len") <= k)
+    short_pairs = (
+        short.select(
+            F.col("key").alias("key_a"), F.col("txt").alias("name_a"), "blk"
+        )
+        .join(
+            short.select(
+                F.col("key").alias("key_b"), F.col("txt").alias("name_b"), "blk"
+            ),
+            "blk",
+        )
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b", k).cast("long"))
+        .filter(F.col("dist") >= 0)
+        .select("key_a", "key_b", "name_a", "name_b", "dist")
+    )
+    return segmented.unionAll(short_pairs)

@@ -332,8 +332,12 @@ def test_edit_distance_join_matches_bruteforce(spark):
                     s.insert(pos, rng.choice(alpha))
                 elif s:
                     del s[pos]
-            if len(s) >= 3:
-                rows.append((rid, "".join(s), "blk")); rid += 1
+            rows.append((rid, "".join(s), "blk")); rid += 1
+    # short strings (len <= k) exercise the exhaustive in-block
+    # fallback: pairs like ("ab","ba") with ed=2 at k=2 can't be found
+    # by segment blocking (no 1-char-per-segment split exists)
+    for s in ("", "a", "b", "ab", "ba", "ac", "abc", "bc"):
+        rows.append((rid, s, "blk")); rid += 1
     df = spark.createDataFrame(rows, "k long, txt string, blk string")
 
     got = {
