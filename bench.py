@@ -28,27 +28,47 @@ def main() -> None:
     spark = get_session(app_name="mindseye-dataframes-spark-bench", cpus=cpus)
     registry = load_all()
     bench_queries = {n: q for n, q in sorted(registry.items()) if q.bench}
+    # the heavy non-headline operators get regression tracking too
+    # (VERDICT r3: q102 is the most expensive query in the suite and
+    # had no tracked timing) — reported under "extended", NOT summed
+    # into the headline metric, so the baseline comparison is stable
+    extended_names = [
+        n
+        for n in ("q87_contamination_screen", "q102_fuzzy_name_match",
+                  "q114_embedding_normalize")
+        if n in registry
+    ]
+
+    def run_once(q) -> float:
+        start = time.perf_counter()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - start, 4)
 
     # warm the JVM (codegen, shuffle services, Python workers) and
-    # parquet footer caches with one untimed pass over every headline
+    # parquet footer caches with one untimed pass over every timed
     # query — the metric is steady-state execution, not first-JIT
     for q in bench_queries.values():
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        run_once(q)
+    for n in extended_names:
+        run_once(registry[n])
     spark.catalog.clearCache()
 
-    # min of 2 timed runs per query: single runs at this scale are
+    # min of 3 timed runs per query: single runs at this scale are
     # dominated by GC/scheduling noise (observed 1.3s vs 7.5s for the
-    # same plan); the minimum is the reproducible steady-state cost
+    # same plan, and a 1.9× min-of-2 outlier for q35 in r3); the
+    # minimum is the reproducible steady-state cost
     timings: dict[str, float] = {}
-    for _ in range(2):
+    extended: dict[str, float] = {}
+    for _ in range(3):
         # drop operator-internal caches so every timed run pays its
         # own materialization cost (no cross-run cache flattery)
         spark.catalog.clearCache()
         for name, q in bench_queries.items():
-            start = time.perf_counter()
-            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = round(time.perf_counter() - start, 4)
+            elapsed = run_once(q)
             timings[name] = min(timings.get(name, elapsed), elapsed)
+        for name in extended_names:
+            elapsed = run_once(registry[name])
+            extended[name] = min(extended.get(name, elapsed), elapsed)
 
     result = {
         "metric": "headline_queries_total_sec",
@@ -56,6 +76,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "extended": extended,
+        "extended_total_sec": round(sum(extended.values()), 4),
     }
     print(json.dumps(result))
     sys.stdout.flush()

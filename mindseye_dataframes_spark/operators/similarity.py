@@ -46,12 +46,23 @@ def cosine_topk(
     k: int,
 ) -> DataFrame:
     """Exact top-k by cosine; rank = (round(cos,9) desc, corpus_id) so
-    results are deterministic and engine-comparable."""
-    pairs = F.broadcast(queries).crossJoin(corpus)
+    results are deterministic and engine-comparable.
+
+    Norms are precomputed per ROW before the cross join (|Q| + |C|
+    folds) instead of per PAIR inside ``cosine`` (2·|Q|·|C| folds) —
+    ~3× less arithmetic per candidate with a bitwise-identical result
+    (same fold expression, same IEEE multiply/divide order)."""
+    from mindseye_dataframes_spark.functions.vectors import norm
+
+    q_n = queries.withColumn("_qn", norm(query_vec))
+    c_n = corpus.withColumn("_cn", norm(corpus_vec))
+    pairs = F.broadcast(q_n).crossJoin(c_n)
     scored = pairs.select(
         F.col(query_id),
         F.col(corpus_id),
-        cosine_ranked(query_vec, corpus_vec).alias("cos_r"),
+        F.round(
+            dot(query_vec, corpus_vec) / (F.col("_qn") * F.col("_cn")), 9
+        ).alias("cos_r"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cos_r").desc(), F.col(corpus_id))
     return (
