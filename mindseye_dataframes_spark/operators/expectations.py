@@ -45,6 +45,11 @@ def check_unique(*cols: str) -> Check:
 
 
 def check_in_range(col: str, lo, hi) -> Check:
+    """NULL values PASS this check (the SQL predicate is NULL for NULL
+    input, which falls to otherwise(0)) — range membership is a
+    statement about present values. Pair with :func:`check_not_null`
+    when NULLs themselves are violations; this mirrors SQL CHECK
+    constraint semantics, where NULL never violates."""
     out = F.sum(
         F.when((F.col(col) < lo) | (F.col(col) > hi), 1).otherwise(0)
     )
@@ -52,6 +57,8 @@ def check_in_range(col: str, lo, hi) -> Check:
 
 
 def check_in_set(col: str, values: list) -> Check:
+    """NULL values PASS (see :func:`check_in_range`); add
+    :func:`check_not_null` to reject them."""
     out = F.sum(F.when(~F.col(col).isin(values), 1).otherwise(0))
     return Check(f"in_set:{col}", out, out == 0)
 

@@ -179,6 +179,12 @@ def _attach_index(
     O(buckets)) + local rank → dense global index."""
     keys = [F.col(k) for k in order_keys]
     counts = bucketed.groupBy("_zip_part").agg(F.count(F.lit(1)).alias("_zip_n"))
+    # This window is intentionally unpartitioned: the frame is the
+    # O(buckets) counts table, tiny by construction. (A lit(0)
+    # partition key would NOT silence the WindowExec warning — Spark
+    # 4's EliminateWindowPartitions folds it away; the warning is
+    # muted at the logger in session.py, and the real guardrail is
+    # tests/test_plans.py::test_no_single_partition_exchange_on_data_paths.)
     cum = Window.orderBy("_zip_part").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "_zip_part",

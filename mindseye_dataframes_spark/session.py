@@ -62,4 +62,28 @@ def get_session(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    session = builder.getOrCreate()
+    _mute_expected_window_warning(session)
+    return session
+
+
+def _mute_expected_window_warning(session: SparkSession) -> None:
+    """Mute WindowExec's "No Partition Defined" warning.
+
+    The only unpartitioned windows in this engine run over O(buckets)
+    metadata frames (zip_frames/packing offset tables — tiny by
+    construction), but each emits the warning per task attempt,
+    burying real log signal. A lit(0) partition key can't help: Spark
+    4's EliminateWindowPartitions optimizer rule folds foldable
+    partition keys away (verified). Single-partition exchanges on DATA
+    paths are instead guarded by plan-shape tests
+    (tests/test_plans.py::test_no_single_partition_exchange_on_data_paths).
+    """
+    try:
+        jvm = session.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # logging backend differs — warning is cosmetic

@@ -444,3 +444,29 @@ def test_remaining_new_queries_plan_shapes(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q103_unpivot_metrics")
     assert "Expand" in plan
     _assert_no_blowup(plan)
+
+
+def test_edit_join_is_segment_equi_join(spark, sf_dir):
+    """q102's PassJoin must stay an equi-join on segment keys (never a
+    cartesian/theta blowup): in-block quadratic comparison is exactly
+    what the operator exists to avoid. The short-string fallback's
+    exhaustive join is keyed on blk, so it is also hash, not nested
+    loop over everything."""
+    plan = plan_of(spark, sf_dir, "q102_fuzzy_name_match")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_embedding_normalize_single_agg_broadcast_stats(spark, sf_dir):
+    """q114: one hash-aggregate over (label, dim) and a broadcast
+    stats join — the stats side is labels × dims, always tiny. A
+    shuffled stats join or a second full-data aggregate would be a
+    100× regression at scale."""
+    plan = plan_of(spark, sf_dir, "q114_embedding_normalize")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # exactly one aggregation pair (partial + final) over the exploded data
+    assert plan.count("HashAggregate") == 2
