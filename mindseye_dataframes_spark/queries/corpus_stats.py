@@ -1,0 +1,420 @@
+"""Corpus statistics & quality analytics (round-4 north-star widening).
+
+Five training-data-curation operators over ``documents``, each with an
+exact DuckDB oracle and a 100 TB-shaped plan:
+
+q116 Gopher-style quality signals — the per-document filters a corpus
+admission pipeline computes (word count, mean word length, stopword
+fraction, duplicate-word fraction, composite pass flag). Pure
+row-local expressions: zero shuffle, whole-stage codegen, scales with
+scan bandwidth alone.
+
+q117 repetition ratio — fraction of all word bigrams taken by the
+single most-repeated bigram (the Gopher "repetition" family). The
+counting is DOC-LOCAL, so the scale path is an Arrow-batched pandas
+UDF returning exact integer counts per doc (zero shuffle — a naive
+relational phrasing would shuffle every (doc, bigram) pair); the
+ratio division + rounding happen in SQL so both engines share one
+IEEE op sequence.
+
+q118 PMI collocations — corpus-level bigram association. Reported as
+the raw likelihood ratio ("lift" = p(ab) / (p(a)·p(b))) rather than
+its log: every input is an exact integer count, so computing the
+ratio as an identical IEEE divide/multiply sequence on both engines
+is bit-exact — no libm ``ln`` (whose last ulp differs across engines)
+anywhere. Two hash-aggregates (bigram + unigram counts) and two
+equi-joins; the 1-row totals frame is a broadcast cross join.
+
+q119 vocabulary OOV rate — build the top-K vocabulary (count desc,
+word tiebreak → deterministic at the boundary), broadcast it, and
+score every document's out-of-vocabulary token fraction. The classic
+two-phase "build small model, apply everywhere" shape: vocab is
+top-K-bounded so the apply side is a broadcast hash join + one
+per-doc aggregate.
+
+q120 SimHash hamming near-dup join — pairs with hamming distance ≤ 2
+between 16-bit SimHash fingerprints, via band pigeonhole: split the
+fingerprint into 3 disjoint bit-bands; any pair within distance 2
+shares at least one band EXACTLY (2 errors touch ≤ 2 bands). Candidate
+generation is an equi-join on (band, value) — never an all-pairs XOR
+scan — and the exact ``bit_count(a ^ b)`` verifies survivors. Same
+pigeonhole architecture as the edit-distance join (operators/
+edit_join.py) and MinHash LSH banding (operators/dedup.py), applied
+to the hamming metric.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mindseye_dataframes_spark.functions.textfns import (
+    STOPWORDS,
+    py_word_ngrams,
+    simhash16,
+    simhash16_sql,
+    word_ngrams_udf,
+)
+from mindseye_dataframes_spark.queries.registry import query
+from mindseye_dataframes_spark.sources.readers import load_table
+
+_STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@query(
+    "q116_gopher_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sig AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                  AS BIGINT) AS n_chars_tok,
+             CAST(len(list_filter(toks, x -> x IN ({_STOP_IN}))) AS BIGINT)
+               AS n_stop,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+      FROM t)
+    SELECT doc_id, n_words,
+           round(CAST(n_chars_tok AS DOUBLE) / CAST(n_words AS DOUBLE), 4)
+             AS mean_word_len,
+           round(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE), 4)
+             AS stop_frac,
+           round(CAST(n_words - n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE), 4)
+             AS dup_frac,
+           (n_words BETWEEN 5 AND 100000)
+             AND (CAST(n_chars_tok AS DOUBLE) / CAST(n_words AS DOUBLE)
+                  BETWEEN 2.0 AND 12.0)
+             AND (CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) < 0.5)
+             AS quality_pass
+    FROM sig ORDER BY doc_id
+    """,
+    tags=("text", "quality", "north-star"),
+)
+def q116_gopher_quality(spark, sf_dir):
+    """Per-document quality signals (Gopher-rule family). Every signal
+    is an exact integer count; the fractions are single IEEE divides
+    shared verbatim with the oracle. Zero shuffle — this is the filter
+    pass that must run at scan speed over 100 TB."""
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks).cast("long")
+    n_chars_tok = F.aggregate(
+        toks, F.lit(0), lambda acc, x: acc + F.length(x)
+    ).cast("long")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    mean_wl = n_chars_tok.cast("double") / n_words.cast("double")
+    stop_frac = n_stop.cast("double") / n_words.cast("double")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            n_words.alias("n_words"),
+            F.round(mean_wl, 4).alias("mean_word_len"),
+            F.round(stop_frac, 4).alias("stop_frac"),
+            F.round(
+                (n_words - n_distinct).cast("double") / n_words.cast("double"), 4
+            ).alias("dup_frac"),
+            (
+                n_words.between(5, 100000)
+                & mean_wl.between(2.0, 12.0)
+                & (stop_frac < 0.5)
+            ).alias("quality_pass"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bigram_counts_udf():
+    """Arrow-batched doc-local bigram tally: (max single-bigram count,
+    total bigram count). Exact integers out — the ratio is divided and
+    rounded in SQL so both engines share one IEEE op sequence. Built
+    lazily (pandas_udf parses its DDL type against the active
+    session, so the decorator can't run at import time)."""
+
+    def tally(texts):
+        import collections
+
+        import pandas as pd
+
+        tops, totals = [], []
+        for t in texts:
+            grams = py_word_ngrams(t, 2)
+            if grams:
+                counts = collections.Counter(grams)
+                tops.append(max(counts.values()))
+                totals.append(len(grams))
+            else:
+                tops.append(0)
+                totals.append(0)
+        return pd.DataFrame({"top_n": tops, "n_bigrams": totals})
+
+    return F.pandas_udf(tally, "top_n bigint, n_bigrams bigint")
+
+
+@query(
+    "q117_repetition_ratio",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM t),
+    cnt AS (
+      SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS n
+      FROM grams GROUP BY doc_id, gram)
+    SELECT doc_id,
+           CAST(max(n) AS BIGINT) AS top_n,
+           CAST(sum(n) AS BIGINT) AS n_bigrams,
+           round(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 4) AS rep_ratio
+    FROM cnt GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("text", "quality", "north-star"),
+)
+def q117_repetition_ratio(spark, sf_dir):
+    """Most-repeated-bigram ratio per document. The oracle phrases it
+    relationally (unnest → group); Spark computes the same integers
+    doc-locally in one Arrow batch pass — ZERO shuffle, because bigram
+    repetition never crosses document boundaries. At 100 TB that is
+    the difference between scan-speed and shuffling every bigram."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(F.split("text", " ")) >= 2)
+        .select("doc_id", _bigram_counts_udf()(F.col("text")).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.top_n").alias("top_n"),
+            F.col("c.n_bigrams").alias("n_bigrams"),
+            F.round(
+                F.col("c.top_n").cast("double")
+                / F.col("c.n_bigrams").cast("double"),
+                4,
+            ).alias("rep_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 50
+
+
+@query(
+    "q118_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    uni AS (
+      SELECT unnest(t) AS w FROM toks),
+    ucnt AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM uni GROUP BY w),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1])) AS gram
+      FROM toks WHERE len(t) >= 2),
+    bcnt AS (
+      SELECT gram, CAST(count(*) AS BIGINT) AS c_ab FROM bi GROUP BY gram),
+    tot AS (
+      SELECT (SELECT CAST(sum(c_ab) AS BIGINT) FROM bcnt) AS n_bi,
+             (SELECT CAST(sum(c_w) AS BIGINT) FROM ucnt) AS n_uni),
+    scored AS (
+      SELECT gram, c_ab, a.c_w AS c_a, b.c_w AS c_b,
+             round((CAST(c_ab AS DOUBLE) / CAST(n_bi AS DOUBLE))
+                   / ((CAST(a.c_w AS DOUBLE) / CAST(n_uni AS DOUBLE))
+                      * (CAST(b.c_w AS DOUBLE) / CAST(n_uni AS DOUBLE))), 4)
+               AS lift
+      FROM bcnt
+      CROSS JOIN tot
+      JOIN ucnt a ON a.w = string_split(gram, ' ')[1]
+      JOIN ucnt b ON b.w = string_split(gram, ' ')[2]
+      WHERE c_ab >= {_PMI_MIN_COUNT})
+    SELECT gram, c_ab, c_a, c_b, lift FROM (
+      SELECT *, row_number() OVER (ORDER BY lift DESC, gram) AS rn
+      FROM scored) WHERE rn <= {_PMI_TOP}
+    ORDER BY lift DESC, gram
+    """,
+    tags=("text", "collocations", "north-star"),
+)
+def q118_pmi_collocations(spark, sf_dir):
+    """Top bigram collocations by pointwise-mutual-information LIFT
+    p(ab)/(p(a)·p(b)) — reported as the raw ratio, not its log, so the
+    whole computation is exact integers + one shared IEEE op sequence
+    (no cross-engine libm ``ln`` drift). Plan: two hash-aggregates
+    (bigram, unigram counts), broadcast 1-row totals, two equi-joins
+    back to unigram counts, top-K."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    ucnt = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    bi = docs.filter(F.size(F.split("text", " ")) >= 2).select(
+        F.explode(word_ngrams_udf(2)(F.col("text"))).alias("gram")
+    )
+    bcnt = bi.groupBy("gram").agg(F.count(F.lit(1)).alias("c_ab"))
+    tot = bcnt.agg(F.sum("c_ab").alias("n_bi")).crossJoin(
+        ucnt.agg(F.sum("c_w").alias("n_uni"))
+    )
+    scored = (
+        bcnt.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .crossJoin(F.broadcast(tot))
+        .withColumn("w1", F.split("gram", " ")[0])
+        .withColumn("w2", F.split("gram", " ")[1])
+        .join(ucnt.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a")), "w1")
+        .join(ucnt.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b")), "w2")
+        .withColumn(
+            "lift",
+            F.round(
+                (F.col("c_ab").cast("double") / F.col("n_bi").cast("double"))
+                / (
+                    (F.col("c_a").cast("double") / F.col("n_uni").cast("double"))
+                    * (F.col("c_b").cast("double") / F.col("n_uni").cast("double"))
+                ),
+                4,
+            ),
+        )
+    )
+    # orderBy + limit compiles to TakeOrderedAndProject — each task
+    # keeps a local top-K heap, the driver merges K·tasks rows — never
+    # a single-partition global sort of the full candidate set
+    return (
+        scored.select("gram", "c_ab", "c_a", "c_b", "lift")
+        .orderBy(F.desc("lift"), "gram")
+        .limit(_PMI_TOP)
+    )
+
+
+_VOCAB_K = 100
+
+
+@query(
+    "q119_vocab_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS rn
+        FROM tok GROUP BY w) WHERE rn <= {_VOCAB_K}),
+    flagged AS (
+      SELECT t.doc_id,
+             CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tok t LEFT JOIN vocab v USING (w))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           round(CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+             AS oov_rate
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("text", "vocab", "north-star"),
+)
+def q119_vocab_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate per document against the corpus top-K
+    vocabulary (count desc, word tiebreak — deterministic at the K
+    boundary). Two-phase: the vocab build is one hash-aggregate +
+    top-K (TakeOrdered, never a full sort); the apply side broadcasts
+    the K-row vocab and runs one per-doc aggregate — the standard
+    "train small, apply wide" scale shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "w")
+        .limit(_VOCAB_K)
+        .select("w", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 4
+            ).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# 16 bits → 3 disjoint bands (6+5+5); hamming ≤ 2 ⇒ ≥ 1 band intact
+_SH_BANDS = ((0, 6), (6, 5), (11, 5))
+_SH_MAXDIST = 2
+
+
+@query(
+    "q120_simhash_hamming_pairs",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, {simhash16_sql("text")} AS sh FROM documents),
+    bands AS (
+      SELECT doc_id, sh, b.i AS band,
+             CASE b.i
+               WHEN 0 THEN sh & 63
+               WHEN 1 THEN (sh >> 6) & 31
+               ELSE (sh >> 11) & 31 END AS val
+      FROM fp, LATERAL (SELECT unnest([0, 1, 2]) AS i) b),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band, val)
+      WHERE a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           CAST(bit_count(CAST(xor(fa.sh, fb.sh) AS BIGINT)) AS BIGINT)
+             AS hamming
+    FROM cand
+    JOIN fp fa ON fa.doc_id = id_a
+    JOIN fp fb ON fb.doc_id = id_b
+    WHERE bit_count(CAST(xor(fa.sh, fb.sh) AS BIGINT)) <= {_SH_MAXDIST}
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "simhash", "north-star"),
+)
+def q120_simhash_hamming_pairs(spark, sf_dir):
+    """Near-duplicate pairs at hamming distance ≤ 2 between 16-bit
+    SimHash fingerprints. Pigeonhole banding (6+5+5 bits): 2 bit
+    errors can corrupt at most 2 of the 3 disjoint bands, so every
+    qualifying pair collides on at least one exact band — candidate
+    generation is an equi-join on (band, value), NEVER an all-pairs
+    XOR scan, and ``bit_count(sh_a ^ sh_b)`` verifies survivors
+    exactly. The hamming-metric sibling of the PassJoin edit join
+    (operators/edit_join.py:43) and MinHash LSH (operators/dedup.py)."""
+    fp = load_table(spark, sf_dir, "documents").select(
+        "doc_id", simhash16("text").alias("sh")
+    )
+    band_structs = []
+    for i, (lo, width) in enumerate(_SH_BANDS):
+        mask = (1 << width) - 1
+        band_structs.append(
+            f"named_struct('band', {i}, 'val', shiftright(sh, {lo}) & {mask})"
+        )
+    bands = fp.select(
+        "doc_id",
+        "sh",
+        F.explode(F.expr(f"array({', '.join(band_structs)})")).alias("b"),
+    ).select("doc_id", "sh", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    cand = (
+        bands.select(F.col("doc_id").alias("id_a"), "band", "val")
+        .join(bands.select(F.col("doc_id").alias("id_b"), "band", "val"), ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return (
+        cand.join(fp.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(fp.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "hamming",
+            F.expr("bit_count(sh_a ^ sh_b)").cast("long"),
+        )
+        .filter(F.col("hamming") <= _SH_MAXDIST)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
