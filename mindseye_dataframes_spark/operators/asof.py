@@ -36,10 +36,18 @@ def asof_join(
     payload: list[str],
     tiebreak: str | None = None,
     suffix: str = "_asof",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """Left as-of join. ``payload`` columns from ``right`` are appended
     (renamed with ``suffix`` when they collide), null when no right row
     precedes. Inclusive: right rows at exactly left_ts match.
+
+    ``tolerance_seconds`` bounds staleness (pandas ``merge_asof``
+    tolerance): a preceding right row older than the bound yields NULL
+    payload columns, exactly as if no row preceded. Implemented as a
+    post-fill predicate on the matched row's own timestamp (carried
+    inside the payload struct), so the plan is unchanged — still ONE
+    shuffle, no extra join.
     """
     # deterministic right side: one row per (keys, ts)
     r = right
@@ -52,7 +60,12 @@ def asof_join(
         )
 
     out_names = {c: (c + suffix if c in left.columns else c) for c in payload}
-    payload_struct = F.struct(*[F.col(c).alias(out_names[c]) for c in payload])
+    payload_fields = [F.col(c).alias(out_names[c]) for c in payload]
+    if tolerance_seconds is not None:
+        # the matched row's own ts rides inside the struct so the
+        # staleness bound is checked against the ACTUAL filled row
+        payload_fields.append(F.col(right_ts).alias("_asof_matched_ts"))
+    payload_struct = F.struct(*payload_fields)
     struct_type = r.select(payload_struct.alias("_asof_payload")).schema[
         "_asof_payload"
     ].dataType
@@ -88,10 +101,20 @@ def asof_join(
         "_asof_side",
         F.last("_asof_payload", ignorenulls=True).over(fill).alias("_asof_payload"),
     )
-    return (
-        filled.filter(F.col("_asof_side") == 1)
-        .select(
+    out = filled.filter(F.col("_asof_side") == 1)
+    if tolerance_seconds is not None:
+        fresh = F.unix_micros(F.col(left_ts)) - F.unix_micros(
+            F.col("_asof_payload._asof_matched_ts")
+        ) <= F.lit(int(tolerance_seconds) * 1_000_000)
+        return out.select(
             *left.columns,
-            *[F.col(f"_asof_payload.{out_names[c]}").alias(out_names[c]) for c in payload],
+            *[
+                F.when(fresh, F.col(f"_asof_payload.{out_names[c]}"))
+                .alias(out_names[c])
+                for c in payload
+            ],
         )
+    return out.select(
+        *left.columns,
+        *[F.col(f"_asof_payload.{out_names[c]}").alias(out_names[c]) for c in payload],
     )

@@ -42,6 +42,7 @@ _MODULES = (
     "quality_gate",
     "incremental",
     "corpus_stats",
+    "behavior",
 )
 _loaded = False
 

@@ -1,0 +1,194 @@
+"""Behavioral / product-analytics queries (round-4 widening).
+
+q121 retention cohorts — the classic cohort-retention triangle:
+users grouped by first-event week, activity counted per week offset.
+Two hash-aggregates (first event per user, distinct user-weeks) and
+one equi-join on user_id — no windows, no cross products; at 100 TB
+both aggregates partial-combine map-side and the join shuffles
+already-reduced per-user rows.
+
+q122 last-touch attribution — every purchase attributed to the most
+recent click/view of the same user within a 1-hour window. Exercises
+the as-of join's ``tolerance_seconds`` bound (operators/asof.py): the
+union-marker fill runs in ONE shuffle, and stale matches null out via
+a post-fill predicate on the matched row's own timestamp — no range
+join, no per-key collect. Oracle is a LATERAL top-1 lookup.
+
+q123 language-ID confusion matrix — labeled ``lang`` vs the n-gram
+marker heuristic's prediction (functions/textfns.py:lang_id), the
+eval harness for the language-ID component. One hash-aggregate; the
+prediction is a pure expression (no UDF).
+
+q124 exact stratified sample — exactly N docs per source, chosen by
+deterministic md5 order (engine-portable, seedable via the hash
+input). Unlike fraction-based sampling (q48/q83) the quota is EXACT
+per stratum; one partitioned window ranks within each stratum, so
+parallelism = number of strata × their sizes, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mindseye_dataframes_spark.functions.textfns import lang_id, lang_id_sql
+from mindseye_dataframes_spark.operators.asof import asof_join
+from mindseye_dataframes_spark.queries.registry import query
+from mindseye_dataframes_spark.sources.readers import load_table
+
+
+@query(
+    "q121_retention_cohorts",
+    oracle="""
+    WITH first_ev AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+      FROM events)
+    SELECT f.cohort_week,
+           CAST(datediff('day', f.cohort_week, a.act_week) // 7 AS BIGINT)
+             AS offset_weeks,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM first_ev f JOIN activity a USING (user_id)
+    GROUP BY f.cohort_week, offset_weeks
+    ORDER BY f.cohort_week, offset_weeks
+    """,
+    tags=("analytics", "retention", "north-star"),
+)
+def q121_retention_cohorts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    first_ev = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("act_week")
+    ).distinct()
+    return (
+        first_ev.join(activity, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff("act_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("offset_weeks"),
+        )
+        .groupBy("cohort_week", "offset_weeks")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "offset_weeks")
+    )
+
+
+_TOUCH_TYPES = ("click", "view")
+_ATTR_TOL_S = 3600
+
+
+@query(
+    "q122_last_touch_attribution",
+    oracle=f"""
+    SELECT p.event_id, p.user_id, p.ts,
+           t.event_type AS touch_type, t.event_id AS touch_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN LATERAL (
+      SELECT event_type, event_id
+      FROM events t
+      WHERE t.user_id = p.user_id
+        AND t.event_type IN {_TOUCH_TYPES}
+        AND t.ts <= p.ts
+        AND epoch_us(p.ts) - epoch_us(t.ts) <= {_ATTR_TOL_S * 1_000_000}
+      ORDER BY t.ts DESC, t.event_id DESC LIMIT 1
+    ) t ON TRUE
+    ORDER BY p.event_id
+    """,
+    tags=("analytics", "attribution", "asof", "north-star"),
+)
+def q122_last_touch_attribution(spark, sf_dir):
+    """Last-touch attribution via the tolerance-bounded as-of join:
+    ONE shuffle of purchases+touches (union-marker fill), stale
+    matches (> 1 h) nulled by the post-fill staleness predicate — the
+    oracle's LATERAL top-1 is the quadratic phrasing of the same
+    semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    touches = ev.filter(F.col("event_type").isin(*_TOUCH_TYPES)).select(
+        "user_id",
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("touch_type"),
+        F.col("event_id").alias("touch_id"),
+    )
+    return asof_join(
+        purchases,
+        touches,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="touch_ts",
+        payload=["touch_type", "touch_id"],
+        tiebreak="touch_id",
+        tolerance_seconds=_ATTR_TOL_S,
+    ).select("event_id", "user_id", "ts", "touch_type", "touch_id").orderBy(
+        "event_id"
+    )
+
+
+@query(
+    "q123_langid_confusion",
+    oracle=f"""
+    SELECT lang, {lang_id_sql("text")} AS pred,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents
+    GROUP BY lang, pred
+    ORDER BY lang, pred
+    """,
+    tags=("text", "langid", "north-star"),
+)
+def q123_langid_confusion(spark, sf_dir):
+    """Confusion matrix of labeled language vs the marker-word
+    heuristic's prediction — the language-ID component's eval. The
+    prediction is a pure JVM expression, so the whole query is one
+    hash-aggregate over the scan."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", lang_id("text").alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred")
+    )
+
+
+_STRATUM_N = 20
+
+
+@query(
+    "q124_stratified_exact_sample",
+    oracle=f"""
+    SELECT doc_id, source, rn FROM (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+      FROM documents)
+    WHERE rn <= {_STRATUM_N}
+    ORDER BY source, rn
+    """,
+    tags=("curation", "sampling", "north-star"),
+)
+def q124_stratified_exact_sample(spark, sf_dir):
+    """Exactly N per stratum, deterministic: rank within each source
+    by md5(doc_id) (an unbiased, engine-portable, reshuffle-stable
+    order) and keep the first N. The partitioned window keeps
+    parallelism at stratum granularity — no global sort, no driver
+    collect; the md5 input doubles as a seed slot (prefix it to draw a
+    different epoch's sample)."""
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", rn.cast("long").alias("rn"))
+        .filter(F.col("rn") <= _STRATUM_N)
+        .orderBy("source", "rn")
+    )

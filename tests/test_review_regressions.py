@@ -271,3 +271,28 @@ def test_tuple_rank_no_id_ceiling(spark):
         f"FROM (VALUES {vals}) t(doc_id, n_chars)"
     ).fetchone()
     assert oracle_survivor == 9_223_372_036_854
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    """tolerance_seconds must null the payload when the matched right
+    row is older than the bound — exactly as if no row preceded — and
+    leave fresh matches untouched."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00")],
+        "id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(10, "2024-01-01 09:59:00", "x")],
+        "rid long, rts string, tag string",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    left = left.withColumn("k", F.lit(1))
+    right = right.withColumn("k", F.lit(1))
+    out = {
+        r["id"]: (r["tag"], r["rid"])
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            payload=["tag", "rid"], tolerance_seconds=120,
+        ).collect()
+    }
+    assert out[1] == ("x", 10)        # 60s old: within tolerance
+    assert out[2] == (None, None)     # 2h old: stale -> all-null payload
