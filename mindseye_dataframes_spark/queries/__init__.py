@@ -43,6 +43,7 @@ _MODULES = (
     "incremental",
     "corpus_stats",
     "behavior",
+    "graph_vectors",
 )
 _loaded = False
 

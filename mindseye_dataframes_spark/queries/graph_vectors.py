@@ -1,0 +1,187 @@
+"""Graph analytics over the co-purchase relation + embedding
+compression (round-4 widening).
+
+q125 co-purchase degrees — build the part↔part "bought together"
+graph (distinct part pairs sharing an order) and rank parts by
+degree. Edge generation is an in-order self-join (per-order fan-out
+is bounded by order size, never corpus-quadratic); degrees are one
+hash-aggregate over edge endpoints.
+
+q126 triangle count — triangles in the co-purchase graph via the
+oriented 2-path join: edges stored once with pa < pb, paths
+(a→b, a→c, b < c) closed by a third equi-join on (b, c). Orientation
+makes every triangle counted exactly once and bounds the path join
+by the out-degree of the LOWEST vertex — the standard distributed
+triangle algorithm (equi-joins only, no cross product).
+
+q127 int8 embedding quantization — symmetric per-vector int8
+quantization (scale = max|x| / 127), the storage/serving compression
+step of an embedding pipeline. Engine-exact: float→double casts are
+exact, scale and x/s are single IEEE ops shared with the oracle, and
+both engines round ties away from zero; the reconstruction-error
+fold is the same left-to-right sequence on both sides.
+
+q128 PCA projection — distributed principal components
+(operators/decomp.py): one partial-moments pass (O(d²) per
+partition), driver-side d×d eigensolve, broadcast projection map.
+Not SQL-expressible (eigendecomposition), so the driver applies the
+rows-only check; numerical parity against a direct numpy PCA is
+pinned in tests/test_training_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mindseye_dataframes_spark.queries.registry import query
+from mindseye_dataframes_spark.sources.readers import load_table
+
+_EDGES_SQL = """
+    li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+"""
+
+
+def _edges(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+
+
+@query(
+    "q125_copurchase_degrees",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    deg AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT pa AS p FROM e UNION ALL SELECT pb FROM e)
+      GROUP BY p)
+    SELECT p, degree FROM deg
+    ORDER BY degree DESC, p LIMIT 50
+    """,
+    tags=("graph", "degrees", "north-star"),
+)
+def q125_copurchase_degrees(spark, sf_dir):
+    """Top-50 parts by co-purchase degree. Undirected degree = count
+    of both endpoint roles; top-K via TakeOrdered (no global sort)."""
+    e = _edges(spark, sf_dir)
+    ends = e.select(F.col("pa").alias("p")).unionAll(
+        e.select(F.col("pb").alias("p"))
+    )
+    return (
+        ends.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .orderBy(F.desc("degree"), "p")
+        .limit(50)
+    )
+
+
+@query(
+    "q126_triangle_count",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    tri AS (
+      SELECT count(*) AS n FROM e e1
+      JOIN e e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+      JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb)
+    SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles
+    """,
+    tags=("graph", "triangles", "north-star"),
+)
+def q126_triangle_count(spark, sf_dir):
+    """Exact triangle count via oriented 2-paths: for a < b < c, join
+    (a,b)+(a,c) then close with (b,c). Each triangle appears exactly
+    once; the path join's fan-out is the out-degree of the smallest
+    vertex — the classic shuffle-bounded distributed formulation."""
+    e = _edges(spark, sf_dir)
+    e1 = e.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = e.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    paths = e1.join(e2, "a").filter(F.col("c") > F.col("b"))
+    closing = e.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
+    tri = paths.join(closing, ["b", "c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    edges_n = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return edges_n.crossJoin(tri)
+
+
+@query(
+    "q127_int8_quantize",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc
+          FROM e),
+    q AS (SELECT vec_id, v, sc,
+                 list_transform(v, x -> CAST(round(x / sc) AS BIGINT)) AS qv
+          FROM s WHERE sc > 0)
+    SELECT vec_id,
+           array_to_string(qv, ',') AS q_csv,
+           round(list_reduce(
+             list_transform(range(1, len(v) + 1),
+                            i -> (v[i] - qv[i] * sc) * (v[i] - qv[i] * sc)),
+             (a, x) -> a + x), 9) AS l2_err
+    FROM q ORDER BY vec_id
+    """,
+    tags=("vector", "quantization", "north-star"),
+)
+def q127_int8_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 quantization + reconstruction error.
+    Engine-exact: scale and quotient are single IEEE ops, Spark's
+    HALF_UP and DuckDB's half-away agree on every tie (both round away
+    from zero), and the error fold is the same left-to-right double
+    sequence on both engines (cf. q90's vector HOFs)."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sc = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    qv = F.transform(F.col("v"), lambda x: F.round(x / F.col("sc")).cast("long"))
+    err = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.col("qv"),
+            lambda x, q: (x - q * F.col("sc")) * (x - q * F.col("sc")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", v.alias("v"), sc.alias("sc"))
+        .filter(F.col("sc") > 0)
+        .withColumn("qv", qv)
+        .select(
+            "vec_id",
+            F.concat_ws(",", F.col("qv")).alias("q_csv"),
+            F.round(err, 9).alias("l2_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "q128_pca_projection",
+    oracle=None,  # eigendecomposition is not SQL-expressible; numeric
+    # parity vs direct numpy PCA is pinned in tests/test_training_ops.py
+    tags=("vector", "pca", "north-star"),
+)
+def q128_pca_projection(spark, sf_dir):
+    """Top-2 principal-component projection of the embedding corpus
+    (operators/decomp.py) — rounded to 4 digits for display stability;
+    the driver applies its rows-only check here."""
+    from mindseye_dataframes_spark.operators.decomp import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pca_project(emb, "vec_id", "embedding", k=2)
+    return out.select(
+        "vec_id",
+        F.round(F.col("pc")[0], 4).alias("pc1"),
+        F.round(F.col("pc")[1], 4).alias("pc2"),
+    ).orderBy("vec_id")

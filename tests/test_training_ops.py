@@ -131,3 +131,40 @@ def test_grouped_ols_matches_builtin_regression(spark, sf_dir):
         assert ours[k]["n"] == ref[k]["n"]
         assert abs(ours[k]["slope"] - ref[k]["slope"]) < 1e-9
         assert abs(ours[k]["intercept"] - ref[k]["intercept"]) < 1e-9
+
+
+def test_pca_matches_numpy_direct(spark, sf_dir):
+    """Distributed partial-moments PCA must match a direct numpy PCA
+    on the same data (same covariance convention, same sign rule)."""
+    import numpy as np
+
+    from mindseye_dataframes_spark.operators.decomp import (
+        pca_components,
+        pca_project,
+    )
+    from mindseye_dataframes_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+    mean, comps, evar = pca_components(emb, "embedding", k=2)
+    assert np.allclose(mean, x.mean(axis=0), atol=1e-9)
+
+    cov = np.cov(x, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:2]
+    ref = evecs[:, order].T
+    for row in ref:
+        if row[np.argmax(np.abs(row))] < 0:
+            row *= -1.0
+    assert np.allclose(comps, ref, atol=1e-6)
+    assert np.all(evar[:-1] >= evar[1:])  # descending explained variance
+
+    proj = {
+        r["vec_id"]: r["pc"]
+        for r in pca_project(emb, "vec_id", "embedding", k=2).collect()
+    }
+    ref_proj = (x - x.mean(axis=0)) @ ref.T
+    got = np.array([proj[r["vec_id"]] for r in rows])
+    assert np.allclose(got, ref_proj, atol=1e-6)
