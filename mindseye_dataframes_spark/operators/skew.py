@@ -45,3 +45,55 @@ def salted_join(
         SALT, F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     return l_salted.join(r_exploded, [*on, SALT], how).drop(SALT)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple],
+    salt: int = 8,
+    salt_from: str | None = None,
+) -> DataFrame:
+    """Two-phase aggregation for hot grouping keys: partial-aggregate
+    on (keys, salt), then merge partials per key. Spark's hash
+    aggregate already partial-combines map-side, so this explicit form
+    only wins when the MERGE side itself skews (few keys × huge
+    cardinality reducers, e.g. exact count-distinct structures); it is
+    also the template for custom mergeable states.
+
+    ``aggs`` maps output name → ("sum" | "count" | "min" | "max",
+    column). Only merge-associative aggregates are accepted — each
+    re-merges exactly under regrouping (use decimal/integer columns
+    for sums that must be bit-stable: double re-merge changes
+    accumulation order).
+
+    ``salt_from``: a column whose hash provides a DETERMINISTIC salt
+    (default: Spark's rand would make plans nondeterministic).
+    """
+    if salt_from is None:
+        raise ValueError("salted_agg needs salt_from for determinism")
+    _MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    _PARTIAL = {
+        "sum": lambda c: F.sum(c),
+        "count": lambda c: F.count(c),
+        "min": lambda c: F.min(c),
+        "max": lambda c: F.max(c),
+    }
+    for name, (kind, _) in aggs.items():
+        if kind not in _MERGE:
+            raise ValueError(f"{name}: '{kind}' is not merge-associative")
+    salted = df.withColumn(
+        SALT, F.pmod(F.hash(F.col(salt_from)), F.lit(salt)).cast("int")
+    )
+    partial = salted.groupBy(*keys, SALT).agg(
+        *[
+            _PARTIAL[kind](col).alias(f"_p_{name}")
+            for name, (kind, col) in aggs.items()
+        ]
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            _MERGE[kind](F.col(f"_p_{name}")).alias(name)
+            for name, (kind, _) in aggs.items()
+        ]
+    )

@@ -44,6 +44,7 @@ _MODULES = (
     "corpus_stats",
     "behavior",
     "graph_vectors",
+    "ml_features",
 )
 _loaded = False
 
