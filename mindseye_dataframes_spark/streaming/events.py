@@ -176,3 +176,37 @@ def enrich_stream(stream: DataFrame, dim: DataFrame, on: str = "user_id") -> Dat
     (for a huge dim, switch the static side to a stream and use a
     watermarked stream-stream join)."""
     return stream.join(F.broadcast(dim), on, "left")
+
+
+def interval_join_streams(
+    purchases: DataFrame,
+    touches: DataFrame,
+    tolerance_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the streaming twin of
+    q122's attribution window: every (purchase, touch) pair of the
+    same user with ``touch_ts ∈ [purchase_ts − tolerance,
+    purchase_ts]``. Both sides carry watermarks and the join condition
+    bounds event-time distance, so each side's state store holds only
+    the watermark+tolerance horizon — the REQUIRED shape for an
+    unbounded stream-stream join (an unbounded-time condition would
+    grow state forever). Batch parity is pinned in
+    tests/test_streaming.py.
+
+    ``purchases`` columns: (event_id, user_id, ts);
+    ``touches`` columns: (t_user, touch_ts, touch_type, touch_id).
+    """
+    p = purchases.withWatermark("ts", watermark)
+    t = touches.withWatermark("touch_ts", watermark)
+    cond = (
+        (p["user_id"] == t["t_user"])
+        & (t["touch_ts"] <= p["ts"])
+        & (
+            t["touch_ts"]
+            >= p["ts"] - F.expr(f"INTERVAL {int(tolerance_seconds)} SECONDS")
+        )
+    )
+    return p.join(t, cond, "inner").select(
+        "event_id", "user_id", "ts", "touch_type", "touch_id", "touch_ts"
+    )

@@ -135,3 +135,43 @@ def test_stream_static_enrichment(spark, events_dir, sf_dir):
         result.filter("c_name IS NULL").count()
         == batch.filter("c_name IS NULL").count()
     )
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    """The watermarked stream-stream interval join must emit exactly
+    the pairs the equivalent batch interval join produces on the same
+    bounded data."""
+    from mindseye_dataframes_spark.streaming.events import interval_join_streams
+
+    def purchases(df):
+        return df.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+
+    def touches(df):
+        return df.filter(F.col("event_type").isin("click", "view")).select(
+            F.col("user_id").alias("t_user"),
+            F.col("ts").alias("touch_ts"),
+            F.col("event_type").alias("touch_type"),
+            F.col("event_id").alias("touch_id"),
+        )
+
+    stream = read_event_stream(spark, events_dir)
+    joined = interval_join_streams(purchases(stream), touches(stream), 3600)
+    got = {
+        (r["event_id"], r["touch_id"])
+        for r in run_bounded(joined, "ssj_attr", output_mode="append").collect()
+    }
+
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    p, t = purchases(batch), touches(batch)
+    want = {
+        (r["event_id"], r["touch_id"])
+        for r in p.join(
+            t,
+            (p["user_id"] == t["t_user"])
+            & (t["touch_ts"] <= p["ts"])
+            & (t["touch_ts"] >= p["ts"] - F.expr("INTERVAL 3600 SECONDS")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
