@@ -370,6 +370,79 @@ def audio_features(
     return ensure_min_parallelism(df).mapInPandas(extract, schema=out_schema)
 
 
+def stft_spectrogram(
+    samples: "np.ndarray", win: int = 256, hop: int = 128
+) -> "np.ndarray":
+    """Real STFT magnitude spectrogram (hann window, numpy rFFT):
+    (n_frames, win//2+1). Deterministic for fixed input."""
+    if len(samples) < win:
+        samples = np.pad(samples, (0, win - len(samples)))
+    n_frames = 1 + (len(samples) - win) // hop
+    window = np.hanning(win)
+    frames = np.stack(
+        [samples[i * hop : i * hop + win] * window for i in range(n_frames)]
+    )
+    return np.abs(np.fft.rfft(frames, axis=1))
+
+
+def audio_spectrogram(
+    df: DataFrame, blob_col: str = "blob", win: int = 256, hop: int = 128
+) -> DataFrame:
+    """Windowed STFT spectrogram summary per WAV payload: frame/bin
+    shape, the global peak (frame, bin), and per-frame dominant bins —
+    the downsampled representation a training pipeline would hand to
+    an audio encoder. REAL kernel (wave + numpy rFFT) for PCM WAV;
+    non-WAV payloads yield NULLs (explicit, not fake — spectrogram
+    fakes would be misleading). Arrow-batched mapInPandas: one pass,
+    no shuffle, payload memory bounded by the Arrow batch size."""
+    keep = [c for c in df.columns if c != blob_col]
+    out_schema = ", ".join(
+        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in keep]
+        + [
+            "n_frames int, n_bins int, peak_frame int, peak_bin int",
+            "frame_peak_bins array<int>",
+        ]
+    )
+
+    def extract(batches):
+        def kernel(p: bytes) -> dict | None:
+            d = decode_wav(p, 1)
+            if d is None:
+                return None
+            with wave.open(io.BytesIO(p)) as w:
+                sw, ch = w.getsampwidth(), w.getnchannels()
+                raw = w.readframes(w.getnframes())
+            if sw == 2:
+                s = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+            else:
+                s = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+            if ch > 1:
+                s = s[: (len(s) // ch) * ch].reshape(-1, ch).mean(axis=1)
+            spec = stft_spectrogram(s, win, hop)
+            pf, pb = np.unravel_index(np.argmax(spec), spec.shape)
+            return {
+                "n_frames": int(spec.shape[0]),
+                "n_bins": int(spec.shape[1]),
+                "peak_frame": int(pf),
+                "peak_bin": int(pb),
+                "frame_peak_bins": [int(b) for b in spec.argmax(axis=1)],
+            }
+
+        for pdf in batches:
+            out = pdf[keep].copy()
+            decoded = pdf[blob_col].map(
+                lambda b: kernel(bytes(b)) if b is not None else None
+            )
+            for field in ("n_frames", "n_bins", "peak_frame", "peak_bin"):
+                out[field] = decoded.map(lambda d, f=field: d[f] if d else None)
+            out["frame_peak_bins"] = decoded.map(
+                lambda d: d["frame_peak_bins"] if d else None
+            )
+            yield out
+
+    return ensure_min_parallelism(df).mapInPandas(extract, schema=out_schema)
+
+
 def sample_video_frames(
     df: DataFrame, blob_col: str = "blob", stride: int = 1
 ) -> DataFrame:

@@ -220,3 +220,36 @@ def test_image_phash_dedup_clusters(spark, sf_dir):
     assert total_dups >= 2
     for _, n_images, canonical in rows1:
         assert n_images >= 2 and canonical < 300
+
+
+def test_spectrogram_peak_tracks_tone_frequency(spark):
+    """The STFT kernel must place the spectral peak at the tone's FFT
+    bin, and per-frame peaks must move when the signal changes pitch
+    mid-stream (two concatenated tones)."""
+    import numpy as np
+
+    from mindseye_dataframes_spark.operators.multimodal import (
+        audio_spectrogram,
+        stft_spectrogram,
+    )
+
+    sr, win, hop = 8000, 256, 128
+    t = np.arange(sr) / sr
+    tone_a = 0.5 * np.sin(2 * np.pi * 1000.0 * t)  # 1 kHz -> bin 32
+    tone_b = 0.5 * np.sin(2 * np.pi * 2000.0 * t)  # 2 kHz -> bin 64
+    spec = stft_spectrogram(tone_a, win, hop)
+    assert spec.shape[1] == win // 2 + 1
+    assert abs(int(spec.sum(axis=0).argmax()) - round(1000.0 * win / sr)) <= 1
+
+    wav = _make_wav(np.concatenate([tone_a, tone_b]), sr=sr)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"not a wav"))],
+        "doc_id int, blob binary",
+    )
+    rows = {r["doc_id"]: r for r in audio_spectrogram(df, win=win, hop=hop).collect()}
+    good = rows[1]
+    bins = good["frame_peak_bins"]
+    assert good["n_bins"] == win // 2 + 1
+    assert abs(bins[2] - round(1000.0 * win / sr)) <= 1       # first half: 1 kHz
+    assert abs(bins[-3] - round(2000.0 * win / sr)) <= 1      # second half: 2 kHz
+    assert rows[2]["n_frames"] is None                        # non-WAV -> NULLs
