@@ -470,3 +470,34 @@ def test_embedding_normalize_single_agg_broadcast_stats(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # exactly one aggregation pair (partial + final) over the exploded data
     assert plan.count("HashAggregate") == 2
+
+
+def test_round4_queries_plan_shapes(spark, sf_dir):
+    """Round-4 guardrails. The intentional cross joins are 1-row
+    totals/prior broadcasts (q118/q126/q130) — everything else must be
+    hash-join shaped; top-K queries must TakeOrdered, never globally
+    sort; doc-local queries must not shuffle at all."""
+    # zero-shuffle scan-speed queries (row-local computation only)
+    for name in ("q116_gopher_quality", "q117_repetition_ratio",
+                 "q127_int8_quantize"):
+        plan = plan_of(spark, sf_dir, name)
+        _assert_no_blowup(plan)
+        assert "Exchange hashpartitioning" not in plan, name
+
+    # top-K via distributed TakeOrdered, not a global sort + filter
+    for name in ("q118_pmi_collocations", "q119_vocab_oov_rate",
+                 "q125_copurchase_degrees"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+    # graph + behavioral joins stay hash-shaped (the only nested-loop
+    # allowed is a 1-row totals/prior broadcast cross join)
+    for name in ("q120_simhash_hamming_pairs", "q121_retention_cohorts",
+                 "q122_last_touch_attribution", "q124_stratified_exact_sample",
+                 "q129_salted_hot_agg", "q131_group_split"):
+        _assert_no_blowup(plan_of(spark, sf_dir, name))
+
+    # q126's closing joins are equi-joins; its single cross join is
+    # the two 1-row aggregates combining into the output row
+    plan = plan_of(spark, sf_dir, "q126_triangle_count")
+    assert "CartesianProduct" not in plan
