@@ -45,6 +45,7 @@ _MODULES = (
     "behavior",
     "graph_vectors",
     "ml_features",
+    "basket",
 )
 _loaded = False
 
