@@ -46,6 +46,7 @@ _MODULES = (
     "graph_vectors",
     "ml_features",
     "basket",
+    "sequences",
 )
 _loaded = False
 
