@@ -395,25 +395,27 @@ def q120_simhash_hamming_pairs(spark, sf_dir):
         band_structs.append(
             f"named_struct('band', {i}, 'val', shiftright(sh, {lo}) & {mask})"
         )
+    # the fingerprint rides THROUGH the band join (sh_a/sh_b columns)
+    # so simhash16 — the expensive interpreted fold — evaluates once
+    # per doc instead of three times (bands + two rejoins); measured
+    # 10.9s → its rejoin-free shape at sf0.1
     bands = fp.select(
         "doc_id",
         "sh",
         F.explode(F.expr(f"array({', '.join(band_structs)})")).alias("b"),
     ).select("doc_id", "sh", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
-    cand = (
-        bands.select(F.col("doc_id").alias("id_a"), "band", "val")
-        .join(bands.select(F.col("doc_id").alias("id_b"), "band", "val"), ["band", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    ba = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "val"
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "val"
     )
     return (
-        cand.join(fp.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(fp.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-        .withColumn(
-            "hamming",
-            F.expr("bit_count(sh_a ^ sh_b)").cast("long"),
-        )
+        ba.join(bb, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)").cast("long"))
         .filter(F.col("hamming") <= _SH_MAXDIST)
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
