@@ -358,3 +358,20 @@ def test_edit_distance_join_matches_bruteforce(spark):
         .collect()
     }
     assert got == brute and len(brute) > 10
+
+
+# -- padded-string tuple rank (survivorship core) ---------------------
+
+_i64 = st.integers(0, 2**63 - 1)
+
+
+@given(st.tuples(_i64, _i64), st.tuples(_i64, _i64))
+@settings(max_examples=300, deadline=None)
+def test_tuple_rank_encoding_orders_like_tuples(a, b):
+    """The zero-padded string encoding must order EXACTLY like the
+    integer tuple for any non-negative int64 components — the property
+    that makes q115/q89's arg_max survivor picks collision-free with
+    no id ceiling (functions/exact.py:tuple_rank)."""
+    enc = lambda t: "".join(str(x).zfill(19) for x in t)
+    assert (enc(a) < enc(b)) == (a < b)
+    assert (enc(a) == enc(b)) == (a == b)
