@@ -47,6 +47,7 @@ _MODULES = (
     "ml_features",
     "basket",
     "sequences",
+    "clustering",
 )
 _loaded = False
 

@@ -168,3 +168,33 @@ def test_pca_matches_numpy_direct(spark, sf_dir):
     ref_proj = (x - x.mean(axis=0)) @ ref.T
     got = np.array([proj[r["vec_id"]] for r in rows])
     assert np.allclose(got, ref_proj, atol=1e-6)
+
+
+def test_kmeans_recovers_separated_blobs(spark):
+    """On well-separated blobs, 3 Lloyd iterations must group each
+    blob into one cluster (regardless of which cell id it lands on)."""
+    import numpy as np
+
+    from mindseye_dataframes_spark.operators.clustering import kmeans_fit_assign
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for blob, center in enumerate([(0.0, 0.0), (10.0, 10.0), (-10.0, 10.0)]):
+        for i in range(30):
+            x = [float(center[0] + rng.normal(0, 0.1)),
+                 float(center[1] + rng.normal(0, 0.1))]
+            # interleaved ids: vec_id % 3 == blob, so the deterministic
+            # modulo-cell init seeds one centroid per blob (like any
+            # k-means, Lloyd's cannot escape an init where all seeds
+            # land in one blob — init quality is the caller's lever)
+            rows.append((i * 3 + blob, x))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["_cell"]
+        for r in kmeans_fit_assign(df, "vec_id", "embedding", k=3, iters=3).collect()
+    }
+    assert len(got) == 90
+    for blob in range(3):
+        cells = {got[i * 3 + blob] for i in range(30)}
+        assert len(cells) == 1, f"blob {blob} split across {cells}"
+    assert len({got[0], got[1], got[2]}) == 3  # blobs not merged
