@@ -19,6 +19,7 @@ integer distance both engines define identically.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from mindseye_dataframes_spark.queries.registry import query
@@ -76,3 +77,71 @@ def q102_fuzzy_name_match(spark, sf_dir):
     return edit_distance_join(
         part, key_col="p_partkey", text_col="p_name", block_col="p_brand", k=2
     ).orderBy("key_a", "key_b")
+
+
+@query(
+    "q143_pareto_frontier",
+    oracle="""
+    WITH p AS (
+      SELECT p_brand, p_partkey, p_size,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+      FROM part),
+    fr AS (
+      SELECT p_brand, p_partkey, p_size, price_cents,
+             max(p_size) OVER (PARTITION BY p_brand ORDER BY price_cents
+                               RANGE BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS m_cheaper,
+             max(p_size) OVER (PARTITION BY p_brand ORDER BY price_cents
+                               RANGE BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS m_upto
+      FROM p)
+    SELECT p_brand, p_partkey, price_cents, p_size
+    FROM fr
+    WHERE (m_cheaper IS NULL OR m_cheaper < p_size) AND m_upto <= p_size
+    ORDER BY p_brand, price_cents, p_partkey
+    """,
+    tags=("analytics", "skyline", "north-star"),
+)
+def q143_pareto_frontier(spark, sf_dir):
+    """Per-brand Pareto frontier (skyline) of parts: minimize price,
+    maximize size. A part is dominated iff some part in the brand is
+    strictly cheaper with size >= its own (``m_cheaper >= size``) or
+    same-or-cheaper with size strictly larger (``m_upto > size``).
+    Both dominance tests are running maxima over RANGE frames keyed
+    on integer cents — engine-exact, tie-correct (equal price+size
+    survivors all kept), and O(n log n) per brand partition instead
+    of the quadratic dominance self-join. At 100 TB the window is
+    partitioned by brand, so no global sort and no single-partition
+    exchange."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_partkey",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+    )
+    w_cheaper = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_upto = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            "price_cents",
+            "p_size",
+            F.max("p_size").over(w_cheaper).alias("m_cheaper"),
+            F.max("p_size").over(w_upto).alias("m_upto"),
+        )
+        .filter(
+            (F.col("m_cheaper").isNull() | (F.col("m_cheaper") < F.col("p_size")))
+            & (F.col("m_upto") <= F.col("p_size"))
+        )
+        .select("p_brand", "p_partkey", "price_cents", "p_size")
+        .orderBy("p_brand", "price_cents", "p_partkey")
+    )

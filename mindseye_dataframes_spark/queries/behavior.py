@@ -192,3 +192,52 @@ def q124_stratified_exact_sample(spark, sf_dir):
         .filter(F.col("rn") <= _STRATUM_N)
         .orderBy("source", "rn")
     )
+
+
+@query(
+    "q145_rolling_active_users",
+    oracle="""
+    WITH au AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM au)
+    SELECT d.day,
+           CAST(count(DISTINCT CASE WHEN a.day = d.day
+                                    THEN a.user_id END) AS BIGINT) AS dau,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau7
+    FROM days d JOIN au a ON a.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day ORDER BY d.day
+    """,
+    tags=("behavior", "rolling-distinct", "north-star"),
+)
+def q145_rolling_active_users(spark, sf_dir):
+    """Rolling 7-day distinct active users (WAU) plus same-day DAU,
+    per day. Distinct-over-sliding-window has no window-function
+    form (COUNT(DISTINCT) OVER RANGE is unsupported in both
+    engines), and the naive range join is a theta-join. The scale
+    rewrite: dedup to (day, user) first (one hash-agg — the ONLY
+    pass over the raw 100 TB), then explode each active-day into the
+    ≤7 report days it contributes to — a bounded fan-out equi-join
+    on day, then one count-distinct hash-agg over data already
+    reduced to |users|·|days| rows. The oracle runs the naive
+    range-join SQL, proving the rewrite exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    au = ev.distinct()
+    days = au.select("day").distinct().select(F.col("day").alias("rday"))
+    contrib = au.select(
+        "user_id",
+        F.col("day").alias("aday"),
+        F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("rday"),
+    )
+    return (
+        contrib.join(days, "rday")
+        .groupBy("rday")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("aday") == F.col("rday"), F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct("user_id").alias("wau7"),
+        )
+        .select(F.col("rday").alias("day"), "dau", "wau7")
+        .orderBy("day")
+    )

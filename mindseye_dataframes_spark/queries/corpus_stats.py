@@ -420,3 +420,45 @@ def q120_simhash_hamming_pairs(spark, sf_dir):
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "q147_bpe_pair_counts",
+    oracle="""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    w2 AS (SELECT word FROM w WHERE len(word) >= 2),
+    pairs AS (
+      SELECT substr(word, CAST(i AS INT), 2) AS pair
+      FROM w2, LATERAL (SELECT unnest(generate_series(1, len(word) - 1)) AS i) p)
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 30
+    """,
+    tags=("text", "bpe", "north-star"),
+)
+def q147_bpe_pair_counts(spark, sf_dir):
+    """The first BPE merge step of tokenizer training: corpus-wide
+    frequencies of adjacent character pairs inside words, top-30.
+    Generation is row-local (split → explode words → explode the
+    len-1 in-word offsets → substr), so the only exchange is the
+    final pair count — a hash-aggregate over 2-char keys with
+    map-side partial combine doing almost all the reduction. At
+    100 TB this is scan-bandwidth-bound, the property an iterative
+    BPE trainer needs from each merge round. Substring indexing is
+    1-based in both engines; words shorter than 2 chars contribute
+    no pairs by construction (explicit length guard — the Spark
+    ``sequence(1, 0)`` counts DOWN, the q88 lesson)."""
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        F.explode(F.expr("sequence(1, length(word) - 1)")).alias("i"), "word"
+    ).select(F.expr("substr(word, i, 2)").alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(30)
+    )

@@ -185,3 +185,69 @@ def q128_pca_projection(spark, sf_dir):
         F.round(F.col("pc")[0], 4).alias("pc1"),
         F.round(F.col("pc")[1], 4).alias("pc2"),
     ).orderBy("vec_id")
+
+
+@query(
+    "q146_pagerank_fixed_point",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    sym AS (SELECT pa AS src, pb AS dst FROM e
+            UNION ALL SELECT pb, pa FROM e),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+            FROM sym GROUP BY src),
+    r1 AS (
+      SELECT s.dst AS node,
+             150000 + (17 * CAST(sum(1000000 // d.degree) AS BIGINT)) // 20 AS r
+      FROM sym s JOIN deg d ON d.node = s.src GROUP BY s.dst),
+    r2 AS (
+      SELECT s.dst AS node,
+             150000 + (17 * CAST(sum(p.r // d.degree) AS BIGINT)) // 20 AS r
+      FROM sym s JOIN deg d ON d.node = s.src JOIN r1 p ON p.node = s.src
+      GROUP BY s.dst)
+    SELECT node, CAST(r AS BIGINT) AS rank_fp
+    FROM r2 ORDER BY rank_fp DESC, node LIMIT 40
+    """,
+    tags=("graph", "pagerank", "north-star"),
+)
+def q146_pagerank_fixed_point(spark, sf_dir):
+    """Two power-iteration steps of PageRank over the co-purchase
+    graph, in FIXED-POINT micro-rank integers: contrib = r DIV deg,
+    new_r = 150000 + (17·Σcontrib) DIV 20 (= damping 0.85 as the
+    reduced fraction 17/20, keeping the multiplier small so the
+    product stays < 2^63 even with hub sums ~5·10^17). Pure BIGINT
+    arithmetic ⇒ bit-identical on every engine and every partition
+    order — the reproducibility property float PageRank lacks. Plan
+    per iteration: one equi-join (messages) + one hash-aggregate
+    (inbox sum) — the standard diameter-bounded distributed shape;
+    isolated parts (no edges) are out of the vertex set by
+    construction. Top-40 via TakeOrdered, no global sort."""
+    sym_a = _edges(spark, sf_dir)
+    sym = sym_a.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(sym_a.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    msgs = sym.join(deg, "src")
+
+    def iterate(ranks):
+        # ranks: (node, r) — join onto the outbox, floor-divide by
+        # the sender's degree, sum per receiver
+        return (
+            msgs.join(ranks, msgs["src"] == ranks["node"])
+            .select("dst", F.expr("r DIV degree").alias("contrib"))
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit(150000).cast("long")
+                    + F.expr("(17 * sum(contrib)) DIV 20")
+                ).alias("r")
+            )
+            .select(F.col("dst").alias("node"), "r")
+        )
+
+    r0 = deg.select(F.col("src").alias("node"), F.lit(1000000).cast("long").alias("r"))
+    r2 = iterate(iterate(r0))
+    return (
+        r2.select("node", F.col("r").alias("rank_fp"))
+        .orderBy(F.desc("rank_fp"), "node")
+        .limit(40)
+    )

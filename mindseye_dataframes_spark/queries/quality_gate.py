@@ -196,3 +196,78 @@ def q113_udtf_token_windows(spark, sf_dir):
         ORDER BY d.doc_id, t.win_idx
         """
     )
+
+
+@query(
+    "q144_table_fingerprint",
+    oracle="""
+    WITH li AS (
+      SELECT 'lineitem' AS table_name,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(('0x' || substr(md5(
+                 CAST(l_orderkey AS VARCHAR) || '|' ||
+                 CAST(l_linenumber AS VARCHAR) || '|' ||
+                 CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
+                 || '|' || l_returnflag || '|' || l_linestatus
+               ), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+      FROM lineitem),
+    o AS (
+      SELECT 'orders' AS table_name,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(('0x' || substr(md5(
+                 CAST(o_orderkey AS VARCHAR) || '|' ||
+                 CAST(o_custkey AS VARCHAR) || '|' ||
+                 CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+                 || '|' || o_orderstatus
+               ), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+      FROM orders)
+    SELECT * FROM li UNION ALL SELECT * FROM o ORDER BY table_name
+    """,
+    tags=("quality", "fingerprint", "north-star"),
+)
+def q144_table_fingerprint(spark, sf_dir):
+    """Order-independent table fingerprints — the replica/migration
+    verification primitive: hash a canonical row encoding (integer
+    cents for money, '|' field separator) with md5, fold the first
+    32 bits of each digest into a commutative BIGINT sum. Identical
+    data ⇒ identical (n_rows, checksum) regardless of row order,
+    partitioning, or engine — md5 and decimal integer formatting are
+    engine-portable, unlike xxhash64/hash(). One scan + one agg per
+    table, embarrassingly parallel; the 32-bit addend keeps the sum
+    < 2^63 up to ~2^31 rows per table (state the ceiling: at 100 TB
+    row counts, fold per-partition sums modulo 2^32 instead)."""
+
+    def fp(df, name, cols):
+        enc = F.concat_ws("|", *cols)
+        word = F.conv(F.substring(F.md5(enc.cast("binary")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(word).alias("checksum"),
+        ).select(F.lit(name).alias("table_name"), "n_rows", "checksum")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return fp(
+        li,
+        "lineitem",
+        [
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").cast("string"),
+            F.col("l_returnflag"),
+            F.col("l_linestatus"),
+        ],
+    ).unionAll(
+        fp(
+            orders,
+            "orders",
+            [
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+                F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+                F.col("o_orderstatus"),
+            ],
+        )
+    ).orderBy("table_name")

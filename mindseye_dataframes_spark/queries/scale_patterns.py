@@ -33,6 +33,13 @@ q96 CDC compaction (latest-per-key) — the upsert-log → snapshot
 operator: ``row_number() OVER (PARTITION BY key ORDER BY ts DESC,
 id DESC) = 1``. One hash exchange + per-partition sort; ties broken
 by id so replays are deterministic.
+
+q141 Bloom-prefiltered join (operators/bloom.py) — a selective
+dimension filter is folded into a ≤512 KB Bloom bitset (one
+``bit_or`` hash-aggregate) and broadcast to prune the fact side
+BEFORE its join shuffle. False positives die in the exact join that
+follows, so the oracle is the plain join SQL — the Bloom stage is
+provably performance-only.
 """
 
 from __future__ import annotations
@@ -388,4 +395,62 @@ def q98_gap_fill(spark, sf_dir):
             F.col("day_value").isNotNull().alias("had_event"),
         )
         .orderBy("user_id", "day")
+    )
+
+
+@query(
+    "q141_bloom_prefilter_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS DOUBLE) / 100.0 AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o.o_totalprice > 150000
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    tags=("join", "bloom", "scale", "north-star"),
+)
+def q141_bloom_prefilter_join(spark, sf_dir):
+    """Revenue of urgent high-value orders, with the fact side pruned
+    by a hand-rolled Bloom filter BEFORE the join shuffle
+    (operators/bloom.py). Build side = filtered order keys folded to
+    ≤64 K bit-or words; probe side = lineitem surviving two broadcast
+    word-lookups — only possible matches (plus ~2 % false positives)
+    ever enter the exchange. The closing equi-join keeps the result
+    exact, so the oracle is the plain join. At 100 TB this is the
+    difference between shuffling 100 % and ~selectivity % of the
+    fact table."""
+    from mindseye_dataframes_spark.operators.bloom import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & (F.col("o_totalprice") > 150000)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    words = bloom_build(orders.select("o_orderkey"), "o_orderkey")
+    li_pruned = bloom_prefilter(li, "l_orderkey", words)
+    return (
+        li_pruned.join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
     )

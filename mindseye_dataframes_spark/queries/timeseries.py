@@ -201,3 +201,78 @@ def q25_sessionization(spark, sf_dir):
         )
         .orderBy("user_id", "session_id")
     )
+
+
+# Dyadic EWMA: weight 2^-d for the event d steps back, over the last
+# _EWMA_K events. Every weighted term x_cents·2^(K-1-d) is an exact
+# BIGINT, so numerator and denominator are order-independent integer
+# sums and the ONLY floating-point op is the final division — shared
+# verbatim with the oracle. alpha=1/2 is not a numerical convenience
+# hack: dyadic decay is what makes a distributed EWMA reproducible
+# run-to-run (no Σ x·0.9^d accumulation-order drift).
+_EWMA_K = 8
+
+
+def _ewma_terms(lag_fn):
+    """Shared numerator/denominator construction: ``lag_fn(d)`` must
+    return the (engine-specific) cents value d rows back, NULL when
+    the series is shorter."""
+    num = " + ".join(
+        f"coalesce({lag_fn(d)}, 0) * {1 << (_EWMA_K - 1 - d)}"
+        for d in range(_EWMA_K)
+    )
+    den = " + ".join(
+        f"(CASE WHEN {lag_fn(d)} IS NOT NULL THEN {1 << (_EWMA_K - 1 - d)} ELSE 0 END)"
+        for d in range(_EWMA_K)
+    )
+    return num, den
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_terms(
+    lambda d: f"lag(c6, {d}) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+)
+
+
+@query(
+    "q142_ewma_smoothing",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS c6
+      FROM events WHERE event_type = 'purchase')
+    SELECT event_id, user_id,
+           round(CAST(({_EWMA_NUM}) AS DOUBLE)
+                 / (CAST(({_EWMA_DEN}) AS DOUBLE) * 100.0), 4) + 0.0 AS ewma
+    FROM p ORDER BY event_id
+    """,
+    tags=("timeseries", "ewma", "north-star"),
+)
+def q142_ewma_smoothing(spark, sf_dir):
+    """Per-user EWMA (alpha=1/2) over each user's purchase series —
+    the smoothing pass behind spend-trend features. All weights are
+    powers of two, so both engines accumulate identical BIGINTs and
+    divide once (see _ewma_terms). One hash exchange (the per-user
+    window); at 100 TB the lag frame is bounded (_EWMA_K rows), so
+    state per partition is O(K), not O(history)."""
+    num, den = _ewma_terms(lambda d: f"lag(c6, {d}) OVER w")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(F.col("value") * 100).cast("long").alias("c6"),
+        )
+    )
+    ev.createOrReplaceTempView("_ewma_p")
+    return spark.sql(
+        f"""
+        SELECT event_id, user_id,
+               round(CAST(({num}) AS DOUBLE)
+                     / (CAST(({den}) AS DOUBLE) * 100.0), 4) + 0.0 AS ewma
+        FROM _ewma_p
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id
+        """
+    )

@@ -501,3 +501,56 @@ def test_round4_queries_plan_shapes(spark, sf_dir):
     # the two 1-row aggregates combining into the output row
     plan = plan_of(spark, sf_dir, "q126_triangle_count")
     assert "CartesianProduct" not in plan
+
+
+def test_round4b_queries_plan_shapes(spark, sf_dir):
+    """Guardrails for the q141-q147 batch: hash-join shapes only,
+    bounded fan-outs, TakeOrdered for top-K."""
+    # Bloom prefilter: every probe lookup must be a broadcast hash
+    # join (the whole point is never shuffling the fact side before
+    # the prune) and the closing join stays hash-shaped.
+    plan = plan_of(spark, sf_dir, "q141_bloom_prefilter_join")
+    _assert_no_blowup(plan)
+    assert plan.count("BroadcastHashJoin") >= 2  # one per bloom probe
+
+    # EWMA / frontier: per-key windows, exactly one data exchange
+    for name in ("q142_ewma_smoothing", "q143_pareto_frontier"):
+        plan = plan_of(spark, sf_dir, name)
+        _assert_no_blowup(plan)
+        assert "Exchange hashpartitioning" in plan, name
+        assert "Exchange SinglePartition" not in plan.split("Sort")[0], name
+
+    # fingerprint: pure scan + aggregate, no join at all
+    plan = plan_of(spark, sf_dir, "q144_table_fingerprint")
+    assert "Join" not in plan
+    _assert_no_blowup(plan)
+
+    # rolling actives + pagerank: bounded fan-out equi-joins
+    for name in ("q145_rolling_active_users", "q146_pagerank_fixed_point"):
+        _assert_no_blowup(plan_of(spark, sf_dir, name))
+
+    # BPE pairs: generation is row-local; the only exchange is the
+    # pair count, and top-30 goes through TakeOrdered
+    plan = plan_of(spark, sf_dir, "q147_bpe_pair_counts")
+    _assert_no_blowup(plan)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bloom_prefilter_has_no_false_negatives(spark):
+    """Operator-level contract: every key present in the build side
+    survives the prefilter (Bloom filters may pass extra rows, never
+    drop true ones) — checked on adversarial keys (negatives, 0,
+    int64 extremes)."""
+    from mindseye_dataframes_spark.operators.bloom import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    keys = [-(2**62), -7, 0, 1, 63, 64, 65, 2**31, 2**62, 42]
+    build = spark.createDataFrame([(k,) for k in keys], "k long")
+    probe = spark.createDataFrame(
+        [(k,) for k in keys + list(range(1000, 1200))], "k long"
+    )
+    words = bloom_build(build, "k", n_bits=1 << 12)
+    kept = {r.k for r in bloom_prefilter(probe, "k", words, n_bits=1 << 12).collect()}
+    assert set(keys) <= kept
