@@ -321,3 +321,40 @@ def q115_dedup_survivorship(spark, sf_dir):
         .filter(F.col("n_members") > 1)
         .orderBy("fp")
     )
+
+
+@query(
+    "q150_cross_source_dup_matrix",
+    oracle="""
+    WITH d AS (SELECT DISTINCT md5(text) AS digest, source FROM documents)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM d a JOIN d b ON b.digest = a.digest AND a.source < b.source
+    GROUP BY a.source, b.source ORDER BY source_a, source_b
+    """,
+    tags=("dedup", "cross-source", "north-star"),
+)
+def q150_cross_source_dup_matrix(spark, sf_dir):
+    """Cross-source exact-duplicate overlap matrix: for every source
+    pair, how many distinct texts appear in both — the "how much of
+    corpus B is already in corpus A" question that decides dedup
+    order in a training-data mix. Texts reduce to (digest, source)
+    pairs first (one hash-agg over the raw corpus — the only pass at
+    100 TB); the pair join is keyed on digest with fan-out bounded
+    by the number of sources a text appears in (≤ |sources|, never
+    corpus-quadratic). md5 is the portable digest (xxhash64 is
+    engine-specific)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.md5(F.col("text").cast("binary")).alias("digest"), "source")
+        .distinct()
+    )
+    a = d.select("digest", F.col("source").alias("source_a"))
+    b = d.select("digest", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "digest")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("source_a", "source_b")
+    )

@@ -97,3 +97,52 @@ def q100_scd2_intervals(spark, sf_dir):
         )
         .orderBy("user_id", "version")
     )
+
+
+@query(
+    "q151_shard_balance",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 64 AS shard,
+             doc_id, n_chars
+      FROM documents)
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+    tags=("lakehouse", "sharding", "north-star"),
+)
+def q151_shard_balance(spark, sf_dir):
+    """Content-hash shard assignment audit: route each document to
+    one of 64 shards by the first 32 bits of md5(text) and report
+    per-shard row/byte balance — the skew check run before a
+    partitioned write or a sharded training run. md5 makes the
+    routing REPRODUCIBLE across engines, languages, and Spark
+    versions (unlike hash()/xxhash64, whose seeds are
+    implementation-specific) — the property you need when shard
+    membership is persisted and later recomputed by a different
+    system. One scan + one 64-group hash-agg, embarrassingly
+    parallel; the digest value is < 2^32 so % 64 is exact BIGINT
+    arithmetic on both engines."""
+    s = load_table(spark, sf_dir, "documents").select(
+        (
+            F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 8), 16, 10)
+            .cast("long")
+            % 64
+        ).alias("shard"),
+        "doc_id",
+        "n_chars",
+    )
+    return (
+        s.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )

@@ -169,3 +169,112 @@ def q131_group_split(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+@query(
+    "q148_price_decile_lift",
+    oracle="""
+    WITH ordered AS (SELECT DISTINCT l_partkey FROM lineitem),
+    p AS (
+      SELECT p_partkey, p_retailprice,
+             CASE WHEN o.l_partkey IS NULL THEN 0 ELSE 1 END AS is_ordered
+      FROM part LEFT JOIN ordered o ON o.l_partkey = p_partkey),
+    q AS (
+      SELECT quantile_cont(p_retailprice, 0.2) AS q1,
+             quantile_cont(p_retailprice, 0.4) AS q2,
+             quantile_cont(p_retailprice, 0.6) AS q3,
+             quantile_cont(p_retailprice, 0.8) AS q4
+      FROM p),
+    b AS (
+      SELECT CASE WHEN p_retailprice < q1 THEN 0
+                  WHEN p_retailprice < q2 THEN 1
+                  WHEN p_retailprice < q3 THEN 2
+                  WHEN p_retailprice < q4 THEN 3
+                  ELSE 4 END AS bin,
+             is_ordered
+      FROM p CROSS JOIN q),
+    g AS (
+      SELECT CAST(bin AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(is_ordered) AS BIGINT) AS n_ordered
+      FROM b GROUP BY bin),
+    t AS (SELECT CAST(sum(n_parts) AS BIGINT) AS tp,
+                 CAST(sum(n_ordered) AS BIGINT) AS tord FROM g)
+    SELECT bin, n_parts, n_ordered,
+           round(CAST(n_ordered AS DOUBLE) / CAST(n_parts AS DOUBLE), 4)
+             + 0.0 AS order_rate,
+           round(CAST(n_ordered * tp AS DOUBLE)
+                 / CAST(n_parts * tord AS DOUBLE), 4) + 0.0 AS lift
+    FROM g CROSS JOIN t ORDER BY bin
+    """,
+    tags=("ml", "lift", "north-star"),
+)
+def q148_price_decile_lift(spark, sf_dir):
+    """Quintile lift table for "price band → was the part ever
+    ordered" — the model-evaluation / feature-screening primitive.
+    Boundaries are one exact-percentile aggregate (broadcast, q135
+    idiom); the lift ratio is computed as ONE division of two exact
+    BIGINT cross-products (n_ordered·total_parts) /
+    (n_parts·total_ordered), so both engines execute a single shared
+    IEEE op — no rate/rate double division chain to drift. Plan:
+    broadcast semi-flag join + broadcast boundary join + one
+    hash-agg; nothing global except two 1-row aggregates."""
+    ordered = (
+        load_table(spark, sf_dir, "lineitem").select("l_partkey").distinct()
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_retailprice")
+        .join(ordered, F.col("l_partkey") == F.col("p_partkey"), "left")
+        .select(
+            "p_retailprice",
+            F.when(F.col("l_partkey").isNull(), 0).otherwise(1).alias("is_ordered"),
+        )
+    )
+    q = p.agg(
+        *[
+            F.percentile("p_retailprice", F.lit(x)).alias(f"q{i}")
+            for i, x in enumerate((0.2, 0.4, 0.6, 0.8), start=1)
+        ]
+    )
+    b = p.crossJoin(F.broadcast(q)).select(
+        F.when(F.col("p_retailprice") < F.col("q1"), 0)
+        .when(F.col("p_retailprice") < F.col("q2"), 1)
+        .when(F.col("p_retailprice") < F.col("q3"), 2)
+        .when(F.col("p_retailprice") < F.col("q4"), 3)
+        .otherwise(4)
+        .cast("long")
+        .alias("bin"),
+        "is_ordered",
+    )
+    g = b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("is_ordered").alias("n_ordered"),
+    )
+    t = g.agg(
+        F.sum("n_parts").alias("tp"), F.sum("n_ordered").alias("tord")
+    )
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "bin",
+            "n_parts",
+            "n_ordered",
+            (
+                F.round(
+                    F.col("n_ordered").cast("double") / F.col("n_parts").cast("double"),
+                    4,
+                )
+                + 0.0
+            ).alias("order_rate"),
+            (
+                F.round(
+                    (F.col("n_ordered") * F.col("tp")).cast("double")
+                    / (F.col("n_parts") * F.col("tord")).cast("double"),
+                    4,
+                )
+                + 0.0
+            ).alias("lift"),
+        )
+        .orderBy("bin")
+    )

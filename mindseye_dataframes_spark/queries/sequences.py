@@ -223,3 +223,55 @@ def q139_mom_growth(spark, sf_dir):
         (F.col("cents") - F.lag("cents").over(w)).alias("delta_cents"),
         (d / F.lag("cents").over(w).cast("double")).alias("growth"),
     ).orderBy("month")
+
+
+@query(
+    "q149_session_paths",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    s AS (
+      SELECT user_id, day,
+             concat_ws('>',
+               max(CASE WHEN rn = 1 THEN event_type END),
+               max(CASE WHEN rn = 2 THEN event_type END),
+               max(CASE WHEN rn = 3 THEN event_type END)) AS path
+      FROM r WHERE rn <= 3 GROUP BY user_id, day)
+    SELECT path, CAST(count(*) AS BIGINT) AS n
+    FROM s GROUP BY path ORDER BY n DESC, path LIMIT 20
+    """,
+    tags=("sequences", "paths", "north-star"),
+)
+def q149_session_paths(spark, sf_dir):
+    """Top-20 opening event paths (first ≤3 event types of each
+    user-day session, '>'-joined) — the session-flow mining behind
+    onboarding/funnel analysis. Path assembly avoids collect_list
+    (whose order is partition-dependent): row_number pins the
+    ordering, conditional max pivots the 3 steps into columns, and
+    concat_ws skips the NULLs of shorter sessions identically on
+    both engines. Two hash-aggregates + TakeOrdered, no collects,
+    no windows wider than a user-day."""
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    r = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"), "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+    s = r.groupBy("user_id", "day").agg(
+        F.concat_ws(
+            ">",
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))),
+            F.max(F.when(F.col("rn") == 2, F.col("event_type"))),
+            F.max(F.when(F.col("rn") == 3, F.col("event_type"))),
+        ).alias("path")
+    )
+    return (
+        s.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )

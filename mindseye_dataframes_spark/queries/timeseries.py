@@ -276,3 +276,53 @@ def q142_ewma_smoothing(spark, sf_dir):
         ORDER BY event_id
         """
     )
+
+
+@query(
+    "q152_gap_percentiles",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+      FROM events)
+    SELECT event_type,
+           CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           quantile_cont(gap_us, 0.5)  AS p50_us,
+           quantile_cont(gap_us, 0.95) AS p95_us,
+           quantile_cont(gap_us, 0.99) AS p99_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("timeseries", "percentiles", "north-star"),
+)
+def q152_gap_percentiles(spark, sf_dir):
+    """Inter-event gap tail latencies (p50/p95/p99 of the time
+    between consecutive same-type events of a user) — the cadence
+    profile behind sessionization thresholds and anomaly windows.
+    Gaps are exact integer microseconds from one per-(user, type)
+    lag window; Spark ``percentile`` and DuckDB ``quantile_cont``
+    share the (n−1)·p linear interpolation (q46 pairing), so the
+    doubles agree bit-for-bit. One window exchange + one small
+    hash-agg keyed by event_type."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
+                "gap_us"
+            ),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.percentile("gap_us", F.lit(0.5)).alias("p50_us"),
+            F.percentile("gap_us", F.lit(0.95)).alias("p95_us"),
+            F.percentile("gap_us", F.lit(0.99)).alias("p99_us"),
+        )
+        .orderBy("event_type")
+    )

@@ -554,3 +554,24 @@ def test_bloom_prefilter_has_no_false_negatives(spark):
     words = bloom_build(build, "k", n_bits=1 << 12)
     kept = {r.k for r in bloom_prefilter(probe, "k", words, n_bits=1 << 12).collect()}
     assert set(keys) <= kept
+
+
+def test_round4c_queries_plan_shapes(spark, sf_dir):
+    """Guardrails for the q148-q152 batch."""
+    # lift: the only cross joins are 1-row boundary/totals broadcasts
+    plan = plan_of(spark, sf_dir, "q148_price_decile_lift")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+    # paths + dup matrix + shard balance: hash shapes only
+    for name in ("q149_session_paths", "q150_cross_source_dup_matrix",
+                 "q151_shard_balance"):
+        _assert_no_blowup(plan_of(spark, sf_dir, name))
+
+    # top-20 paths via TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan_of(spark, sf_dir, "q149_session_paths")
+
+    # gap percentiles: one window exchange, one agg, no joins
+    plan = plan_of(spark, sf_dir, "q152_gap_percentiles")
+    assert "Join" not in plan
+    _assert_no_blowup(plan)
