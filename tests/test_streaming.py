@@ -175,3 +175,54 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_upsert_sink_matches_batch_latest_per_key(spark, tmp_path_factory):
+    """Drain the events stream one file per trigger through the
+    foreachBatch upsert sink; the final snapshot must equal the batch
+    latest-per-key over the whole dataset — including when later
+    micro-batches carry older rows (files arrive in arbitrary
+    order), which is why the sink's merge is order-aware."""
+    from pyspark.sql import Window
+
+    from mindseye_dataframes_spark.streaming.sinks import upsert_stream
+
+    src = str(tmp_path_factory.mktemp("upsert_src"))
+    target = str(tmp_path_factory.mktemp("upsert_out")) + "/snapshot"
+    ckpt = str(tmp_path_factory.mktemp("upsert_ckpt"))
+    # repartition scatters rows across files with no time ordering →
+    # micro-batches genuinely interleave old and new rows
+    load_table(spark, "/root/testdata/sf0.001", "events").repartition(
+        5
+    ).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    q = upsert_stream(
+        stream,
+        target,
+        keys=["user_id", "event_type"],
+        order_cols=["ts", "event_id"],
+        checkpoint_dir=ckpt,
+    ).start()
+    q.awaitTermination(120)
+
+    batch = spark.read.parquet(src)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    want = (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    got = spark.read.parquet(target)
+    assert got.count() == want.count() > 0
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
