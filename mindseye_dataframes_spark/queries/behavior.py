@@ -241,3 +241,77 @@ def q145_rolling_active_users(spark, sf_dir):
         .select(F.col("rday").alias("day"), "dau", "wau7")
         .orderBy("day")
     )
+
+
+@query(
+    "q155_cohort_ltv_curve",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS spend_cents
+      FROM events WHERE event_type = 'purchase'),
+    first_wk AS (
+      SELECT user_id, CAST(min(date_trunc('week', ts)) AS DATE) AS cohort_week FROM p
+      GROUP BY user_id),
+    wk AS (
+      SELECT f.cohort_week,
+             CAST(datediff('week', f.cohort_week,
+                           CAST(date_trunc('week', p.ts) AS DATE)) AS BIGINT) AS week_offset,
+             p.spend_cents
+      FROM p JOIN first_wk f ON f.user_id = p.user_id),
+    g AS (
+      SELECT cohort_week, week_offset,
+             CAST(sum(spend_cents) AS BIGINT) AS rev_cents
+      FROM wk GROUP BY cohort_week, week_offset)
+    SELECT cohort_week, week_offset,
+           CAST(sum(rev_cents) OVER (PARTITION BY cohort_week
+                                     ORDER BY week_offset) AS BIGINT)
+             AS cum_rev_cents
+    FROM g ORDER BY cohort_week, week_offset
+    """,
+    tags=("behavior", "ltv", "north-star"),
+)
+def q155_cohort_ltv_curve(spark, sf_dir):
+    """Cohort LTV curve: users grouped by first-purchase week,
+    cumulative spend per week offset — the retention-revenue view a
+    growth team reads next to q121's activity triangle. All money
+    stays integer cents end-to-end (sums AND the cumulative window),
+    so the curve is bit-exact. Plan: per-user first-week agg, an
+    equi-join back (both sides pre-reduced), one (cohort, offset)
+    hash-agg, then a window over the tiny rollup — the wide work
+    happens on reduced data only."""
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            F.round(F.col("value") * 100).cast("long").alias("spend_cents"),
+        )
+    )
+    first_wk = p.groupBy("user_id").agg(
+        F.to_date(F.min(F.date_trunc("week", F.col("ts")))).alias("cohort_week")
+    )
+    wk = p.join(first_wk, "user_id").select(
+        "cohort_week",
+        (
+            F.datediff(F.to_date(F.date_trunc("week", F.col("ts"))), F.col("cohort_week"))
+            / 7
+        )
+        .cast("long")
+        .alias("week_offset"),
+        "spend_cents",
+    )
+    g = wk.groupBy("cohort_week", "week_offset").agg(
+        F.sum("spend_cents").alias("rev_cents")
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return g.select(
+        "cohort_week",
+        "week_offset",
+        F.sum("rev_cents").over(w).alias("cum_rev_cents"),
+    ).orderBy("cohort_week", "week_offset")

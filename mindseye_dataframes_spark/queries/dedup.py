@@ -358,3 +358,59 @@ def q150_cross_source_dup_matrix(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .orderBy("source_a", "source_b")
     )
+
+
+# The standing corpus vs the new increment: docs below the split are
+# "already ingested", docs at/above it are "today's batch".
+_INCR_SPLIT = 800
+
+
+@query(
+    "q154_incremental_corpus_dedup",
+    oracle=f"""
+    WITH standing AS (
+      SELECT DISTINCT md5(text) AS digest FROM documents
+      WHERE doc_id < {_INCR_SPLIT}),
+    incr AS (
+      SELECT doc_id, source, md5(text) AS digest FROM documents
+      WHERE doc_id >= {_INCR_SPLIT})
+    SELECT i.source,
+           CAST(count(*) AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN s.digest IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_dup_vs_standing,
+           CAST(count(DISTINCT i.digest) AS BIGINT) AS n_distinct_texts
+    FROM incr i LEFT JOIN standing s ON s.digest = i.digest
+    GROUP BY i.source ORDER BY i.source
+    """,
+    tags=("dedup", "incremental", "north-star"),
+)
+def q154_incremental_corpus_dedup(spark, sf_dir):
+    """Incremental ingest dedup — the nightly-batch question: of the
+    new documents, how many are exact duplicates of the standing
+    corpus, per source? The standing side reduces to distinct digests
+    (one hash-agg, and the ONLY thing the 100 TB history contributes
+    — at scale this digest set is the persisted dedup index, not a
+    rescan); the increment left-joins it on digest, so cost scales
+    with the increment, not the corpus. Portable md5 digests keep
+    the persisted index engine-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    standing = (
+        docs.filter(F.col("doc_id") < _INCR_SPLIT)
+        .select(F.md5(F.col("text").cast("binary")).alias("s_digest"))
+        .distinct()
+    )
+    incr = docs.filter(F.col("doc_id") >= _INCR_SPLIT).select(
+        "source", F.md5(F.col("text").cast("binary")).alias("digest")
+    )
+    return (
+        incr.join(standing, F.col("digest") == F.col("s_digest"), "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(
+                F.when(F.col("s_digest").isNull(), 0).otherwise(1)
+            ).alias("n_dup_vs_standing"),
+            F.countDistinct("digest").alias("n_distinct_texts"),
+        )
+        .orderBy("source")
+    )

@@ -454,3 +454,49 @@ def q141_bloom_prefilter_join(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q153_join_key_skew_profile",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events
+      GROUP BY user_id),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS n_keys FROM c),
+    top AS (
+      SELECT user_id, n FROM c ORDER BY n DESC, user_id LIMIT 15)
+    SELECT top.user_id, top.n,
+           top.n * 1000000 // t.total AS share_ppm,
+           t.total // t.n_keys AS mean_per_key
+    FROM top CROSS JOIN t ORDER BY top.n DESC, top.user_id
+    """,
+    tags=("scale", "skew", "north-star"),
+)
+def q153_join_key_skew_profile(spark, sf_dir):
+    """Join-key skew diagnosis — the pre-flight check before keying a
+    shuffle on user_id: the 15 hottest keys with their exact
+    parts-per-million share of all rows and the mean rows/key for
+    contrast. A key whose share_ppm ≫ 1e6/shuffle-partitions is the
+    one that needs salting (operators/skew.py) or AQE skew handling.
+    Shares are integer cross-products (n·1e6 DIV total) — no float
+    drift. One hash-agg + TakeOrdered + a 1-row totals broadcast."""
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = c.orderBy(F.desc("n"), "user_id").limit(15)
+    return (
+        top.crossJoin(F.broadcast(t))
+        .select(
+            "user_id",
+            "n",
+            F.expr("n * 1000000 DIV total").alias("share_ppm"),
+            F.expr("total DIV n_keys").alias("mean_per_key"),
+        )
+        .orderBy(F.desc("n"), "user_id")
+    )

@@ -56,3 +56,40 @@ def q107_sketch_rollup(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query("q156_rolling_hll_wau", tags=("sketch", "rolling", "hll"))
+def q156_rolling_hll_wau(spark, sf_dir):
+    """Approximate rolling 7-day actives — the sketch twin of q145's
+    exact rewrite, and the version that survives when |users| is too
+    large to count-distinct per window: ONE HLL sketch per (day)
+    (each user hashed once per day), then each report day unions the
+    ≤7 daily sketches in its window. Merging sketches is
+    associative, so at 100 TB the daily sketches are tiny persisted
+    state and the rolling union never revisits raw data. Rows-only
+    check (HLL estimates are engine-specific); the accuracy contract
+    vs exact q145 is pinned in tests/test_sketches.py."""
+    from pyspark.sql import functions as F
+
+    from mindseye_dataframes_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch")
+    )
+    days = daily.select(F.col("day").alias("rday"))
+    contrib = daily.select(
+        "sketch",
+        F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("rday"),
+    )
+    return (
+        contrib.join(days, "rday")
+        .groupBy("rday")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("wau7_approx")
+        )
+        .select(F.col("rday").alias("day"), "wau7_approx")
+        .orderBy("day")
+    )

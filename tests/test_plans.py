@@ -575,3 +575,20 @@ def test_round4c_queries_plan_shapes(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q152_gap_percentiles")
     assert "Join" not in plan
     _assert_no_blowup(plan)
+
+
+def test_round4d_queries_plan_shapes(spark, sf_dir):
+    """Guardrails for q153-q156: totals stay 1-row broadcasts,
+    everything else hash-shaped; the HLL rolling union must not
+    revisit raw rows (one raw-data aggregate only)."""
+    plan = plan_of(spark, sf_dir, "q153_join_key_skew_profile")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+    for name in ("q154_incremental_corpus_dedup", "q155_cohort_ltv_curve"):
+        _assert_no_blowup(plan_of(spark, sf_dir, name))
+
+    # the rolling union aggregates sketches, not users: the events
+    # scan must feed exactly one aggregation pair (the daily sketch)
+    plan = plan_of(spark, sf_dir, "q156_rolling_hll_wau")
+    _assert_no_blowup(plan)

@@ -52,3 +52,21 @@ def test_hll_rollup_within_error_and_mergeable(spark, sf_dir):
     for etype in exact:
         rel = abs(approx[etype] - exact[etype]) / max(1, exact[etype])
         assert rel < 0.05, (etype, approx[etype], exact[etype])
+
+
+def test_rolling_hll_wau_tracks_exact(spark, sf_dir):
+    """q156's sketched 7-day actives must stay within 5% of q145's
+    exact rewrite on every report day (lgK=12 → ~1.6% standard
+    error), and cover the same day set."""
+    approx = {
+        r["day"]: r["wau7_approx"]
+        for r in REGISTRY["q156_rolling_hll_wau"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["day"]: r["wau7"]
+        for r in REGISTRY["q145_rolling_active_users"].fn(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact) and exact
+    for day, want in exact.items():
+        got = approx[day]
+        assert abs(got - want) <= max(2.0, 0.05 * want), (day, got, want)
