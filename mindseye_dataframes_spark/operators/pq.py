@@ -1,0 +1,205 @@
+"""Product quantization (PQ) for approximate nearest neighbor at scale.
+
+The third leg of the similarity-search surface, next to hyperplane
+LSH (`similarity.py:ann_topk_lsh`) and IVF (`ann_topk_ivf`): compress
+each corpus vector to ``m`` small codes (one per contiguous
+subspace), then answer queries with code-indexed distance lookups
+instead of full d-dim arithmetic. This is the memory-bound regime's
+tool: a 64-dim float vector (256 B) becomes m=4 codes (4 B) — at
+100 TB of embeddings the code table fits two orders of magnitude
+more vectors per executor, and scan cost per query drops from O(d)
+to O(m) per row.
+
+Everything is deterministic and engine-independent:
+* codebooks: per-subspace Lloyd iterations seeded by the same
+  id-modulo representative scheme as the IVF coarse quantizer and
+  updated with exact integer-micros means (the q140 k-means method)
+  — the same corpus always yields the same codebooks;
+* encoding and LUT construction: Arrow-batched pandas UDFs (one
+  einsum per batch — the m×K-struct expression form was ~10× slower
+  in codegen+eval at m=32, the same lesson as minhash); the scored
+  scan itself is a pure JVM fold over m code lookups. Queries are
+  broadcast with their per-query lookup tables (m × K distances);
+  the corpus is scanned once and never shuffled.
+
+Asymmetric distance (ADC): query subvectors compare against corpus
+CODES — d(q, x) ≈ Σ_m ‖q_m − c[m][code_m(x)]‖², the standard PQ
+estimator (Jégou et al., TPAMI 2011).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+) -> list[list[list[float]]]:
+    """Train ``m`` sub-codebooks of ``k`` centroids each (Lloyd,
+    ``iters`` rounds, exact integer-micros means). Returns
+    ``codebooks[sub][code] -> centroid`` (len dim/m each). Driver
+    traffic per round is O(m·k·dim/m) = O(k·dim) — parameters only.
+
+    All subspaces train in ONE pass per round: the corpus explodes to
+    (sub, dim_in_sub, x) rows once, assignments are per-subspace
+    expressions, and a single hash-aggregate updates every codebook.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_len = dim // m
+
+    # init: same deterministic scheme as similarity.ivf_centroids —
+    # per (subspace, id % k) the min-id subvector is the seed centroid
+    w = Window.partitionBy("_sub", "_code").orderBy(id_col)
+    init = (
+        corpus.select(
+            F.col(id_col),
+            F.pmod(F.col(id_col).cast("long"), F.lit(k)).cast("int").alias("_code"),
+            F.explode(
+                F.array(*[F.lit(s) for s in range(m)])
+            ).alias("_sub"),
+            F.col(vec_col).alias("_v"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "_sub",
+            "_code",
+            *[
+                F.element_at(F.col("_v"), F.col("_sub") * sub_len + i + 1)
+                .cast("double")
+                .alias(f"d{i}")
+                for i in range(sub_len)
+            ],
+        )
+        .collect()
+    )
+    books: list[list[list[float]]] = [
+        [[0.0] * sub_len for _ in range(k)] for _ in range(m)
+    ]
+    for r in init:
+        books[r["_sub"]][r["_code"]] = [float(r[f"d{i}"]) for i in range(sub_len)]
+
+    for _ in range(iters - 1):
+        assigned = pq_encode(corpus, vec_col, books, sub_len).select(
+            F.posexplode("pq_code").alias("_sub", "_code"),
+            F.col(vec_col).alias("_v"),
+        )
+        x6 = assigned.select(
+            "_sub",
+            "_code",
+            F.posexplode(
+                F.transform(
+                    F.slice(F.col("_v"), F.col("_sub") * sub_len + 1, sub_len),
+                    lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
+                )
+            ).alias("_d", "_x6"),
+        )
+        means = (
+            x6.groupBy("_sub", "_code", "_d")
+            .agg(
+                F.sum("_x6").cast("double").alias("s"),
+                F.count(F.lit(1)).cast("double").alias("n"),
+            )
+            .select("_sub", "_code", "_d", (F.col("s") / F.col("n") / 1e6).alias("mu"))
+            .collect()  # O(m·k·sub_len) — parameters, never row data
+        )
+        for r in means:
+            books[r["_sub"]][r["_code"]][r["_d"]] = float(r["mu"])
+    return books
+
+
+def pq_encode(
+    df: DataFrame, vec_col: str, books: list[list[list[float]]], sub_len: int
+) -> DataFrame:
+    """Add ``pq_code`` (array<int>, one code per subspace): nearest
+    sub-centroid by L2², ties to the lower code (numpy argmin takes
+    the first minimum). Arrow-batched pandas UDF — an expression
+    form (m×K struct array_sort per row) was measured ~10× slower in
+    codegen+eval at m=32, the minhash lesson again. The encode pass
+    stays a pure map: zero shuffle at any scale."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(books)
+    b = np.asarray(books, dtype=np.float64)  # (m, K, sub_len)
+    b_sq = (b * b).sum(axis=2)  # (m, K)
+
+    def _encode(vecs):
+        x = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        xs = x.reshape(len(x), m, sub_len)  # (n, m, sub)
+        # ‖x−c‖² = ‖c‖² − 2·x·c + ‖x‖²; the ‖x‖² term is constant per
+        # (row, subspace) so argmin ignores it
+        dots = np.einsum("nms,mks->nmk", xs, b)  # (n, m, K)
+        codes = (b_sq[None, :, :] - 2.0 * dots).argmin(axis=2).astype(np.int32)
+        return pd.Series(list(codes))
+
+    encode = F.pandas_udf(_encode, "array<int>")
+    return df.withColumn("pq_code", encode(F.col(vec_col)))
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+    dim: int,
+    k: int,
+    m: int = 4,
+    n_codes: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """Asymmetric-distance PQ top-k: codebooks from the corpus, corpus
+    rows encoded to m codes, every query carries its m×K lookup table
+    as an array expression, and the scored join reads
+    ``Σ_m lut[m][code_m]`` — O(m) per (query, corpus) pair. The
+    queries side broadcasts; the corpus is scanned once, unshuffled
+    (the q35 contract shape, at PQ arithmetic cost)."""
+    sub_len = dim // m
+    books = pq_train(corpus, corpus_id, corpus_vec, dim, m, n_codes, iters)
+    encoded = pq_encode(corpus, corpus_vec, books, sub_len).select(
+        F.col(corpus_id), "pq_code"
+    )
+    import numpy as np
+    import pandas as pd
+
+    b = np.asarray(books, dtype=np.float64)  # (m, K, sub_len)
+
+    def _lut(vecs):
+        x = np.stack(vecs.to_numpy()).astype(np.float64).reshape(-1, m, sub_len)
+        d = ((x[:, :, None, :] - b[None, :, :, :]) ** 2).sum(axis=3)  # (n, m, K)
+        return pd.Series([list(map(list, row)) for row in d.round(9)])
+
+    lut_udf = F.pandas_udf(_lut, "array<array<double>>")
+    q = queries.select(F.col(query_id), lut_udf(F.col(query_vec)).alias("_lut"))
+    scored = encoded.crossJoin(F.broadcast(q)).select(
+        query_id,
+        corpus_id,
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("_lut"),
+                    F.col("pq_code"),
+                    lambda row, code: F.element_at(row, code + 1),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        ).alias("approx_d2"),
+    )
+    w = Window.partitionBy(query_id).orderBy("approx_d2", corpus_id)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", corpus_id, "approx_d2")
+    )

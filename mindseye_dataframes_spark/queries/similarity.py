@@ -266,3 +266,29 @@ def q114_embedding_normalize(spark, sf_dir):
         )
         .orderBy("vec_id", "dim")
     )
+
+
+@query("q157_pq_ann_topk", tags=("vector", "ann", "pq"))
+def q157_pq_ann_topk(spark, sf_dir):
+    """Product-quantization ANN (operators/pq.py): top-10 neighbors
+    for the first 10 vectors against the rest of the corpus via
+    asymmetric code-distance — the memory-bound third leg of the ANN
+    surface (LSH q36, IVF q60). Rows-only check (codebooks are
+    deterministic but the Lloyd means are not SQL-expressible at
+    reasonable oracle size — the q140 oracle covers that machinery);
+    recall@10 vs exact L2 is pinned in tests/test_sketches.py."""
+    from mindseye_dataframes_spark.operators.pq import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    # 32 two-dim sub-quantizers: these embeddings are near-isotropic
+    # (PQ's hardest case), so recall needs fine subspaces — measured
+    # 0.11 at m=4, 0.62-0.65 at m=32 (recall@10, both SFs)
+    return pq_topk(
+        queries, corpus, "q_id", "q_vec", "c_id", "c_vec", dim=64, k=10, m=32
+    ).orderBy("q_id", "rank")

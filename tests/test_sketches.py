@@ -70,3 +70,33 @@ def test_rolling_hll_wau_tracks_exact(spark, sf_dir):
     for day, want in exact.items():
         got = approx[day]
         assert abs(got - want) <= max(2.0, 0.05 * want), (day, got, want)
+
+
+def test_pq_ann_recall_vs_exact(spark, sf_dir):
+    """q157's PQ top-10 must overlap the exact L2 top-10 (recall@10
+    averaged over the 10 queries ≥ 0.5 — 4×16 codebooks on 64 dims
+    are a coarse quantizer; the contract pins 'much better than the
+    ~2% random baseline', not exactness) and top-1 must be found in
+    the PQ top-10 for most queries."""
+    import numpy as np
+
+    from mindseye_dataframes_spark.sources.readers import load_table
+
+    got = {}
+    for r in REGISTRY["q157_pq_ann_topk"].fn(spark, sf_dir).collect():
+        got.setdefault(r["q_id"], []).append(r["c_id"])
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    corpus_ids = sorted(i for i in emb if i >= 10)
+    cmat = np.stack([emb[i] for i in corpus_ids])
+    recalls, top1_hits = [], 0
+    for qid in range(10):
+        d = ((cmat - emb[qid]) ** 2).sum(axis=1)
+        order = np.lexsort((corpus_ids, d))
+        exact10 = [corpus_ids[j] for j in order[:10]]
+        recalls.append(len(set(exact10) & set(got[qid])) / 10.0)
+        top1_hits += exact10[0] in got[qid]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    assert top1_hits >= 7, top1_hits
