@@ -537,3 +537,87 @@ def image_phash(df: DataFrame, blob_col: str = "blob") -> DataFrame:
             yield out
 
     return ensure_min_parallelism(df).mapInPandas(hash_batches, schema=out_schema)
+
+
+def mel_filterbank(
+    n_mels: int, n_bins: int, sr: int, fmin: float = 0.0, fmax: float | None = None
+) -> "np.ndarray":
+    """Triangular mel filterbank (HTK mel scale, 2595·log10(1+f/700)),
+    shape (n_mels, n_bins) for an rFFT of win = 2·(n_bins−1) samples.
+    Pure numpy, deterministic — no audio library required."""
+    fmax = fmax if fmax is not None else sr / 2.0
+    mel = lambda f: 2595.0 * np.log10(1.0 + f / 700.0)  # noqa: E731
+    inv = lambda m: 700.0 * (10.0 ** (m / 2595.0) - 1.0)  # noqa: E731
+    pts = inv(np.linspace(mel(fmin), mel(fmax), n_mels + 2))
+    bins = np.floor((2 * (n_bins - 1)) * pts / sr).astype(int)
+    fb = np.zeros((n_mels, n_bins))
+    for i in range(n_mels):
+        lo, ctr, hi = bins[i], bins[i + 1], bins[i + 2]
+        for b in range(lo, min(ctr, n_bins)):
+            if ctr > lo:
+                fb[i, b] = (b - lo) / (ctr - lo)
+        for b in range(max(ctr, 0), min(hi, n_bins)):
+            if hi > ctr:
+                fb[i, b] = (hi - b) / (hi - ctr)
+    return fb
+
+
+def log_mel_profile(
+    samples: "np.ndarray", sr: int, n_mels: int = 16, win: int = 256, hop: int = 128
+) -> "np.ndarray":
+    """Time-averaged log-mel energy profile, shape (n_mels,): STFT
+    power → mel filterbank → log10 → mean over frames. The standard
+    compact audio-encoder input statistic."""
+    spec = stft_spectrogram(samples, win, hop)  # (frames, bins) magnitude
+    fb = mel_filterbank(n_mels, spec.shape[1], sr)
+    mel_pow = (spec**2) @ fb.T  # (frames, n_mels)
+    return np.log10(mel_pow + 1e-10).mean(axis=0)
+
+
+def audio_mel_features(
+    df: DataFrame,
+    blob_col: str = "blob",
+    n_mels: int = 16,
+    win: int = 256,
+    hop: int = 128,
+) -> DataFrame:
+    """Per-payload log-mel profile (array<double>, len n_mels) — the
+    feature layer above ``audio_spectrogram``: REAL kernel for PCM
+    WAV (wave + numpy), NULL for non-WAV payloads. Arrow-batched
+    mapInPandas, one pass, zero shuffle; at 100 TB the cost is scan
+    + O(frames·bins·n_mels) numpy per payload, embarrassingly
+    parallel."""
+    keep = [c for c in df.columns if c != blob_col]
+    out_schema = ", ".join(
+        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in keep]
+        + ["sample_rate int", "mel_profile array<double>"]
+    )
+
+    def extract(batches):
+        def kernel(p: bytes) -> dict | None:
+            if decode_wav(p, 1) is None:
+                return None
+            with wave.open(io.BytesIO(p)) as w:
+                sr, sw, ch = w.getframerate(), w.getsampwidth(), w.getnchannels()
+                raw = w.readframes(w.getnframes())
+            if sw == 2:
+                s = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+            else:
+                s = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+            if ch > 1:
+                s = s[: (len(s) // ch) * ch].reshape(-1, ch).mean(axis=1)
+            return {
+                "sample_rate": int(sr),
+                "mel_profile": [float(x) for x in log_mel_profile(s, sr, n_mels, win, hop)],
+            }
+
+        for pdf in batches:
+            out = pdf[keep].copy()
+            decoded = pdf[blob_col].map(
+                lambda b: kernel(bytes(b)) if b is not None else None
+            )
+            out["sample_rate"] = decoded.map(lambda d: d["sample_rate"] if d else None)
+            out["mel_profile"] = decoded.map(lambda d: d["mel_profile"] if d else None)
+            yield out
+
+    return ensure_min_parallelism(df).mapInPandas(extract, schema=out_schema)

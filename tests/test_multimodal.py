@@ -253,3 +253,38 @@ def test_spectrogram_peak_tracks_tone_frequency(spark):
     assert abs(bins[2] - round(1000.0 * win / sr)) <= 1       # first half: 1 kHz
     assert abs(bins[-3] - round(2000.0 * win / sr)) <= 1      # second half: 2 kHz
     assert rows[2]["n_frames"] is None                        # non-WAV -> NULLs
+
+
+def test_mel_features_separate_tone_bands(spark):
+    """Log-mel profiles through the real WAV kernel: a low tone's
+    energy peaks in a lower mel band than a high tone's, profiles are
+    deterministic across runs, and non-WAV payloads yield NULLs."""
+    import numpy as np
+
+    from mindseye_dataframes_spark.operators.multimodal import (
+        audio_mel_features,
+        log_mel_profile,
+    )
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    low = 0.5 * np.sin(2 * np.pi * 300.0 * t)
+    high = 0.5 * np.sin(2 * np.pi * 3000.0 * t)
+    assert log_mel_profile(low, sr).argmax() < log_mel_profile(high, sr).argmax()
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_make_wav(low, sr=sr))),
+            (2, bytearray(_make_wav(high, sr=sr))),
+            (3, bytearray(b"not a wav")),
+        ],
+        "doc_id int, blob binary",
+    )
+    rows = {r["doc_id"]: r for r in audio_mel_features(df).collect()}
+    assert rows[1]["sample_rate"] == sr
+    p_low = np.array(rows[1]["mel_profile"])
+    p_high = np.array(rows[2]["mel_profile"])
+    assert len(p_low) == 16 and p_low.argmax() < p_high.argmax()
+    assert rows[3]["mel_profile"] is None
+    rows2 = {r["doc_id"]: r for r in audio_mel_features(df).collect()}
+    assert rows2[1]["mel_profile"] == rows[1]["mel_profile"]
