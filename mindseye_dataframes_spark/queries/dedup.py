@@ -183,7 +183,7 @@ def q34_embedding_near_dup(spark, sf_dir):
 # Shared by q77 (naive label propagation) and q79 (star contraction):
 # both must produce the identical transitive-closure clustering, so
 # they share one recursive-CTE reachability oracle.
-_CLOSURE_ORACLE = """
+_CLOSURE_CTES = """
     WITH RECURSIVE toks AS (
       SELECT doc_id,
              CASE WHEN len(string_split(text, ' ')) >= 3
@@ -219,9 +219,13 @@ _CLOSURE_ORACLE = """
       SELECT s, s FROM (SELECT DISTINCT s FROM edges)
       UNION
       SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
-    )
+    )"""
+
+_CLOSURE_SELECT = """
     SELECT s AS doc_id, MIN(d) AS cluster_id FROM reach GROUP BY s ORDER BY doc_id
     """
+
+_CLOSURE_ORACLE = _CLOSURE_CTES + _CLOSURE_SELECT
 
 
 @query(
@@ -413,4 +417,54 @@ def q154_incremental_corpus_dedup(spark, sf_dir):
             F.countDistinct("digest").alias("n_distinct_texts"),
         )
         .orderBy("source")
+    )
+
+
+@query(
+    "q158_dedup_pipeline_end_to_end",
+    oracle=_CLOSURE_CTES
+    + f"""
+    , clusters AS (
+      SELECT s AS doc_id, MIN(d) AS cluster_id FROM reach GROUP BY s)
+    SELECT c.cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           arg_max(d.doc_id, {oracle_tuple_rank("d.n_chars", "d.doc_id")})
+             AS survivor_doc,
+           CAST(sum(d.n_chars) - max(d.n_chars) AS BIGINT) AS chars_dropped
+    FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    GROUP BY c.cluster_id
+    ORDER BY c.cluster_id
+    """,
+    tags=("dedup", "pipeline", "north-star"),
+)
+def q158_dedup_pipeline_end_to_end(spark, sf_dir):
+    """The WHOLE near-dup curation pipeline as one declared query:
+    MinHash/LSH candidates → exact-Jaccard verify (q32 machinery) →
+    star-contraction connected components (q79) → survivor election
+    per cluster (q115's padded-rank, longest text wins, ties to the
+    higher id) → per-cluster audit row (members, survivor, chars
+    dropped). Every stage is the proven scale shape (band equi-join,
+    O(log n) contraction rounds, one closing hash-agg), so the
+    composition IS the production job — and the oracle replays all
+    four stages in SQL (recursive-CTE closure + arg_max), verifying
+    the end-to-end composition, not just the parts."""
+    from mindseye_dataframes_spark.operators.components import (
+        connected_components_star,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_verified_pairs(docs, "text", "doc_id", threshold=0.5)
+    clusters = connected_components_star(
+        pairs, out_node="doc_id", out_component="cluster_id"
+    )
+    rank = tuple_rank("n_chars", "doc_id")
+    return (
+        clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max_by("doc_id", rank).alias("survivor_doc"),
+            (F.sum("n_chars") - F.max("n_chars")).alias("chars_dropped"),
+        )
+        .orderBy("cluster_id")
     )

@@ -271,3 +271,75 @@ def q144_table_fingerprint(spark, sf_dir):
             ],
         )
     ).orderBy("table_name")
+
+
+@query(
+    "q159_referential_integrity",
+    oracle="""
+    SELECT 'customer->nation' AS fk, CAST(count(*) AS BIGINT) AS n_child,
+           CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans
+    FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    UNION ALL
+    SELECT 'lineitem->orders', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    UNION ALL
+    SELECT 'lineitem->part', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+    UNION ALL
+    SELECT 'lineitem->supplier', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    UNION ALL
+    SELECT 'orders->customer', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY fk
+    """,
+    tags=("quality", "integrity", "north-star"),
+)
+def q159_referential_integrity(spark, sf_dir):
+    """Foreign-key integrity audit across the star schema: for each
+    child→parent relationship, total child rows and orphan rows
+    (child key with no parent) — the admission check a warehouse
+    runs after every load. Each check is one left join reduced
+    immediately to two counters; parent sides are dimension-sized
+    (broadcast) except orders, which joins on its natural
+    shuffle key. Orphan counting via LEFT JOIN + NULL test (not
+    anti-join) so n_child and n_orphans come from the SAME pass."""
+
+    def check(child, parent, child_key, parent_key, name):
+        p = parent.select(F.col(parent_key).alias("_pk")).distinct()
+        return (
+            child.select(F.col(child_key).alias("_ck"))
+            .join(F.broadcast(p) if name != "lineitem->orders" else p,
+                  F.col("_ck") == F.col("_pk"), "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(
+                    F.when(F.col("_pk").isNull(), 1).otherwise(0)
+                ).alias("n_orphans"),
+            )
+            .select(F.lit(name).alias("fk"), "n_child", "n_orphans")
+        )
+
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("customer", "nation", "lineitem", "orders", "part", "supplier")}
+    checks = [
+        check(t["customer"], t["nation"], "c_nationkey", "n_nationkey",
+              "customer->nation"),
+        check(t["lineitem"], t["orders"], "l_orderkey", "o_orderkey",
+              "lineitem->orders"),
+        check(t["lineitem"], t["part"], "l_partkey", "p_partkey",
+              "lineitem->part"),
+        check(t["lineitem"], t["supplier"], "l_suppkey", "s_suppkey",
+              "lineitem->supplier"),
+        check(t["orders"], t["customer"], "o_custkey", "c_custkey",
+              "orders->customer"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("fk")

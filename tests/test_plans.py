@@ -592,3 +592,15 @@ def test_round4d_queries_plan_shapes(spark, sf_dir):
     # scan must feed exactly one aggregation pair (the daily sketch)
     plan = plan_of(spark, sf_dir, "q156_rolling_hll_wau")
     _assert_no_blowup(plan)
+
+
+def test_round4e_queries_plan_shapes(spark, sf_dir):
+    """q158/q159: the end-to-end dedup composition stays equi-join
+    shaped through all stages; the integrity audit broadcasts its
+    dimension parents."""
+    plan = plan_of(spark, sf_dir, "q158_dedup_pipeline_end_to_end")
+    _assert_no_blowup(plan)
+
+    plan = plan_of(spark, sf_dir, "q159_referential_integrity")
+    _assert_no_blowup(plan)
+    assert plan.count("BroadcastHashJoin") >= 4  # all parents but orders
