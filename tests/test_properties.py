@@ -375,3 +375,133 @@ def test_tuple_rank_encoding_orders_like_tuples(a, b):
     enc = lambda t: "".join(str(x).zfill(19) for x in t)
     assert (enc(a) < enc(b)) == (a < b)
     assert (enc(a) == enc(b)) == (a == b)
+
+
+def test_pareto_frontier_matches_bruteforce_dominance(spark):
+    """q143's window formulation must agree with the quadratic
+    dominance definition on adversarial data: duplicate (price,size)
+    points, strict/non-strict tie boundaries."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.choice("XY"), rng.randrange(1, 8) * 100, rng.randrange(1, 6))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(
+        rows, "p_partkey long, p_brand string, price_cents long, p_size int"
+    )
+
+    from pyspark.sql import Window
+
+    w_cheaper = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_upto = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    got = {
+        (r.p_partkey)
+        for r in df.select(
+            "p_partkey",
+            "p_brand",
+            "price_cents",
+            "p_size",
+            F.max("p_size").over(w_cheaper).alias("m1"),
+            F.max("p_size").over(w_upto).alias("m2"),
+        )
+        .filter(
+            (F.col("m1").isNull() | (F.col("m1") < F.col("p_size")))
+            & (F.col("m2") <= F.col("p_size"))
+        )
+        .collect()
+    }
+    want = set()
+    for pk, br, pc, sz in rows:
+        dominated = any(
+            b2 == br
+            and ((pc2 < pc and sz2 >= sz) or (pc2 <= pc and sz2 > sz))
+            for pk2, b2, pc2, sz2 in rows
+            if pk2 != pk
+        )
+        if not dominated:
+            want.add(pk)
+    assert got == want
+
+
+def test_ewma_bounded_and_mean_on_constant_series(spark):
+    """q142's dyadic EWMA must stay within [min, max] of its window
+    and equal the value exactly on a constant series."""
+    import math
+
+    from mindseye_dataframes_spark.queries import load_all
+
+    qs = load_all()
+    df = qs["q142_ewma_smoothing"].fn(spark, "/root/testdata/sf0.001")
+    from mindseye_dataframes_spark.sources.readers import load_table
+
+    vals = {
+        r["event_id"]: r["value"]
+        for r in load_table(spark, "/root/testdata/sf0.001", "events")
+        .filter(F.col("event_type") == "purchase")
+        .collect()
+    }
+    lo, hi = min(vals.values()), max(vals.values())
+    for r in df.collect():
+        assert lo - 1e-4 <= r["ewma"] <= hi + 1e-4, r
+        assert math.isfinite(r["ewma"])
+
+    const = spark.createDataFrame(
+        [(i, 1, f"2024-01-01 00:0{i}:00", 5.25) for i in range(8)],
+        "event_id long, user_id long, ts string, value double",
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+             "value", F.lit("purchase").alias("event_type"),
+             F.lit("").alias("props"))
+    # same expression path as the query, applied to the constant frame
+    const.createOrReplaceTempView("_ewma_const")
+    from mindseye_dataframes_spark.queries.timeseries import _ewma_terms
+
+    num, den = _ewma_terms(lambda d: f"lag(c6, {d}) OVER w")
+    out = spark.sql(
+        f"""
+        SELECT round(CAST(({num}) AS DOUBLE)
+                     / (CAST(({den}) AS DOUBLE) * 100.0), 4) + 0.0 AS ewma
+        FROM (SELECT event_id, user_id, ts,
+                     CAST(round(value * 100) AS BIGINT) AS c6 FROM _ewma_const)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """
+    ).collect()
+    assert all(r["ewma"] == 5.25 for r in out)
+
+
+def test_table_fingerprint_order_invariant(spark, tmp_path_factory):
+    """q144's checksum must be identical for any physical row order /
+    partitioning of the same data — that's the whole point of a
+    replica-verification fingerprint."""
+    from mindseye_dataframes_spark.queries import load_all
+
+    qs = load_all()
+    base = qs["q144_table_fingerprint"].fn(spark, "/root/testdata/sf0.001").collect()
+
+    # rewrite the tables shuffled + differently partitioned
+    import os
+
+    from mindseye_dataframes_spark.sources.readers import load_table
+
+    alt = str(tmp_path_factory.mktemp("fp_alt"))
+    for t in ("lineitem", "orders", "region", "nation", "customer",
+              "supplier", "part", "events", "documents", "embeddings"):
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        if not os.path.exists(src):
+            continue
+        df = load_table(spark, "/root/testdata/sf0.001", t)
+        if t in ("lineitem", "orders"):
+            df = df.orderBy(F.rand(seed=3)).repartition(7)
+        df.write.mode("overwrite").parquet(f"{alt}/{t}.parquet")
+    shuffled = qs["q144_table_fingerprint"].fn(spark, alt).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, shuffled))
