@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from functools import reduce
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from mindseye_dataframes_spark.queries.registry import query
@@ -96,3 +97,75 @@ def q76_profile_columns(spark, sf_dir):
         for c in _PROFILE_COLS
     ]
     return reduce(lambda a, b: a.unionAll(b), profiles).orderBy("col_name")
+
+
+@query(
+    "q160_mixture_token_plan",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS actual_tokens
+      FROM documents GROUP BY source),
+    ranked AS (
+      SELECT source, actual_tokens,
+             CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS r,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM tok),
+    wts AS (
+      SELECT source, actual_tokens,
+             r * 2000000 // (n * (n + 1)) AS weight_ppm
+      FROM ranked),
+    budget AS (
+      SELECT min(actual_tokens * 1000000 // weight_ppm) AS b FROM wts)
+    SELECT source, actual_tokens, weight_ppm,
+           b * weight_ppm // 1000000 AS planned_tokens,
+           (b * weight_ppm // 1000000) * 1000000 // actual_tokens AS rate_ppm
+    FROM wts CROSS JOIN budget
+    ORDER BY source
+    """,
+    tags=("curation", "mixture", "north-star"),
+)
+def q160_mixture_token_plan(spark, sf_dir):
+    """Training-mixture planning — the sizing pass before q83's
+    mixture sampler: given per-source token supply and target weights
+    (here: rank-proportional, w_i ∝ i over sources sorted by name —
+    derived, so the query works at any SF), find the largest total
+    token budget every source can serve (B = min actual·1e6/w) and
+    each source's planned tokens + sampling rate. ALL arithmetic is
+    BIGINT floor-division in parts-per-million — the plan is
+    bit-identical on every engine, which matters because these
+    numbers get embedded in run configs. One token-count aggregate
+    over the corpus; everything after operates on |sources| rows."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("actual_tokens"))
+    )
+    w = Window.orderBy("source")
+    ranked = tok.select(
+        "source",
+        "actual_tokens",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    wts = ranked.select(
+        "source",
+        "actual_tokens",
+        F.expr("r * 2000000 DIV (n * (n + 1))").alias("weight_ppm"),
+    )
+    budget = wts.agg(
+        F.min(F.expr("actual_tokens * 1000000 DIV weight_ppm")).alias("b")
+    )
+    return (
+        wts.crossJoin(F.broadcast(budget))
+        .select(
+            "source",
+            "actual_tokens",
+            "weight_ppm",
+            F.expr("b * weight_ppm DIV 1000000").alias("planned_tokens"),
+            F.expr(
+                "(b * weight_ppm DIV 1000000) * 1000000 DIV actual_tokens"
+            ).alias("rate_ppm"),
+        )
+        .orderBy("source")
+    )
