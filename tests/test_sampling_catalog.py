@@ -103,3 +103,42 @@ def test_stratified_sample_fractions_and_determinism(spark):
     for flag, frac in fracs.items():
         rate = got_a.get(flag, 0) / totals[flag]
         assert abs(rate - frac) < 0.35 * frac + 0.01, (flag, rate, frac)
+
+
+def test_compaction_merges_small_files_and_preserves_rows(spark, tmp_path):
+    """Fragment a table into many tiny files, compact, and check:
+    fewer files, every merged group under ~2x target, zero row loss,
+    and large files left untouched."""
+    from mindseye_dataframes_spark.operators.compaction import (
+        compact,
+        compaction_plan,
+        file_row_stats,
+    )
+
+    src = str(tmp_path / "frag")
+    out = str(tmp_path / "compacted")
+    # 20 tiny files of 50 rows + 1 large file of 5000
+    spark.range(0, 1000).repartition(20).write.parquet(src)
+    spark.range(1000, 6000).coalesce(1).write.mode("append").parquet(src)
+
+    stats = file_row_stats(spark, src)
+    n_files_before = stats.count()
+    assert n_files_before >= 21
+
+    plan = compaction_plan(stats, target_rows=400)
+    rows = plan.collect()
+    assert all(r.merge_group is None for r in rows if r.n_rows >= 400)
+    assert all(r.merge_group is not None for r in rows if r.n_rows < 400)
+    # greedy packing: per-group totals land in (0, target + max_small]
+    per_group: dict = {}
+    for r in rows:
+        if r.merge_group is not None:
+            per_group[r.merge_group] = per_group.get(r.merge_group, 0) + r.n_rows
+    assert all(total <= 400 + 50 for total in per_group.values())
+
+    compact(spark, src, out, target_rows=400)
+    after = file_row_stats(spark, out)
+    assert after.count() < n_files_before
+    assert spark.read.parquet(out).count() == 6000
+    # the compacted layout still contains a ~5000-row (untouched) file
+    assert after.filter(F.col("n_rows") >= 5000).count() == 1
