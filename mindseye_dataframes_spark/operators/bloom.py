@@ -35,11 +35,25 @@ engine's beyond-parity scale surface.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Distinct seeds make the n_hashes probes independent xxhash64 draws.
 _SEEDS = (0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35)
+
+
+@dataclass(frozen=True)
+class BloomWords:
+    """A built Bloom filter: the words relation plus the geometry it
+    was built with. Probing with a DIFFERENT (n_bits, n_hashes) than
+    the build silently drops true matches — binding the config to the
+    build output makes that misuse unrepresentable."""
+
+    words: DataFrame
+    n_bits: int
+    n_hashes: int
 
 
 def _positions(key: Column, n_bits: int, n_hashes: int) -> list[Column]:
@@ -53,8 +67,9 @@ def _positions(key: Column, n_bits: int, n_hashes: int) -> list[Column]:
 
 def bloom_build(
     keys: DataFrame, key_col: str, n_bits: int = 1 << 22, n_hashes: int = 2
-) -> DataFrame:
-    """Aggregate build-side keys into Bloom words ``(word_idx, word)``.
+) -> BloomWords:
+    """Aggregate build-side keys into Bloom words ``(word_idx, word)``
+    bundled with their geometry.
 
     One hash-aggregate; output ≤ ``n_bits/64`` rows regardless of
     input size. Absent word_idx rows mean an all-zero word."""
@@ -67,15 +82,14 @@ def bloom_build(
         # the column-shift goes through the SQL expression form
         F.expr("shiftleft(1L, cast(bit_pos % 64 AS INT))").alias("bit"),
     )
-    return stacked.groupBy("word_idx").agg(F.bit_or("bit").alias("word"))
+    words = stacked.groupBy("word_idx").agg(F.bit_or("bit").alias("word"))
+    return BloomWords(words=words, n_bits=n_bits, n_hashes=n_hashes)
 
 
 def bloom_prefilter(
     df: DataFrame,
     key_col: str,
-    words: DataFrame,
-    n_bits: int = 1 << 22,
-    n_hashes: int = 2,
+    bloom: BloomWords,
 ) -> DataFrame:
     """Keep only rows of ``df`` whose key *may* be in the filter.
 
@@ -85,8 +99,9 @@ def bloom_prefilter(
     shiftright+mask — arithmetic shift is safe because only bit 0 is
     inspected after the shift."""
     out = df
+    n_bits, n_hashes = bloom.n_bits, bloom.n_hashes
     for i, pos in enumerate(_positions(F.col(key_col), n_bits, n_hashes)):
-        w = words.select(
+        w = bloom.words.select(
             F.col("word_idx").alias(f"_bw{i}"), F.col("word").alias(f"_wv{i}")
         )
         out = (

@@ -435,8 +435,8 @@ def q141_bloom_prefilter_join(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice"
     )
-    words = bloom_build(orders.select("o_orderkey"), "o_orderkey")
-    li_pruned = bloom_prefilter(li, "l_orderkey", words)
+    bloom = bloom_build(orders.select("o_orderkey"), "o_orderkey")
+    li_pruned = bloom_prefilter(li, "l_orderkey", bloom)
     return (
         li_pruned.join(
             orders.select("o_orderkey", "o_orderpriority"),

@@ -551,8 +551,8 @@ def test_bloom_prefilter_has_no_false_negatives(spark):
     probe = spark.createDataFrame(
         [(k,) for k in keys + list(range(1000, 1200))], "k long"
     )
-    words = bloom_build(build, "k", n_bits=1 << 12)
-    kept = {r.k for r in bloom_prefilter(probe, "k", words, n_bits=1 << 12).collect()}
+    bloom = bloom_build(build, "k", n_bits=1 << 12)
+    kept = {r.k for r in bloom_prefilter(probe, "k", bloom).collect()}
     assert set(keys) <= kept
 
 
