@@ -296,3 +296,20 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     }
     assert out[1] == ("x", 10)        # 60s old: within tolerance
     assert out[2] == (None, None)     # 2h old: stale -> all-null payload
+
+
+def test_pq_train_rejects_indivisible_dim(spark):
+    from mindseye_dataframes_spark.operators.pq import pq_train
+
+    df = spark.createDataFrame([(0, [0.0] * 10)], "id long, v array<float>")
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, "id", "v", dim=10, m=4)
+
+
+def test_merge_upsert_rejects_unknown_update_columns(spark):
+    from mindseye_dataframes_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    upd = spark.createDataFrame([(1, "b", 9)], "k long, v string, extra long")
+    with pytest.raises(ValueError, match="extra"):
+        merge_upsert(base, upd, on=["k"])

@@ -226,3 +226,39 @@ def test_upsert_sink_matches_batch_latest_per_key(spark, tmp_path_factory):
     got = spark.read.parquet(target)
     assert got.count() == want.count() > 0
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+
+def test_upsert_sink_checkpoint_makes_rerun_a_noop(spark, tmp_path_factory):
+    """Re-starting the drained stream with the SAME checkpoint must
+    process nothing new and leave the snapshot byte-identical — the
+    restartability contract foreachBatch relies on."""
+    from mindseye_dataframes_spark.streaming.sinks import upsert_stream
+
+    src = str(tmp_path_factory.mktemp("ckpt_src"))
+    target = str(tmp_path_factory.mktemp("ckpt_out")) + "/snapshot"
+    ckpt = str(tmp_path_factory.mktemp("ckpt_ckpt"))
+    load_table(spark, "/root/testdata/sf0.001", "events").limit(500).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(
+                "event_id long, ts timestamp, user_id long, event_type string, "
+                "value double, props string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+        )
+        q = upsert_stream(
+            stream, target, keys=["user_id"], order_cols=["ts", "event_id"],
+            checkpoint_dir=ckpt,
+        ).start()
+        q.awaitTermination(120)
+
+    run_once()
+    first = sorted(tuple(r) for r in spark.read.parquet(target).collect())
+    run_once()  # same checkpoint: no new files -> no batches -> no rewrite
+    second = sorted(tuple(r) for r in spark.read.parquet(target).collect())
+    assert first == second and first
