@@ -1,0 +1,62 @@
+"""Regenerate docs/PLANS.md: the formatted physical plan of every
+bench-tracked query at sf0.1 — the artifact to read when asking "is
+the filter pushed, is the dim broadcast, where are the exchanges"
+without re-running anything.
+
+Usage: python tools/explain_plans.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from mindseye_dataframes_spark.queries import load_all
+    from mindseye_dataframes_spark.session import get_session
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_session(app_name="explain-plans", cpus=8)
+    registry = load_all()
+    tracked = [n for n, q in sorted(registry.items()) if q.bench] + [
+        n
+        for n in (
+            "q87_contamination_screen",
+            "q102_fuzzy_name_match",
+            "q114_embedding_normalize",
+            "q141_bloom_prefilter_join",
+            "q158_dedup_pipeline_end_to_end",
+        )
+        if n in registry
+    ]
+    out = [
+        "# Physical plans (generated — do not edit)\n",
+        f"\nRegenerate with `python tools/explain_plans.py` (sf: `{sf_dir}`).\n",
+    ]
+    for name in tracked:
+        df = registry[name].fn(spark, sf_dir)
+        plan = (
+            df.sparkSession._jsparkSession.sessionState()
+            .executePlan(
+                df._jdf.queryExecution().logical(),
+                df._jdf.queryExecution().mode(),
+            )
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        )
+        out.append(f"\n## {name}\n\n```\n{plan}```\n")
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs", "PLANS.md")
+    with open(path, "w") as f:
+        f.write("".join(out))
+    print(f"wrote {path} ({len(tracked)} plans)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
