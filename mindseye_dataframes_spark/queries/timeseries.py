@@ -326,3 +326,82 @@ def q152_gap_percentiles(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q161_interval_union",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+      FROM events),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv),
+    islands AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS island
+      FROM flagged),
+    merged AS (
+      SELECT user_id, island, min(s) AS m_s, max(e) AS m_e
+      FROM islands GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(m_e - m_s) // 1000000 AS BIGINT) AS active_sec
+    FROM merged GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("timeseries", "interval-union", "north-star"),
+)
+def q161_interval_union(spark, sf_dir):
+    """Interval union (island merge): expand every event to a 5-min
+    activity interval, merge overlapping/adjacent intervals per user,
+    report merged-interval count and exact total active seconds —
+    the classic coverage operator (device uptime, SLA windows,
+    session stitching from heartbeats). The island detection is the
+    running-max formulation: an interval starts a new island iff its
+    start exceeds the max end of ALL preceding intervals (running
+    max handles the contained-interval case a lag-based gap check
+    gets wrong). Pure integer-microsecond arithmetic; one per-user
+    window + two hash-aggregates, no joins."""
+    iv = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + 300_000_000).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(F.col("s") > F.max("e").over(w_prev), 1).otherwise(0).alias(
+            "new_island"
+        ),
+    )
+    islands = flagged.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_run).alias("island")
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("m_s"), F.max("e").alias("m_e")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.expr("sum(m_e - m_s) DIV 1000000").alias("active_sec"),
+        )
+        .orderBy("user_id")
+    )
