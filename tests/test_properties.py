@@ -505,3 +505,45 @@ def test_table_fingerprint_order_invariant(spark, tmp_path_factory):
         df.write.mode("overwrite").parquet(f"{alt}/{t}.parquet")
     shuffled = qs["q144_table_fingerprint"].fn(spark, alt).collect()
     assert sorted(map(tuple, base)) == sorted(map(tuple, shuffled))
+
+
+def test_zip_fusion_matches_generic_path(spark):
+    """Common-source zip fusion must return exactly what the generic
+    per-frame-index path returns — same rows, same index — and must
+    NOT fire when filters differ or a key is computed."""
+    from mindseye_dataframes_spark.operators.zip_frames import (
+        _common_source_keys,
+        with_row_index,
+        zip_frames,
+    )
+    from mindseye_dataframes_spark.sources.readers import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    a = li.select("l_orderkey", "l_linenumber", "l_returnflag")
+    b = li.select(
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_orderkey").alias("_bok"),
+        F.col("l_linenumber").alias("_bln"),
+    )
+    keys = [["l_orderkey", "l_linenumber"], ["_bok", "_bln"]]
+    assert _common_source_keys([a, b], keys)
+    fused = zip_frames([a, b], keys, index_col="rid")
+
+    # generic reference: explicit per-frame indexes + rid join
+    ia = with_row_index(a, keys[0], "rid")
+    ib = with_row_index(b, keys[1], "rid")
+    generic = ia.join(ib, "rid")
+    f_rows = {tuple(r) for r in fused.select("rid", "l_orderkey", "l_linenumber", "l_returnflag", "price").collect()}
+    g_rows = {tuple(r) for r in generic.select("rid", "l_orderkey", "l_linenumber", "l_returnflag", "price").collect()}
+    assert f_rows == g_rows and f_rows
+
+    a_f = li.filter(F.col("l_quantity") > 10).select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+    assert not _common_source_keys([a_f, b], keys)
+    c = li.select(
+        (F.col("l_orderkey") * 2).alias("k2"),
+        F.col("l_linenumber").alias("ln"),
+        "l_returnflag",
+    )
+    assert not _common_source_keys([c, b], [["k2", "ln"], keys[1]])
