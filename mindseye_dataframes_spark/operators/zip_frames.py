@@ -317,13 +317,15 @@ def zip_frames(
     disjoint across inputs. Keeps the index when ``index_col`` given.
 
     Common-source fusion: when every input is a projection of the same
-    relation ordered by renames of the same base key (the dominant
-    real-world shape — zipping feature subsets of one table), the
-    positional join IS a key equi-join, so the N per-frame index
-    computations collapse to key joins plus (if an index is wanted)
-    ONE narrow keys-only index — measured ~2× on the q13 bench shape.
-    Detection is plan-exact (Catalyst ``sameResult``) and falls back
-    to the generic per-frame-index path on any uncertainty.
+    relation ordered by renames of the SAME base key sequence (the
+    feature-subset shape ``eval_to_dataframe`` zips), the positional
+    join IS a key equi-join, so the N per-frame index computations
+    collapse to key joins plus (if an index is wanted) ONE narrow
+    keys-only index. Detection is plan-exact (Catalyst ``sameResult``
+    on Project-stripped plans) and falls back to the generic
+    per-frame-index path on any uncertainty — including q13's shape,
+    where each frame deliberately orders by a DIFFERENT key sequence
+    and positional alignment is genuinely index-based.
     """
     if len(frames) != len(order_keys):
         raise ValueError("one order_keys list per frame")

@@ -518,14 +518,13 @@ def test_zip_fusion_matches_generic_path(spark):
     )
     from mindseye_dataframes_spark.sources.readers import load_table
 
-    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
-    a = li.select("l_orderkey", "l_linenumber", "l_returnflag")
-    b = li.select(
-        F.col("l_extendedprice").alias("price"),
-        F.col("l_orderkey").alias("_bok"),
-        F.col("l_linenumber").alias("_bln"),
-    )
-    keys = [["l_orderkey", "l_linenumber"], ["_bok", "_bln"]]
+    # the zip contract requires UNIQUE order keys — event_id is the
+    # unique key here ((l_orderkey, l_linenumber) is NOT unique in the
+    # synthetic data, which is why q13 orders frame b by price first)
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    a = ev.select("event_id", "event_type")
+    b = ev.select(F.col("value").alias("val"), F.col("event_id").alias("_bid"))
+    keys = [["event_id"], ["_bid"]]
     assert _common_source_keys([a, b], keys)
     fused = zip_frames([a, b], keys, index_col="rid")
 
@@ -533,17 +532,23 @@ def test_zip_fusion_matches_generic_path(spark):
     ia = with_row_index(a, keys[0], "rid")
     ib = with_row_index(b, keys[1], "rid")
     generic = ia.join(ib, "rid")
-    f_rows = {tuple(r) for r in fused.select("rid", "l_orderkey", "l_linenumber", "l_returnflag", "price").collect()}
-    g_rows = {tuple(r) for r in generic.select("rid", "l_orderkey", "l_linenumber", "l_returnflag", "price").collect()}
+    cols = ["rid", "event_id", "event_type", "val"]
+    f_rows = {tuple(r) for r in fused.select(*cols).collect()}
+    g_rows = {tuple(r) for r in generic.select(*cols).collect()}
     assert f_rows == g_rows and f_rows
 
-    a_f = li.filter(F.col("l_quantity") > 10).select(
-        "l_orderkey", "l_linenumber", "l_returnflag"
-    )
+    a_f = ev.filter(F.col("value") > 10).select("event_id", "event_type")
     assert not _common_source_keys([a_f, b], keys)
-    c = li.select(
-        (F.col("l_orderkey") * 2).alias("k2"),
-        F.col("l_linenumber").alias("ln"),
-        "l_returnflag",
+    c = ev.select((F.col("event_id") * 2).alias("k2"), "event_type")
+    assert not _common_source_keys([c, b], [["k2"], keys[1]])
+    # q13's shape (different per-frame key sequences) must NOT fuse
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    qa = li.select("l_orderkey", "l_linenumber", "l_returnflag")
+    qb = li.select(
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_orderkey").alias("_bok"),
+        F.col("l_linenumber").alias("_bln"),
     )
-    assert not _common_source_keys([c, b], [["k2", "ln"], keys[1]])
+    assert not _common_source_keys(
+        [qa, qb], [["l_orderkey", "l_linenumber"], ["price", "_bok", "_bln"]]
+    )
