@@ -208,8 +208,13 @@ def with_row_index(
 ) -> DataFrame:
     """Add a dense 0-based row index following ``order_keys`` order.
 
-    ``order_keys`` must be a unique, non-null key — equal keys have no
-    defined position, and null ordering differs across range buckets.
+    ``order_keys`` must be a non-null key that is unique — OR whose
+    tied rows are identical in every carried column. Equal keys have
+    no defined position, so with distinct payloads behind a tie the
+    (index → payload) mapping is engine/partition-arbitrary (a latent
+    cross-engine flake); identical tied rows make every tie
+    permutation the same output multiset, which is the determinism
+    the oracle hash actually needs (the q13 lesson).
 
     ``recompute_safe``: True forces the sampled-boundary path (input
     evaluated once full-width plus two column-pruned passes), False

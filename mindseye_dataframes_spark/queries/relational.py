@@ -454,7 +454,8 @@ def q12_intersect_except(spark, sf_dir):
     oracle="""
     WITH a AS (
       SELECT l_orderkey, l_linenumber, l_returnflag,
-             row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rid
+             row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_returnflag)
+               - 1 AS rid
       FROM lineitem
     ), b AS (
       SELECT l_extendedprice AS price,
@@ -468,6 +469,17 @@ def q12_intersect_except(spark, sf_dir):
     bench=True,
 )
 def q13_zip_positional(spark, sf_dir):
+    """Positional zip of two projections of lineitem, each under its
+    own order (J1 semantics). Frame a's order key is the FULL row
+    (l_orderkey, l_linenumber, l_returnflag): (l_orderkey,
+    l_linenumber) alone is not unique in the synthetic data, and the
+    tied rows carry different return flags — ranks among such ties
+    are engine/partition-arbitrary, so the rid→flag pairing would be
+    a latent cross-engine flake. With the payload included in the
+    key, tied rows are bytewise identical and every tie permutation
+    yields the same output multiset (the relaxation with_row_index's
+    contract documents). Frame b's (price, key) order is unique
+    outright — verified at all scale factors."""
     li = load_table(spark, sf_dir, "lineitem")
     a = li.select("l_orderkey", "l_linenumber", "l_returnflag")
     b = li.select(
@@ -477,7 +489,10 @@ def q13_zip_positional(spark, sf_dir):
     )
     zipped = zip_frames(
         [a, b],
-        [["l_orderkey", "l_linenumber"], ["price", "_bok", "_bln"]],
+        [
+            ["l_orderkey", "l_linenumber", "l_returnflag"],
+            ["price", "_bok", "_bln"],
+        ],
         index_col="rid",
     )
     return zipped.select("rid", "l_orderkey", "l_linenumber", "l_returnflag", "price")
