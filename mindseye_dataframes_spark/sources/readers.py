@@ -138,3 +138,43 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_json_robust(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """PERMISSIVE JSON read that CAPTURES malformed lines instead of
+    nulling them silently or failing the job: rows that don't parse
+    land with all data columns NULL and the raw line in
+    ``corrupt_col``. At 100 TB a feed always contains garbage; the
+    scan must neither die (FAILFAST) nor silently drop (DROPMALFORMED
+    hides data loss) — capture + quarantine is the auditable mode.
+    ``schema`` is a DDL string of the DATA columns; the corrupt
+    column is appended here."""
+    full = f"{schema}, {corrupt_col} string"
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def quarantine_split(
+    df: DataFrame, corrupt_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """(good_rows_without_corrupt_col, quarantined_raw_lines).
+
+    Spark refuses queries that reference ONLY the internal corrupt
+    column on the raw scan (SPARK-21610) — the documented workaround
+    is persisting the parsed relation first, which also means the
+    parse pays once for both outputs."""
+    cached = df.persist()
+    good = cached.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = cached.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return good, bad

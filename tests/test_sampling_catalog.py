@@ -142,3 +142,26 @@ def test_compaction_merges_small_files_and_preserves_rows(spark, tmp_path):
     assert spark.read.parquet(out).count() == 6000
     # the compacted layout still contains a ~5000-row (untouched) file
     assert after.filter(F.col("n_rows") >= 5000).count() == 1
+
+
+def test_robust_json_read_quarantines_malformed_lines(spark, tmp_path):
+    """Malformed JSONL lines must be captured (not dropped, not fatal)
+    and split into an auditable quarantine frame."""
+    from mindseye_dataframes_spark.sources.readers import (
+        read_json_robust,
+        quarantine_split,
+    )
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "v": "a"}\n'
+        "this is not json\n"
+        '{"id": 2, "v": "b"}\n'
+        '{"id": "NaN-ish", "v": 3}\n'  # wrong types -> corrupt under schema
+    )
+    df = read_json_robust(spark, str(p), "id long, v string")
+    good, bad = quarantine_split(df)
+    assert {(r.id, r.v) for r in good.collect()} == {(1, "a"), (2, "b")}
+    bad_lines = [r.raw_line for r in bad.collect()]
+    assert len(bad_lines) == 2 and "not json" in bad_lines[0]
+    assert "_corrupt_record" not in good.columns
