@@ -58,12 +58,6 @@ _loaded = False
 # recently verified first, so regression coverage rotates), and
 # oracle-less (rows-only) queries go last. Update these sets each
 # round from the latest CORRECTNESS file.
-PROVEN_R01_ONLY = {
-    # green in CORRECTNESS_r01.json only — two rounds stale, the
-    # highest-priority proven queries to rotate back into the window
-    "q61_token_count_bpe", "q62_winnow_fingerprints",
-    "q64_analytic_ranks", "q66_image_resize", "q77_dup_clusters",
-}
 PROVEN_R02 = {
     # green in CORRECTNESS_r02.json (50/50)
     "q01_pricing_summary", "q02_filter_project", "q03_staging_cast",
@@ -106,20 +100,53 @@ PROVEN_R03 = {
     "q94_distinctive_terms", "q95_price_histogram", "q96_latest_per_key",
     "q97_zorder_layout", "q98_gap_fill", "q99_merge_upsert",
 }
+PROVEN_R04 = {
+    # green in CORRECTNESS_r04.json (50/50) — includes the five former
+    # PROVEN_R01_ONLY queries and q01, all re-proven that round, so the
+    # R01-only set is retired
+    "q114_embedding_normalize", "q116_gopher_quality",
+    "q117_repetition_ratio", "q118_pmi_collocations",
+    "q119_vocab_oov_rate", "q120_simhash_hamming_pairs",
+    "q121_retention_cohorts", "q122_last_touch_attribution",
+    "q123_langid_confusion", "q124_stratified_exact_sample",
+    "q125_copurchase_degrees", "q126_triangle_count",
+    "q127_int8_quantize", "q129_salted_hot_agg", "q130_target_encoding",
+    "q131_group_split", "q132_association_rules",
+    "q133_conversion_latency", "q134_snapshot_diff",
+    "q135_quantile_binning", "q136_event_transitions",
+    "q137_balanced_resample", "q138_contribution_margins",
+    "q139_mom_growth", "q140_kmeans_clusters",
+    "q141_bloom_prefilter_join", "q142_ewma_smoothing",
+    "q143_pareto_frontier", "q144_table_fingerprint",
+    "q145_rolling_active_users", "q146_pagerank_fixed_point",
+    "q147_bpe_pair_counts", "q148_price_decile_lift",
+    "q149_session_paths", "q150_cross_source_dup_matrix",
+    "q151_shard_balance", "q152_gap_percentiles",
+    "q153_join_key_skew_profile", "q154_incremental_corpus_dedup",
+    "q155_cohort_ltv_curve", "q158_dedup_pipeline_end_to_end",
+    "q159_referential_integrity", "q160_mixture_token_plan",
+    "q161_interval_union", "q61_token_count_bpe",
+    "q62_winnow_fingerprints", "q64_analytic_ranks", "q66_image_resize",
+    "q77_dup_clusters", "q01_pricing_summary",
+}
+
+# Stalest-first staleness: a query's group is its LAST proven round
+# (newest membership wins), so re-verification coverage rotates.
+STALE_R02 = (PROVEN_R02 - PROVEN_R03) - PROVEN_R04
 
 
 def _order_key(item: tuple[str, Query]) -> tuple[int, str]:
     name, q = item
     if q.oracle is None:
-        group = 4  # rows-only checks last — never burn a window slot
+        group = 5  # rows-only checks last — never burn a window slot
+    elif name in PROVEN_R04:
+        group = 4  # freshest evidence: verify last
     elif name in PROVEN_R03:
-        group = 3  # freshest evidence: verify last
+        group = 3
     elif name in PROVEN_R02:
-        group = 2  # one round stale: fill the window behind the stale set
-    elif name in PROVEN_R01_ONLY:
-        group = 1  # stalest evidence: rotate back into the window
+        group = 2  # two rounds stale: the re-verification front
     else:
-        group = 0  # no green row yet (q114 + this round's new): claim a slot
+        group = 0  # no green row yet (this round's new): claim a slot
     return (group, name)
 
 

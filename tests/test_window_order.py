@@ -1,13 +1,16 @@
 """The driver checks only the FIRST 50 entries of queries() — the
 registry ordering IS the verification strategy (queries/__init__.py).
-These tests pin the round-4 window so a rotation mistake (stale
+These tests pin the round-5 window so a rotation mistake (stale
 queries pushed out, rows-only burning slots) fails loudly instead of
 silently shrinking coverage."""
 
 from __future__ import annotations
 
 from mindseye_dataframes_spark.queries import (
-    PROVEN_R01_ONLY,
+    PROVEN_R02,
+    PROVEN_R03,
+    PROVEN_R04,
+    STALE_R02,
     load_all,
 )
 
@@ -22,8 +25,9 @@ def test_unproven_and_stale_queries_fit_the_window():
         if q.oracle is not None and n not in window and _group(n, qs) == 0
     ]
     assert not unproven, f"unproven oracle queries outside the window: {unproven}"
-    # the r1-stale set must be inside the re-verification window
-    missing_stale = PROVEN_R01_ONLY - set(window)
+    # the stalest proven set (green in r2, never since) must be inside
+    # the re-verification window
+    missing_stale = STALE_R02 - set(window)
     assert not missing_stale, f"stale queries rotated out: {missing_stale}"
 
 
@@ -35,6 +39,27 @@ def test_rows_only_queries_never_burn_window_slots():
     )
     assert all(qs[n].oracle is None for n in names[first_rows_only:]), (
         "rows-only queries must sort after every oracle-bearing query"
+    )
+
+
+def test_proven_sets_cover_only_registered_oracle_queries():
+    qs = load_all()
+    proven = PROVEN_R02 | PROVEN_R03 | PROVEN_R04
+    unknown = proven - set(qs)
+    assert not unknown, f"proven sets name unregistered queries: {unknown}"
+    rows_only = {n for n in proven if qs[n].oracle is None}
+    assert not rows_only, f"proven sets contain oracle-less queries: {rows_only}"
+
+
+def test_window_is_exactly_unproven_plus_stalest():
+    qs = load_all()
+    window = set(list(qs)[:50])
+    # no slot may be wasted on a query proven more recently than r2
+    # while a staler or unproven one waits outside
+    outside = [n for n in qs if n not in window and _group(n, qs) <= 2]
+    wasted = [n for n in window if _group(n, qs) > 2]
+    assert not (outside and wasted), (
+        f"window wastes slots {wasted} while {outside} wait outside"
     )
 
 
