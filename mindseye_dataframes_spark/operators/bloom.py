@@ -73,6 +73,13 @@ def bloom_build(
 
     One hash-aggregate; output ≤ ``n_bits/64`` rows regardless of
     input size. Absent word_idx rows mean an all-zero word."""
+    if not 1 <= n_hashes <= len(_SEEDS):
+        raise ValueError(
+            f"n_hashes must be in [1, {len(_SEEDS)}] (one independent "
+            f"xxhash64 seed per probe), got {n_hashes}"
+        )
+    if n_bits < 64:
+        raise ValueError(f"n_bits must be >= 64 (one word), got {n_bits}")
     pos = _positions(F.col(key_col), n_bits, n_hashes)
     stacked = keys.select(
         F.explode(F.array(*pos)).alias("bit_pos")

@@ -336,25 +336,47 @@ def zip_frames(
         raise ValueError("one order_keys list per frame")
 
     if len(frames) > 1 and _common_source_keys(frames, order_keys):
-        joined = frames[0]
-        for df, keys in zip(frames[1:], order_keys[1:]):
-            cond = None
+        # with_row_index's relaxed contract admits NON-unique keys whose
+        # tied rows are payload-identical; a bare key equi-join would
+        # fan a t-row tie group out to t² rows, silently diverging from
+        # the generic path's t. A per-key-group row_number tie-breaker
+        # on every side restores exact cardinality (t payload-identical
+        # rows) and is plan-cheap: the window's hash exchange on the
+        # keys is a subset of the join's clustering, so EnsureRequirements
+        # adds no second shuffle — only the within-group sort.
+        def _with_tie(df: DataFrame, keys: list[str], tie: str) -> DataFrame:
+            w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+                *[F.col(k) for k in keys]
+            )
+            return df.withColumn(tie, F.row_number().over(w))
+
+        joined = _with_tie(frames[0], order_keys[0], "_zip_tie_0")
+        for i, (df, keys) in enumerate(zip(frames[1:], order_keys[1:]), start=1):
+            tie_i = f"_zip_tie_{i}"
+            df = _with_tie(df, keys, tie_i)
+            cond = joined["_zip_tie_0"] == df[tie_i]
             for k0, ki in zip(order_keys[0], keys):
-                c = joined[k0] == df[ki]
-                cond = c if cond is None else (cond & c)
-            joined = joined.join(df, cond, "inner")
+                cond = cond & (joined[k0] == df[ki])
+            joined = joined.join(df, cond, "inner").drop(df[tie_i])
         if index_col:
             idx = with_row_index(
                 frames[0].select(*order_keys[0]), order_keys[0], index_col
             )
-            cond = None
+            idx = idx.withColumn(
+                "_zip_tie_idx",
+                F.row_number().over(
+                    Window.partitionBy(
+                        *[F.col(k) for k in order_keys[0]]
+                    ).orderBy(index_col)
+                ),
+            )
+            cond = joined["_zip_tie_0"] == idx["_zip_tie_idx"]
             for k0 in order_keys[0]:
-                c = joined[k0] == idx[k0]
-                cond = c if cond is None else (cond & c)
-            joined = joined.join(idx, cond, "inner")
+                cond = cond & (joined[k0] == idx[k0])
+            joined = joined.join(idx, cond, "inner").drop(idx["_zip_tie_idx"])
             for k0 in order_keys[0]:
                 joined = joined.drop(idx[k0])
-        return joined
+        return joined.drop("_zip_tie_0")
 
     indexed = [
         with_row_index(df, keys, ROW_INDEX) for df, keys in zip(frames, order_keys)

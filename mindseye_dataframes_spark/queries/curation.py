@@ -113,7 +113,7 @@ def q76_profile_columns(spark, sf_dir):
       FROM tok),
     wts AS (
       SELECT source, actual_tokens,
-             r * 2000000 // (n * (n + 1)) AS weight_ppm
+             greatest(1, r * 2000000 // (n * (n + 1))) AS weight_ppm
       FROM ranked),
     budget AS (
       SELECT min(actual_tokens * 1000000 // weight_ppm) AS b FROM wts)
@@ -151,7 +151,11 @@ def q160_mixture_token_plan(spark, sf_dir):
     wts = ranked.select(
         "source",
         "actual_tokens",
-        F.expr("r * 2000000 DIV (n * (n + 1))").alias("weight_ppm"),
+        # greatest(1, …): rank-proportional ppm floors to 0 once
+        # n(n+1) > 2e6 (~1413 sources); a zero weight divides by zero
+        # downstream — NULL on Spark, an error on DuckDB — so clamp the
+        # underflow to 1 ppm identically on both engines
+        F.expr("greatest(1L, r * 2000000 DIV (n * (n + 1)))").alias("weight_ppm"),
     )
     budget = wts.agg(
         F.min(F.expr("actual_tokens * 1000000 DIV weight_ppm")).alias("b")

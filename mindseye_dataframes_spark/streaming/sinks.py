@@ -44,6 +44,37 @@ def latest_per_key(df: DataFrame, keys: list[str], order_cols: list[str]) -> Dat
     )
 
 
+def _recover_snapshot(target_dir: str) -> None:
+    """Heal the crash window of the rename pair in ``apply_batch``: a
+    death between ``rename(target, old)`` and ``rename(tmp, target)``
+    leaves the only complete snapshot stranded in ``.old-{id}``. If no
+    committed snapshot sits at ``target_dir``, restore the newest
+    complete ``.old-*``; then clear every leftover ``.old-*`` /
+    ``.tmp-*`` (the checkpoint replays the interrupted batch, so a
+    half-written tmp is scratch, never state)."""
+    parent = os.path.dirname(target_dir) or "."
+    base = os.path.basename(target_dir)
+    if not os.path.isdir(parent):
+        return
+    olds = sorted(
+        (d for d in os.listdir(parent) if d.startswith(base + ".old-")),
+        key=lambda d: int(d.rsplit("-", 1)[1]),
+    )
+    committed = os.path.exists(os.path.join(target_dir, "_SUCCESS"))
+    if not committed and olds:
+        newest = os.path.join(parent, olds[-1])
+        if os.path.exists(os.path.join(newest, "_SUCCESS")):
+            if os.path.exists(target_dir):
+                shutil.rmtree(target_dir)
+            os.rename(newest, target_dir)
+            olds = olds[:-1]
+    for d in olds:
+        shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+    for d in os.listdir(parent):
+        if d.startswith(base + ".tmp-"):
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+
+
 def upsert_stream(
     stream: DataFrame,
     target_dir: str,
@@ -70,6 +101,7 @@ def upsert_stream(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        _recover_snapshot(target_dir)
         latest = latest_per_key(batch_df, keys, order_cols)
         if os.path.exists(os.path.join(target_dir, "_SUCCESS")):
             base = spark.read.parquet(target_dir)

@@ -552,3 +552,72 @@ def test_zip_fusion_matches_generic_path(spark):
     assert not _common_source_keys(
         [qa, qb], [["l_orderkey", "l_linenumber"], ["price", "_bok", "_bln"]]
     )
+
+
+def test_zip_fusion_tied_keys_keep_generic_cardinality(spark):
+    """The relaxed with_row_index contract admits non-unique keys whose
+    tied rows are payload-identical (the q13 lesson). A bare key
+    equi-join in the fused path would fan a t-row tie group out to t²
+    rows; the per-group tie-breaker must keep it at t, matching the
+    generic per-frame-index path exactly (ADVICE r4, medium)."""
+    from mindseye_dataframes_spark.operators.zip_frames import (
+        _common_source_keys,
+        zip_frames,
+    )
+    from mindseye_dataframes_spark.sources.readers import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    # user_id repeats heavily; each frame carries ONLY the key, so tied
+    # rows are payload-identical — legal relaxed-contract input
+    a = ev.select("user_id")
+    b = ev.select(F.col("user_id").alias("_bid"))
+    keys = [["user_id"], ["_bid"]]
+    assert _common_source_keys([a, b], keys)
+
+    n = ev.count()
+    fused = zip_frames([a, b], keys)
+    assert fused.count() == n  # t per tie group, not t²
+
+    # multiset equality with the input (payload-identical ties make
+    # every permutation the same multiset)
+    got = sorted(r["user_id"] for r in fused.collect())
+    want = sorted(r["user_id"] for r in ev.select("user_id").collect())
+    assert got == want
+
+    # index attachment keeps the dense 0..n-1 index under ties too
+    with_idx = zip_frames([a, b], keys, index_col="rid")
+    assert with_idx.count() == n
+    rids = sorted(r["rid"] for r in with_idx.collect())
+    assert rids == list(range(n))
+
+
+def test_bloom_rejects_bad_geometry(spark):
+    """n_hashes beyond the independent-seed supply must fail loudly at
+    build time, not as an IndexError inside _positions (ADVICE r4)."""
+    import pytest as _pytest
+
+    from mindseye_dataframes_spark.operators.bloom import _SEEDS, bloom_build
+
+    keys = spark.range(10).withColumnRenamed("id", "k")
+    with _pytest.raises(ValueError, match="n_hashes"):
+        bloom_build(keys, "k", n_hashes=len(_SEEDS) + 1)
+    with _pytest.raises(ValueError, match="n_hashes"):
+        bloom_build(keys, "k", n_hashes=0)
+    with _pytest.raises(ValueError, match="n_bits"):
+        bloom_build(keys, "k", n_bits=32)
+
+
+def test_mixture_weight_ppm_never_underflows_to_zero(spark):
+    """q160's rank-proportional weight floors to 0 once n(n+1) > 2e6
+    (~1413 sources): weight_ppm=0 divides by zero downstream — NULL on
+    Spark, an error on DuckDB. The greatest(1, …) clamp must hold at
+    any source cardinality (ADVICE r4)."""
+    n = 2000
+    df = spark.range(1, n + 1).selectExpr(
+        "id AS r", f"CAST({n} AS BIGINT) AS n"
+    )
+    wts = df.selectExpr(
+        "greatest(1L, r * 2000000 DIV (n * (n + 1))) AS weight_ppm"
+    )
+    mn = wts.agg(F.min("weight_ppm").alias("m")).collect()[0]["m"]
+    assert mn >= 1

@@ -262,3 +262,66 @@ def test_upsert_sink_checkpoint_makes_rerun_a_noop(spark, tmp_path_factory):
     run_once()  # same checkpoint: no new files -> no batches -> no rewrite
     second = sorted(tuple(r) for r in spark.read.parquet(target).collect())
     assert first == second and first
+
+
+def test_upsert_sink_recovers_stranded_snapshot(spark, tmp_path_factory):
+    """Crash window of the rename pair (ADVICE r4): death between
+    rename(target, .old) and rename(.tmp, target) leaves the only
+    complete snapshot stranded in .old-{id}. The next batch must
+    restore it — not silently rebuild state from a single micro-batch
+    — and clear the scratch dirs."""
+    import os
+    import shutil
+
+    from mindseye_dataframes_spark.streaming.sinks import (
+        _recover_snapshot,
+        upsert_stream,
+    )
+
+    src = str(tmp_path_factory.mktemp("rec_src"))
+    outdir = str(tmp_path_factory.mktemp("rec_out"))
+    target = outdir + "/snapshot"
+    ckpt = str(tmp_path_factory.mktemp("rec_ckpt"))
+    events = load_table(spark, "/root/testdata/sf0.001", "events").limit(400)
+    events.write.mode("overwrite").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(
+                "event_id long, ts timestamp, user_id long, event_type string, "
+                "value double, props string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+        )
+        q = upsert_stream(
+            stream, target, keys=["user_id"], order_cols=["ts", "event_id"],
+            checkpoint_dir=ckpt,
+        ).start()
+        q.awaitTermination(120)
+
+    run_once()
+    want = sorted(tuple(r) for r in spark.read.parquet(target).collect())
+    assert want
+
+    # simulate the mid-rename crash: snapshot stranded in .old-7, a
+    # half-written tmp left behind, target gone
+    os.rename(target, target + ".old-7")
+    os.makedirs(target + ".tmp-8")
+    with open(target + ".tmp-8/part-00000.parquet", "w") as fh:
+        fh.write("partial")
+
+    _recover_snapshot(target)
+    got = sorted(tuple(r) for r in spark.read.parquet(target).collect())
+    assert got == want
+    leftovers = [d for d in os.listdir(outdir) if d != "snapshot"]
+    assert not leftovers, f"scratch dirs not cleared: {leftovers}"
+
+    # an .old WITHOUT _SUCCESS (crashed before the old snapshot was
+    # ever complete) must not be promoted
+    os.rename(target, target + ".old-9")
+    os.remove(target + ".old-9/_SUCCESS")
+    _recover_snapshot(target)
+    assert not os.path.exists(target)
+    shutil.rmtree(target + ".old-9", ignore_errors=True)
