@@ -44,7 +44,10 @@ from pyspark.sql import types as T
 
 from mindseye_dataframes_spark.featurize.context import ModelContext
 from mindseye_dataframes_spark.featurize.layers import Network
-from mindseye_dataframes_spark.featurize.strategy import ModelingStrategy
+from mindseye_dataframes_spark.featurize.strategy import (
+    ModelingStrategy,
+    PathBucketedOverlay,
+)
 from mindseye_dataframes_spark.functions.exact import dec
 from mindseye_dataframes_spark.functions.hashing import seeded_unit_rms_tensor  # noqa: F401 (re-exported for strategies)
 
@@ -82,6 +85,11 @@ def _render_values(col: pd.Series, dtype: str) -> list:
     return out
 
 
+class DictionaryOverflowError(RuntimeError):
+    """A categorical path's distinct-value dictionary exceeds the
+    configured driver cap and on_dictionary_overflow='error'."""
+
+
 class DataframeModeler:
     """Facade mirroring `DataframeModeler.scala:48-50`."""
 
@@ -90,10 +98,27 @@ class DataframeModeler:
         strategy: ModelingStrategy,
         context: ModelContext | None = None,
         root: str = "",
+        max_dictionary_keys: int = 100_000,
+        on_dictionary_overflow: str = "auto_bucket",
+        overflow_buckets: int = 1 << 16,
     ):
+        if on_dictionary_overflow not in ("auto_bucket", "error"):
+            raise ValueError(
+                "on_dictionary_overflow must be 'auto_bucket' or 'error', "
+                f"got {on_dictionary_overflow!r}"
+            )
         self.strategy = strategy
         self.context = context or ModelContext()
         self.root = root
+        # Guard for the init_keys dictionary collect (the reference
+        # collects distinct values unconditionally,
+        # `DataframeModeler.scala:163-178` — a driver OOM at 100 TB
+        # cardinalities). Above the cap, the offending paths either
+        # auto-switch to hashed-bucket embeddings (PathBucketedOverlay)
+        # or raise DictionaryOverflowError, per on_dictionary_overflow.
+        self.max_dictionary_keys = max_dictionary_keys
+        self.on_dictionary_overflow = on_dictionary_overflow
+        self.overflow_buckets = overflow_buckets
         # broadcasts created by eval_to_dataframe stay alive while the
         # (lazy) result DataFrame is unconsumed; they are released on
         # the next call or via release_broadcasts() (unpersist, not
@@ -171,6 +196,37 @@ class DataframeModeler:
                 for ch in discover
             ]
             keys = _reduce(lambda a, b: a.unionAll(b), key_frames).distinct()
+            if self.max_dictionary_keys is not None:
+                # cardinality probe BEFORE any row collect: O(paths)
+                # rows to the driver, never values. Paths over the cap
+                # auto-bucket (hashing trick) or error; only the
+                # survivors' values are ever materialized.
+                per_path = {
+                    r["path"]: r["c"]
+                    for r in keys.groupBy("path")
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .collect()
+                }
+                over = sorted(
+                    p
+                    for p, c in per_path.items()
+                    if c > self.max_dictionary_keys
+                )
+                if over:
+                    if self.on_dictionary_overflow == "error":
+                        raise DictionaryOverflowError(
+                            f"distinct-value dictionaries for {over} exceed "
+                            f"max_dictionary_keys={self.max_dictionary_keys} "
+                            f"(counts: {[per_path[p] for p in over]}); use "
+                            "HashedBucketStrategy, raise the cap, or set "
+                            "on_dictionary_overflow='auto_bucket'"
+                        )
+                    self.strategy = PathBucketedOverlay(
+                        self.strategy, over, n_buckets=self.overflow_buckets
+                    )
+                    for p in over:
+                        discovered_keys.extend(self.strategy.enumerate_keys(p))
+                    keys = keys.filter(~F.col("path").isin(*over))
             discovered_keys.extend(
                 self.strategy.key_for(path, value)
                 for path, value in sorted(

@@ -66,6 +66,48 @@ class HashedBucketStrategy(ModelingStrategy):
         return [f"{path}#bucket={b}" for b in range(self.n_buckets)]
 
 
+class PathBucketedOverlay(ModelingStrategy):
+    """Per-path hashing-trick overlay: delegate to ``base`` everywhere
+    except the paths in ``bucketed_paths``, whose values hash into
+    ``n_buckets`` shared embeddings (same key scheme as
+    HashedBucketStrategy). This is what ``DataframeModeler.init_keys``
+    auto-switches to when a discovered dictionary exceeds its driver
+    cap — only the offending paths lose per-value identity; every
+    other path keeps the base strategy's behavior."""
+
+    def __init__(self, base: ModelingStrategy, bucketed_paths, n_buckets: int = 1 << 16):
+        super().__init__(
+            default_size=base.default_size, mapping_power=base.mapping_power
+        )
+        self.base = base
+        self.bucketed_paths = frozenset(bucketed_paths)
+        self._hashed = HashedBucketStrategy(
+            n_buckets=n_buckets,
+            default_size=base.default_size,
+            mapping_power=base.mapping_power,
+        )
+        self.n_buckets = n_buckets
+
+    def size(self, path: str) -> int:
+        return self.base.size(path)
+
+    def key_for(self, path: str, value: str) -> str:
+        if path in self.bucketed_paths:
+            return self._hashed.key_for(path, value)
+        return self.base.key_for(path, value)
+
+    def enumerate_keys(self, path: str) -> list[str] | None:
+        if path in self.bucketed_paths:
+            return self._hashed.enumerate_keys(path)
+        return self.base.enumerate_keys(path)
+
+    def initial_representation(self, key: str) -> np.ndarray:
+        return self.base.initial_representation(key)
+
+    def is_frozen(self, key: str) -> bool:
+        return self.base.is_frozen(key)
+
+
 class CategorizingStrategy(ModelingStrategy):
     """One-hot target encoding: for keys ``<label_path>=k`` emit a
     frozen tensor of length ``categories`` with 1.0 at index k-1
