@@ -122,14 +122,19 @@ def _sample_boundaries(
 def _compute_boundaries(
     df: DataFrame, order_keys: list[str], parts: int
 ) -> list[tuple]:
-    n = df.select(*order_keys).count()
-    if n == 0 or parts <= 1:
+    if parts <= 1:
         return []
-    target = parts * 40
-    thr = builtins.min(1_000_000, builtins.max(1, (target * 1_000_000) // n))
+    # Bottom-k sketch: the keys of the k smallest hash values are a
+    # uniform without-replacement sample of exactly min(k, n) rows —
+    # no count job to calibrate a sampling rate, so boundary
+    # derivation is ONE keys-only TakeOrderedAndProject over the
+    # pruned scan (was count + filtered collect, two driver jobs;
+    # VERDICT r4 item 3). Ties on the hash break by the key itself,
+    # keeping the sample deterministic at the k-th boundary.
+    k = parts * 40
     h = F.conv(
         F.substring(
-            F.md5(F.concat_ws("\x1f", *[F.col(k).cast("string") for k in order_keys])),
+            F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in order_keys])),
             1,
             8,
         ),
@@ -137,8 +142,11 @@ def _compute_boundaries(
         10,
     ).cast("long")
     sample = [
-        tuple(r)
-        for r in df.select(*order_keys).filter(h % 1_000_000 < thr).collect()
+        tuple(r)[1:]
+        for r in df.select(h.alias("_zip_h"), *order_keys)
+        .orderBy("_zip_h", *order_keys)
+        .limit(k)
+        .collect()
     ]
     if not sample:
         return []
