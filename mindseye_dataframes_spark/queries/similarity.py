@@ -292,3 +292,72 @@ def q157_pq_ann_topk(spark, sf_dir):
     return pq_topk(
         queries, corpus, "q_id", "q_vec", "c_id", "c_vec", dim=64, k=10, m=32
     ).orderBy("q_id", "rank")
+
+
+@query(
+    "q162_pq_recall",
+    oracle="""
+    SELECT CAST(10 AS INT) AS k,
+           CAST(10 AS BIGINT) AS n_queries,
+           CAST(true AS BOOLEAN) AS recall_ok
+    """,
+    tags=("vector", "ann", "pq", "quality"),
+)
+def q162_pq_recall(spark, sf_dir):
+    """ANN quality as a driver-visible row (VERDICT r4 item 4): the
+    recall@10 of q157's PQ top-10 against the EXACT distributed L2
+    top-10 over the same query/corpus split, reduced to a boolean gate
+    (avg recall ≥ 0.5, the bound tests/test_sketches.py pins at both
+    SFs — measured 0.62-0.65). The recall computation itself is not
+    SQL-expressible (Lloyd codebooks), so the oracle is the constant
+    the gate must produce; a PQ quality regression flips recall_ok and
+    the driver row goes red, exactly like a correctness failure.
+
+    The exact baseline is q35-shaped: broadcast the 10 queries, scan
+    the corpus once unshuffled, L2² per pair via a JVM fold, per-query
+    WindowGroupLimit top-10 — no collect of row data anywhere."""
+    from mindseye_dataframes_spark.operators.pq import pq_topk
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    k = 10
+
+    pq = pq_topk(
+        queries, corpus, "q_id", "q_vec", "c_id", "c_vec", dim=64, k=k, m=32
+    ).select("q_id", "c_id")
+
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("q_vec"),
+            F.col("c_vec"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.round(d2, 9).asc(), F.col("c_id"))
+    exact = (
+        corpus.crossJoin(F.broadcast(queries))
+        .withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .select("q_id", "c_id")
+    )
+
+    hits = exact.join(pq, ["q_id", "c_id"], "inner").groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("_hits")
+    )
+    per_query = exact.select("q_id").distinct().join(hits, "q_id", "left").select(
+        "q_id", (F.coalesce(F.col("_hits"), F.lit(0)) / F.lit(k)).alias("_recall")
+    )
+    return per_query.agg(
+        F.lit(k).alias("k"),
+        F.count(F.lit(1)).alias("n_queries"),
+        (F.avg("_recall") >= F.lit(0.5)).alias("recall_ok"),
+    )
