@@ -73,7 +73,11 @@ def compact(
     untouched = routed.filter(F.col("merge_group").isNull())
     data_cols = [c for c in df.columns if c != "_file"]
 
+    # metadata-sized decisions: which sides have any files at all
+    # (writing an empty side would still emit an empty part file,
+    # re-fragmenting the very table being compacted)
     n_groups = merged.select("merge_group").distinct().count()
+    has_untouched = plan.filter(F.col("merge_group").isNull()).limit(1).count() > 0
     if n_groups:
         (
             merged.repartition(n_groups, "merge_group")
@@ -81,7 +85,8 @@ def compact(
             .write.mode("overwrite")
             .parquet(out_path)
         )
-        untouched.select(*data_cols).write.mode("append").parquet(out_path)
+        if has_untouched:
+            untouched.select(*data_cols).write.mode("append").parquet(out_path)
     else:
         untouched.select(*data_cols).write.mode("overwrite").parquet(out_path)
 

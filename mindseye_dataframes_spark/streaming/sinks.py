@@ -57,7 +57,13 @@ def _recover_snapshot(target_dir: str) -> None:
     if not os.path.isdir(parent):
         return
     olds = sorted(
-        (d for d in os.listdir(parent) if d.startswith(base + ".old-")),
+        (
+            d
+            for d in os.listdir(parent)
+            if d.startswith(base + ".old-")
+            and d.rsplit("-", 1)[1].isdigit()  # ours carry a batch id;
+            # anything else is a foreign dir — never promote or delete it
+        ),
         key=lambda d: int(d.rsplit("-", 1)[1]),
     )
     committed = os.path.exists(os.path.join(target_dir, "_SUCCESS"))

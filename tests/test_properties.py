@@ -621,3 +621,69 @@ def test_mixture_weight_ppm_never_underflows_to_zero(spark):
     )
     mn = wts.agg(F.min("weight_ppm").alias("m")).collect()[0]["m"]
     assert mn >= 1
+
+
+class _NoJdf:
+    """Proxy simulating a Spark Connect DataFrame: every attribute
+    delegates to the wrapped classic DataFrame EXCEPT ``_jdf``, which
+    raises like Connect's py4j-free client does."""
+
+    def __init__(self, df):
+        object.__setattr__(self, "_df", df)
+
+    def __getattr__(self, name):
+        if name == "_jdf":
+            raise AttributeError("'DataFrame' object has no attribute '_jdf'")
+        return getattr(object.__getattribute__(self, "_df"), name)
+
+
+def test_connect_degradation_falls_back_gracefully(spark):
+    """VERDICT r4 item 5: without py4j internals (`_jdf`), the zip
+    operators must degrade to their conservative paths — persisted
+    range index, no common-source fusion, no boundary caching — and
+    still produce correct results. The except arms at
+    zip_frames._rescan_cheap / _sample_boundaries / _common_source_keys
+    are the code under test."""
+    import importlib
+
+    zf = importlib.import_module(
+        "mindseye_dataframes_spark.operators.zip_frames"
+    )
+    from mindseye_dataframes_spark.sources.readers import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    a = ev.select("event_id", "event_type")
+    b = ev.select(F.col("value").alias("val"), F.col("event_id").alias("_bid"))
+    pa, pb = _NoJdf(a), _NoJdf(b)
+
+    # plan introspection unavailable -> conservative answers
+    assert not zf._rescan_cheap(pa)
+    assert not zf._common_source_keys([pa, pb], [["event_id"], ["_bid"]])
+    # (the real frames DO fuse — the proxy is what disables it)
+    assert zf._common_source_keys([a, b], [["event_id"], ["_bid"]])
+
+    # boundary sampling still works, just uncached
+    before = dict(zf._BOUNDS_CACHE)
+    bounds_proxy = zf._sample_boundaries(pa, ["event_id"], 8)
+    assert zf._BOUNDS_CACHE == before  # no cache key without _jdf
+    bounds_real = zf._compute_boundaries(a, ["event_id"], 8)
+    assert bounds_proxy == bounds_real
+
+    # with_row_index end-to-end: auto-detect must pick the
+    # persisted-range path and the index must still be dense + ordered
+    out = zf.with_row_index(pa, ["event_id"], index_col="rid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan  # persisted snapshot, not rescan
+    rows = out.select("event_id", "rid").collect()
+    n = ev.count()
+    assert sorted(r["rid"] for r in rows) == list(range(n))
+    by_order = sorted(rows, key=lambda r: r["event_id"])
+    assert [r["rid"] for r in by_order] == list(range(n))
+
+    # zip via proxies: generic per-frame-index path, same rows as the
+    # fused path over the real frames
+    fused = zf.zip_frames([a, b], [["event_id"], ["_bid"]])
+    generic = zf.zip_frames([pa, pb], [["event_id"], ["_bid"]])
+    f_rows = {tuple(r) for r in fused.select("event_id", "event_type", "val").collect()}
+    g_rows = {tuple(r) for r in generic.select("event_id", "event_type", "val").collect()}
+    assert f_rows == g_rows and f_rows
