@@ -152,7 +152,7 @@ def _order_key(item: tuple[str, Query]) -> tuple[int, str]:
 
 def load_all() -> dict[str, Query]:
     """Import every query module (idempotent) and return the registry
-    ordered for the driver's verification window (see PROVEN_GREEN)."""
+    ordered for the driver's verification window (see _order_key)."""
     global _loaded
     if not _loaded:
         for mod in _MODULES:
