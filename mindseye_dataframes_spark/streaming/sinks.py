@@ -77,7 +77,7 @@ def _recover_snapshot(target_dir: str) -> None:
     for d in olds:
         shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
     for d in os.listdir(parent):
-        if d.startswith(base + ".tmp-"):
+        if d.startswith(base + ".tmp-") and d.rsplit("-", 1)[1].isdigit():
             shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
 
 
