@@ -70,10 +70,14 @@ def kmeans_fit_assign(
     vec_col: str,
     k: int = 8,
     iters: int = 2,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Run ``iters`` Lloyd iterations and return the final assignment
-    ``(id_col, _cell)``. Centroid recomputation is exact-integer-micros
-    means (order-independent); each round's driver traffic is O(k·d)."""
+    ``(id_col, *keep, _cell)``. Centroid recomputation is exact-integer-
+    micros means (order-independent); each round's driver traffic is
+    O(k·d). ``keep`` carries extra columns (e.g. the vector itself for
+    a within-cluster pass) through the final narrow map — cheaper than
+    re-joining the assignment back to the source at scale."""
     from mindseye_dataframes_spark.operators.similarity import ivf_centroids
 
     cents = ivf_centroids(df, id_col, vec_col, k)
@@ -104,4 +108,4 @@ def kmeans_fit_assign(
         cents = sorted(
             (cell, [dims[i] for i in sorted(dims)]) for cell, dims in by_cell.items()
         )
-    return _assign(df, vec_col, cents).select(id_col, "_cell")
+    return _assign(df, vec_col, cents).select(id_col, *keep, "_cell")

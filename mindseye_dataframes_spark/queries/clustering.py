@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from mindseye_dataframes_spark.functions.vectors import cosine_ranked
 from mindseye_dataframes_spark.queries.registry import query
 from mindseye_dataframes_spark.sources.readers import load_table
 
@@ -29,7 +30,11 @@ _L2 = (
 )
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_ctes() -> str:
+    """Shared CTE prefix replaying both Lloyd iterations; ends with
+    ``a2(vec_id, v, cell)`` — the final assignment with the vector
+    kept so downstream oracles (q163's within-cluster pass) can reuse
+    it verbatim."""
     d1 = _L2.format(x="e.v", c="c.v")
     d2 = _L2.format(x="e.v", c="c2.v")
     return f"""
@@ -55,16 +60,23 @@ def _kmeans_oracle() -> str:
                CAST(sum(x6) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0 AS mu
         FROM x GROUP BY cell, dim) GROUP BY cell),
     a2 AS (
-      SELECT vec_id, cell FROM (
-        SELECT e.vec_id, c2.cell,
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c2.cell,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY {d2}, c2.cell) AS rn
-        FROM e CROSS JOIN c2) WHERE rn = 1)
+        FROM e CROSS JOIN c2) WHERE rn = 1)"""
+
+
+def _kmeans_oracle() -> str:
+    return (
+        _kmeans_ctes()
+        + """
     SELECT CAST(cell AS BIGINT) AS cluster_id,
            CAST(count(*) AS BIGINT) AS n_members,
            min(vec_id) AS min_vec, max(vec_id) AS max_vec
     FROM a2 GROUP BY cell ORDER BY cluster_id
     """
+    )
 
 
 @query(
@@ -83,6 +95,92 @@ def q140_kmeans_clusters(spark, sf_dir):
             F.count(F.lit(1)).alias("n_members"),
             F.min("vec_id").alias("min_vec"),
             F.max("vec_id").alias("max_vec"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+_SEMDEDUP_TAU = 0.4
+
+
+def _semdedup_oracle() -> str:
+    return (
+        _kmeans_ctes()
+        + f""",
+    dropped AS (
+      SELECT DISTINCT b.vec_id, b.cell
+      FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 9) >= {_SEMDEDUP_TAU}),
+    drops AS (
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_dropped,
+             min(vec_id) AS min_dropped
+      FROM dropped GROUP BY cell)
+    SELECT CAST(a2.cell AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           COALESCE(any_value(d.n_dropped), 0) AS n_dropped,
+           any_value(d.min_dropped) AS min_dropped
+    FROM a2 LEFT JOIN drops d ON a2.cell = d.cell
+    GROUP BY a2.cell ORDER BY cluster_id
+    """
+    )
+
+
+@query(
+    "q163_semdedup",
+    oracle=_semdedup_oracle(),
+    tags=("dedup", "vector", "clustering", "north-star"),
+)
+def q163_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication = k-means over embeddings, then pairwise cosine ONLY
+    within each cluster; a row is a duplicate when a lower-id member of
+    its cluster is ≥ τ similar (the deterministic greedy keep-lowest
+    rule). Reuses q140's engine-exact two-iteration Lloyd assignment —
+    the oracle replays clustering AND dedup bit-for-bit.
+
+    Scale shape: the cluster assignment is a narrow map (centroids are
+    literals — no shuffle, and the vector rides along instead of being
+    re-joined); the quadratic pass is confined to single clusters via
+    one self-equi-join on cell id, which is the entire point of
+    SemDeDup — k grows with the corpus so cluster sizes stay bounded,
+    and the all-pairs cost is Σ|cluster|² not N². Per-cluster stats
+    aggregate map-side before the final O(k)-row sort."""
+    from mindseye_dataframes_spark.operators.clustering import kmeans_fit_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = kmeans_fit_assign(
+        emb, "vec_id", "embedding", k=_K, iters=2, keep=("embedding",)
+    )
+    a = m.select(
+        F.col("_cell").alias("cell"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = m.select(
+        F.col("_cell").alias("cell"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_ranked("va", "vb") >= _SEMDEDUP_TAU)
+        .select("cell", F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    drops = dropped.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_dropped"),
+        F.min("vec_id").alias("min_dropped"),
+    )
+    return (
+        m.groupBy(F.col("_cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .join(drops, "cell", "left")
+        .select(
+            F.col("cell").cast("long").alias("cluster_id"),
+            "n_members",
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            "min_dropped",
         )
         .orderBy("cluster_id")
     )

@@ -462,3 +462,88 @@ def q147_bpe_pair_counts(spark, sf_dir):
         .orderBy(F.desc("n"), "pair")
         .limit(30)
     )
+
+
+@query(
+    "q165_source_divergence",
+    oracle="""
+    WITH w AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+    cs AS (
+      SELECT source, word, CAST(count(*) AS BIGINT) AS c_ws
+      FROM w GROUP BY source, word),
+    ts AS (SELECT source, sum(c_ws) AS t_s FROM cs GROUP BY source),
+    cw AS (SELECT word, sum(c_ws) AS c_w FROM cs GROUP BY word),
+    tot AS (SELECT sum(c_ws) AS t FROM cs),
+    present AS (
+      SELECT cs.source,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             sum(abs(cs.c_ws * tot.t - cw.c_w * ts.t_s)) AS present_abs,
+             sum(cw.c_w) AS present_mass
+      FROM cs JOIN cw USING (word) JOIN ts ON cs.source = ts.source
+              CROSS JOIN tot
+      GROUP BY cs.source)
+    SELECT p.source AS source,
+           CAST(ts.t_s AS BIGINT) AS n_tokens,
+           p.n_distinct,
+           CAST((p.present_abs + ts.t_s * (tot.t - p.present_mass)) * 1000000
+             // (2 * ts.t_s * tot.t) AS BIGINT) AS tvd_ppm
+    FROM present p JOIN ts ON p.source = ts.source CROSS JOIN tot
+    ORDER BY p.source
+    """,
+    tags=("text", "curation", "mixture", "north-star"),
+)
+def q165_source_divergence(spark, sf_dir):
+    """Per-source distributional drift: total variation distance
+    between each source's unigram distribution and the whole corpus —
+    the screening stat a mixture designer reads before re-weighting
+    (a source with high TVD is stylistically far from the pool; a
+    near-zero one is redundant). TVD instead of KL is deliberate:
+    with p = c_ws/t_s and q = c_w/t, every |p − q| term is the exact
+    rational |c_ws·t − c_w·t_s| / (t_s·t), so the whole statistic is
+    overflow-checked BIGINT arithmetic — no libm ``ln`` whose final
+    ulp differs across engines (the q118 lesson).
+
+    The vocabulary absent from a source still carries mass (p = 0,
+    |0 − q| = q), but that tail folds analytically:
+    Σ_{w∉s} c_w·t_s = t_s·(t − Σ_{w∈s} c_w) — so the plan never
+    builds the source × vocab cross product. Shape at 100 TB: one
+    (source, word) hash-aggregate (map-side combine eats almost all
+    of it), two roll-ups of that, one equi-join back on word, and a
+    1-row broadcast total; everything after the first aggregate is
+    |vocab| + |sources| rows."""
+    words = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    cs = words.groupBy("source", "word").agg(
+        F.count(F.lit(1)).alias("c_ws")
+    )
+    ts = cs.groupBy("source").agg(F.sum("c_ws").alias("t_s"))
+    cw = cs.groupBy("word").agg(F.sum("c_ws").alias("c_w"))
+    tot = cs.agg(F.sum("c_ws").alias("t"))
+    present = (
+        cs.join(cw, "word")
+        .join(ts, "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.abs(F.col("c_ws") * F.col("t") - F.col("c_w") * F.col("t_s")))
+            .alias("present_abs"),
+            F.sum("c_w").alias("present_mass"),
+        )
+    )
+    return (
+        present.join(ts, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("t_s").alias("n_tokens"),
+            "n_distinct",
+            F.expr(
+                "(present_abs + t_s * (t - present_mass)) * 1000000"
+                " DIV (2 * t_s * t)"
+            ).alias("tvd_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -173,3 +173,151 @@ def q160_mixture_token_plan(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+_TOPP_PCT = 80  # keep the top-p quality mass per language
+
+
+@query(
+    "q164_topp_quality_curation",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS score
+      FROM documents),
+    ranked AS (
+      SELECT lang, score,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY score DESC, doc_id) AS rnk,
+             sum(score) OVER (PARTITION BY lang
+                              ORDER BY score DESC, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(score) OVER (PARTITION BY lang) AS total
+      FROM scored)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rnk = 1 OR cum * 100 <= total * {_TOPP_PCT}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rnk = 1 OR cum * 100 <= total * {_TOPP_PCT}
+                         THEN score ELSE 0 END) AS BIGINT) AS kept_score,
+           CAST(max(total) AS BIGINT) AS total_score
+    FROM ranked GROUP BY lang ORDER BY lang
+    """,
+    tags=("curation", "quality", "north-star"),
+)
+def q164_topp_quality_curation(spark, sf_dir):
+    """Nucleus (top-p) curation: per language, keep the highest-quality
+    documents until they account for p% of the total quality mass —
+    the budgeted analog of a fixed score threshold (a fixed threshold
+    keeps unpredictable volume as the crawl mix drifts; top-p keeps a
+    predictable share). Quality here is the lexical-richness proxy
+    |distinct words| — an exact BIGINT, so the cumulative-mass cutoff
+    is integer arithmetic and bit-identical on every engine.
+
+    Scale: one narrow map computes scores at the scan (no text leaves
+    the executor), one hash-shuffle by lang for the window, and the
+    final rollup aggregates map-side to |langs| rows. Skewed languages
+    are real at 100 TB (en dominates) — the same pattern then runs per
+    (lang, shard-of-source) with a second rollup, which q129's salted
+    aggregation already demonstrates."""
+    scored = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("score"),
+    )
+    order = [F.col("score").desc(), F.col("doc_id")]
+    wlang = Window.partitionBy("lang")
+    ranked = scored.select(
+        "lang",
+        "score",
+        F.row_number().over(wlang.orderBy(*order)).alias("rnk"),
+        F.sum("score")
+        .over(wlang.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("score").over(wlang).alias("total"),
+    )
+    kept = (F.col("rnk") == 1) | (
+        F.col("cum") * 100 <= F.col("total") * _TOPP_PCT
+    )
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("score")).otherwise(0)).alias("kept_score"),
+            F.max("total").alias("total_score"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q166_temperature_mixture",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS actual_tokens
+      FROM documents GROUP BY source),
+    s AS (
+      SELECT source, actual_tokens,
+             CAST(round(sqrt(CAST(actual_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+               AS s6
+      FROM tok),
+    t AS (SELECT CAST(sum(s6) AS BIGINT) AS tot6,
+                 CAST(sum(actual_tokens) AS BIGINT) AS tot_tokens FROM s)
+    SELECT source, actual_tokens,
+           CAST(s6 * 1000000 // tot6 AS BIGINT) AS weight_ppm,
+           CAST(actual_tokens * 1000000 // tot_tokens AS BIGINT) AS natural_ppm,
+           CAST((s6 * 1000000 // tot6) * 1000000
+             // greatest(actual_tokens * 1000000 // tot_tokens, 1) AS BIGINT)
+             AS boost_ppm
+    FROM s CROSS JOIN t
+    ORDER BY source
+    """,
+    tags=("curation", "mixture", "north-star"),
+)
+def q166_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled sampling weights (the multilingual-corpus
+    rebalancing rule of Conneau & Lample 2019: w_s ∝ p_s^α, here
+    α = 0.5): up-weights small sources relative to their natural share
+    so the mixture isn't dominated by the largest crawl. sqrt is
+    IEEE-correctly-rounded on every engine, and each sqrt is quantized
+    to BIGINT micros BEFORE the normalizing sum, so the total — and
+    every derived ppm — is exact integer arithmetic: the published
+    mixture weights are bit-identical regardless of engine, partition
+    order, or parallelism (a double-precision Σ√t_s would not be).
+    boost_ppm = weight/natural share, the oversampling factor each
+    source's shards get in the training dataloader.
+
+    Scale: one token-count aggregate over the corpus; everything after
+    runs on |sources| rows against a broadcast 1-row total."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("actual_tokens"))
+    )
+    s = tok.select(
+        "source",
+        "actual_tokens",
+        F.round(F.sqrt(F.col("actual_tokens").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("s6"),
+    )
+    t = s.agg(
+        F.sum("s6").alias("tot6"), F.sum("actual_tokens").alias("tot_tokens")
+    )
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "actual_tokens",
+            F.expr("s6 * 1000000 DIV tot6").alias("weight_ppm"),
+            F.expr("actual_tokens * 1000000 DIV tot_tokens").alias("natural_ppm"),
+            F.expr(
+                "(s6 * 1000000 DIV tot6) * 1000000"
+                " DIV greatest(actual_tokens * 1000000 DIV tot_tokens, 1L)"
+            ).alias("boost_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -604,3 +604,29 @@ def test_round4e_queries_plan_shapes(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q159_referential_integrity")
     _assert_no_blowup(plan)
     assert plan.count("BroadcastHashJoin") >= 4  # all parents but orders
+
+
+def test_round5_queries_plan_shapes(spark, sf_dir):
+    """Guardrails for q163-q166 (round 5).
+
+    q163 SemDeDup: the quadratic pass must be confined to clusters —
+    an equi-join on cell id, never a cartesian over the corpus; the
+    centroid assignment is literal expressions, so no extra join for
+    it either. q164/q165/q166: hash shapes only, totals as 1-row
+    broadcasts (BroadcastNestedLoopJoin is legal ONLY for those
+    1-row crossJoin totals, so assert the hash join is present
+    rather than blanket-banning BNLJ)."""
+    plan = plan_of(spark, sf_dir, "q163_semdedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(cell" in plan or "BroadcastHashJoin" in plan
+
+    plan = plan_of(spark, sf_dir, "q164_topp_quality_curation")
+    assert "Join" not in plan  # score → window → rollup, no joins at all
+    _assert_no_blowup(plan)
+
+    # q165/q166 cross-join a 1-row totals frame (broadcast by
+    # construction); everything else must stay hash-shaped
+    for name in ("q165_source_divergence", "q166_temperature_mixture"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
