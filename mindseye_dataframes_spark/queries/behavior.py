@@ -315,3 +315,91 @@ def q155_cohort_ltv_curve(spark, sf_dir):
         "week_offset",
         F.sum("rev_cents").over(w).alias("cum_rev_cents"),
     ).orderBy("cohort_week", "week_offset")
+
+
+@query(
+    "q168_distribution_drift",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, epoch_us(ts) AS us FROM events),
+    bounds AS (
+      SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+    counts AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN us <  mid THEN 1 ELSE 0 END) AS BIGINT) AS a_n,
+             CAST(sum(CASE WHEN us >= mid THEN 1 ELSE 0 END) AS BIGINT) AS b_n
+      FROM ev CROSS JOIN bounds GROUP BY event_type),
+    tot AS (
+      SELECT CAST(sum(a_n) AS BIGINT) AS a_tot,
+             CAST(sum(b_n) AS BIGINT) AS b_tot FROM counts)
+    SELECT event_type, a_n, b_n,
+           CAST(round(
+             (CAST(a_n * b_tot - b_n * a_tot AS DOUBLE)
+              * CAST(a_n * b_tot - b_n * a_tot AS DOUBLE))
+             / (CAST(a_tot AS DOUBLE) * CAST(b_tot AS DOUBLE)
+                * CAST(a_n + b_n AS DOUBLE)) * 1000000) AS BIGINT)
+             AS chi2_micros
+    FROM counts CROSS JOIN tot
+    ORDER BY event_type
+    """,
+    tags=("behavior", "drift", "north-star"),
+)
+def q168_distribution_drift(spark, sf_dir):
+    """Category-distribution drift between the first and second half
+    of the event stream — the monitoring check that catches a logging
+    change or behavior shift before it contaminates training data.
+    Per event type, the two-sample chi-square contribution
+    (a·B − b·A)² / (A·B·(a+b)), where A/B are window totals.
+
+    Engine-exactness: the half-split boundary is integer epoch-micros
+    midpoint; every count product is exact BIGINT; the single
+    squared term is evaluated in doubles through an IDENTICAL IEEE
+    op sequence on both engines (cast → multiply → divide, each
+    correctly rounded, no libm), then quantized to micros. The
+    BIGINT products stay < 2^53 so the double casts are exact
+    (the functions/exact.py ceiling).
+
+    Scale: one min/max scalar aggregate (broadcast 1-row), one
+    conditional hash-aggregate over the stream with map-side combine,
+    then |event types| rows. No window, no join wider than the 1-row
+    broadcasts."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("us")
+    )
+    # (min+max) DIV 2, not /2: the float path loses integer precision
+    # above 2^53, and summed epoch-micros are ~3.4e18
+    bounds = ev.agg(F.min("us").alias("mn"), F.max("us").alias("mx")).select(
+        F.expr("(mn + mx) DIV 2").alias("mid")
+    )
+    counts = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("us") < F.col("mid"), 1).otherwise(0)).alias("a_n"),
+            F.sum(F.when(F.col("us") >= F.col("mid"), 1).otherwise(0)).alias("b_n"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("a_n").alias("a_tot"), F.sum("b_n").alias("b_tot")
+    )
+    num = F.col("a_n") * F.col("b_tot") - F.col("b_n") * F.col("a_tot")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "a_n",
+            "b_n",
+            F.round(
+                (num.cast("double") * num.cast("double"))
+                / (
+                    F.col("a_tot").cast("double")
+                    * F.col("b_tot").cast("double")
+                    * (F.col("a_n") + F.col("b_n")).cast("double")
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("chi2_micros"),
+        )
+        .orderBy("event_type")
+    )

@@ -468,3 +468,82 @@ def q158_dedup_pipeline_end_to_end(spark, sf_dir):
         )
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "q167_net_token_accounting",
+    oracle=_CLOSURE_CTES
+    + """
+    , clus AS (
+      SELECT s AS doc_id, MIN(d) AS cluster_id FROM reach GROUP BY s),
+    tk AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+      FROM documents)
+    SELECT tk.source AS source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN c.cluster_id IS NOT NULL
+                          AND c.cluster_id <> tk.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes,
+           CAST(sum(CASE WHEN c.cluster_id IS NULL
+                          OR c.cluster_id = tk.doc_id
+                         THEN ntok ELSE 0 END) AS BIGINT) AS net_tokens,
+           CAST(sum(CASE WHEN c.cluster_id IS NULL
+                          OR c.cluster_id = tk.doc_id
+                         THEN ntok ELSE 0 END) * 1000000
+                // sum(ntok) AS BIGINT) AS net_ppm
+    FROM tk LEFT JOIN clus c USING (doc_id)
+    GROUP BY tk.source ORDER BY tk.source
+    """,
+    tags=("dedup", "curation", "mixture", "north-star"),
+)
+def q167_net_token_accounting(spark, sf_dir):
+    """Dedup-adjusted token supply per source — the number q160's
+    mixture planner should actually budget against: near-dup clusters
+    (q77's LSH → Jaccard-verify → connected-components machinery)
+    keep only their min-id representative, and each source is credited
+    only the tokens of the docs it SURVIVES with. A source whose
+    net_ppm is far below 1e6 is mostly recycled content; feeding its
+    raw token count into the mixture over-weights it.
+
+    Scale shape: the pair/cluster machinery is the proven q77 path
+    (band equi-join candidates, O(log n) contraction); the accounting
+    is one broadcast-size join (cluster labels exist only for docs in
+    ≥1 near-dup pair — a small fraction of the corpus) and one
+    per-source hash-aggregate with map-side combine."""
+    from mindseye_dataframes_spark.operators.components import (
+        connected_components_star,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_verified_pairs(docs, "text", "doc_id", threshold=0.5)
+    clus = connected_components_star(
+        pairs, out_node="doc_id", out_component="cluster_id"
+    )
+    tk = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("ntok")
+    )
+    survives = F.col("cluster_id").isNull() | (
+        F.col("cluster_id") == F.col("doc_id")
+    )
+    return (
+        tk.join(clus, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").alias("n_tokens"),
+            F.sum(
+                F.when(
+                    F.col("cluster_id").isNotNull()
+                    & (F.col("cluster_id") != F.col("doc_id")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_dupes"),
+            F.sum(F.when(survives, F.col("ntok")).otherwise(0)).alias("net_tokens"),
+        )
+        .withColumn(
+            "net_ppm", F.expr("net_tokens * 1000000 DIV n_tokens")
+        )
+        .orderBy("source")
+    )

@@ -630,3 +630,13 @@ def test_round5_queries_plan_shapes(spark, sf_dir):
     for name in ("q165_source_divergence", "q166_temperature_mixture"):
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
+
+    # q167: the cluster-label join must be an equi-join on doc_id and
+    # the accounting one hash-agg; q168: no data-path join at all —
+    # only the two 1-row broadcast totals
+    plan = plan_of(spark, sf_dir, "q167_net_token_accounting")
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(spark, sf_dir, "q168_distribution_drift")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # broadcasts only, never a shuffle join
