@@ -35,7 +35,7 @@ def main() -> None:
     extended_names = [
         n
         for n in ("q87_contamination_screen", "q102_fuzzy_name_match",
-                  "q114_embedding_normalize")
+                  "q114_embedding_normalize", "q163_semdedup")
         if n in registry
     ]
 

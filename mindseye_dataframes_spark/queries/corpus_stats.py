@@ -547,3 +547,33 @@ def q165_source_divergence(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q169_bpe_trainer",
+    oracle=None,  # iterative fold-based training — the documented
+    # non-SQL-expressible family; pinned against a from-scratch
+    # Python BPE reference in tests/test_bpe.py
+    tags=("text", "bpe", "iterative", "north-star"),
+)
+def q169_bpe_trainer(spark, sf_dir):
+    """Run the BPE tokenizer-training loop proper (q147 is its first
+    pair count): 4 merge rounds over the distinct-word table, each
+    round = JVM pair-count aggregate + argmax + JVM fold applying the
+    merge (operators/bpe.py — corpus is scanned exactly once, every
+    round after runs on |vocab| weighted rows, driver traffic is one
+    row per round). Output is the learned merge table plus, per step,
+    the weighted total symbol count after that merge — the
+    compression curve a tokenizer trainer reports."""
+    from mindseye_dataframes_spark.operators.bpe import bpe_train, merge_table_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, words = bpe_train(docs, "text", n_merges=4)
+    final_syms = words.agg(
+        F.sum(F.size("syms") * F.col("n_word")).alias("total_symbols")
+    )
+    return (
+        merge_table_df(spark, merges)
+        .crossJoin(F.broadcast(final_syms))
+        .orderBy("step")
+    )

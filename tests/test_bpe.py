@@ -1,0 +1,77 @@
+"""BPE trainer (operators/bpe.py) pinned against a from-scratch
+Python reference — merge table and post-merge symbol totals must
+match exactly (the op is iterative/fold-based, the documented
+non-SQL-expressible family, so this test is its correctness gate)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import duckdb
+
+
+def _ref_bpe(texts: list[str], n_merges: int):
+    words: Counter = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                words[w] += 1
+    vocab = {w: list(w) for w in words}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pc: Counter = Counter()
+        for w, n in words.items():
+            syms = vocab[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += n
+        if not pc:
+            break
+        (left, right), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, left, right, n))
+        for w, syms in vocab.items():
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            vocab[w] = out
+    total = sum(len(vocab[w]) * n for w, n in words.items())
+    return merges, total
+
+
+def test_bpe_matches_python_reference(spark, sf_dir):
+    from mindseye_dataframes_spark.operators.bpe import bpe_train
+    from mindseye_dataframes_spark.sources.readers import load_table
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT text FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    ]
+    ref_merges, ref_total = _ref_bpe(texts, 4)
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, words = bpe_train(docs, "text", n_merges=4)
+    assert merges == ref_merges
+    from pyspark.sql import functions as F
+
+    total = words.agg(
+        F.sum(F.size("syms") * F.col("n_word")).alias("t")
+    ).collect()[0]["t"]
+    assert total == ref_total
+
+
+def test_bpe_query_shape(spark, sf_dir):
+    from mindseye_dataframes_spark.queries import load_all
+
+    df = load_all()["q169_bpe_trainer"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 4
+    assert [r["step"] for r in rows] == [1, 2, 3, 4]
+    # merges are selected by strictly decreasing-or-equal weighted
+    # count (a later merge can't beat an earlier one)
+    counts = [r["n"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(r["merged"] == r["left"] + r["right"] for r in rows)

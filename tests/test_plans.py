@@ -619,7 +619,10 @@ def test_round5_queries_plan_shapes(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q163_semdedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "hashpartitioning(cell" in plan or "BroadcastHashJoin" in plan
+    # the quadratic pass runs inside one grouped Arrow stage keyed by
+    # cell — exactly one shuffle of the vectors, no pair join at all
+    assert "FlatMapGroupsInPandas" in plan
+    assert "hashpartitioning(_cell" in plan
 
     plan = plan_of(spark, sf_dir, "q164_topp_quality_curation")
     assert "Join" not in plan  # score → window → rollup, no joins at all

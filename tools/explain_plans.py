@@ -29,6 +29,8 @@ def main() -> None:
             "q114_embedding_normalize",
             "q141_bloom_prefilter_join",
             "q158_dedup_pipeline_end_to_end",
+            "q163_semdedup",
+            "q165_source_divergence",
         )
         if n in registry
     ]
