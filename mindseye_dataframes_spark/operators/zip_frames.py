@@ -115,6 +115,11 @@ def _sample_boundaries(
         return _BOUNDS_CACHE[cache_key]
     bounds = _compute_boundaries(df, order_keys, parts)
     if cache_key is not None:
+        # bounded memo: a long-lived session zipping many distinct
+        # plans must not grow the driver dict forever; dropping it all
+        # only costs re-running the one keys-only probe per plan
+        if len(_BOUNDS_CACHE) >= 256:
+            _BOUNDS_CACHE.clear()
         _BOUNDS_CACHE[cache_key] = bounds
     return bounds
 

@@ -8,6 +8,7 @@ exercised — the raw documents table has no byte-identical dups.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from mindseye_dataframes_spark.functions.exact import oracle_tuple_rank, tuple_rank
@@ -546,4 +547,102 @@ def q167_net_token_accounting(spark, sf_dir):
             "net_ppm", F.expr("net_tokens * 1000000 DIV n_tokens")
         )
         .orderBy("source")
+    )
+
+
+_SPAN_K = 8  # window length in tokens
+
+
+@query(
+    "q170_shared_span_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= {_SPAN_K}),
+    w AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(toks[i:i+{_SPAN_K - 1}], ' ')) AS g
+      FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-{_SPAN_K - 1}))
+                       AS i)),
+    sg AS (
+      SELECT g FROM (
+        SELECT g, count(DISTINCT doc_id) AS nd FROM w GROUP BY g)
+      WHERE nd >= 2),
+    sp AS (SELECT w.doc_id, w.pos FROM w JOIN sg USING (g)),
+    runs AS (
+      SELECT doc_id,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM sp),
+    r AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS run_len
+      FROM runs GROUP BY doc_id, grp),
+    base AS (
+      SELECT doc_id, CAST(len(toks) - {_SPAN_K - 1} AS BIGINT) AS n_windows
+      FROM t)
+    SELECT b.doc_id AS doc_id, b.n_windows,
+           CAST(sum(r.run_len) AS BIGINT) AS n_shared,
+           CAST(max(r.run_len) AS BIGINT) AS longest_run
+    FROM base b JOIN r ON r.doc_id = b.doc_id
+    GROUP BY b.doc_id, b.n_windows
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "substring", "north-star"),
+)
+def q170_shared_span_stats(spark, sf_dir):
+    """Exact substring-duplication audit (the detection pass of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", arXiv:2107.06499): for every document, how many of
+    its {K}-token windows also occur verbatim in ANOTHER document, and
+    the longest consecutive run of such windows — the span a
+    substring-level dedup would trim. Cross-doc only (a phrase
+    repeated inside one doc is q117's repetition signal, not
+    contamination).
+
+    Scale shape: windows reduce to md5 fingerprints at the scan (the
+    shuffle moves 32-hex keys, never the text); shared grams are one
+    hash-aggregate (count distinct docs ≥ 2); membership is an
+    equi-join on the fingerprint; and the longest-run islands
+    computation (pos − row_number) is one window over each doc's
+    shared positions. No pass is quadratic in docs or corpus — the
+    suffix-array of the original paper is replaced by the
+    fingerprint-join shape Spark executes well."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = docs.filter(F.size(toks) >= _SPAN_K).select(
+        "doc_id", toks.alias("toks")
+    )
+    w = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {_SPAN_K - 1}),"
+                f" i -> struct(i AS pos,"
+                f" md5(concat_ws(' ', slice(toks, i, {_SPAN_K}))) AS g))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
+    sg = (
+        w.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    sp = w.join(sg, "g").select("doc_id", "pos")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        sp.withColumn("grp", F.col("pos") - F.row_number().over(win))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    base = t.select(
+        "doc_id", (F.size("toks") - (_SPAN_K - 1)).cast("long").alias("n_windows")
+    )
+    return (
+        base.join(runs, "doc_id")
+        .groupBy("doc_id", "n_windows")
+        .agg(
+            F.sum("run_len").alias("n_shared"),
+            F.max("run_len").alias("longest_run"),
+        )
+        .orderBy("doc_id")
     )

@@ -643,3 +643,8 @@ def test_round5_queries_plan_shapes(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q168_distribution_drift")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # broadcasts only, never a shuffle join
+
+    # q170: window membership is an equi-join on the md5 fingerprint —
+    # the text itself must never be a join key (shuffle stays 32-hex)
+    plan = plan_of(spark, sf_dir, "q170_shared_span_stats")
+    _assert_no_blowup(plan)
