@@ -249,3 +249,142 @@ def q90_vector_features(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+def _admission_oracle() -> str:
+    from mindseye_dataframes_spark.functions.textfns import STOPWORDS
+
+    stop_in = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ws
+      FROM documents WHERE source <> 'src0'),
+    sig AS (
+      SELECT doc_id, source,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(list_aggregate(list_transform(ws, x -> length(x)), 'sum')
+                  AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS mean_wl,
+             CAST(len(list_filter(ws, x -> x IN ({stop_in}))) AS DOUBLE)
+               / CAST(len(ws) AS DOUBLE) AS stop_frac,
+             md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS bag_fp
+      FROM base),
+    dup AS (
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY bag_fp) < doc_id AS is_dup
+      FROM sig),
+    bench AS (
+      SELECT DISTINCT
+             unnest(list_transform(generate_series(1, len(string_split(text,' ')) - 7),
+                    i -> array_to_string(list_slice(string_split(text,' '), i, i + 7), ' ')))
+               AS shingle
+      FROM documents WHERE source = 'src0'),
+    contam AS (
+      SELECT DISTINCT b.doc_id
+      FROM (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(ws) - 7),
+                          i -> array_to_string(list_slice(ws, i, i + 7), ' ')))
+                     AS shingle
+            FROM base) b JOIN bench USING (shingle)),
+    verdicts AS (
+      SELECT s.source, s.n_words,
+             CASE
+               WHEN NOT ((s.n_words BETWEEN 5 AND 100000)
+                         AND (s.mean_wl BETWEEN 2.0 AND 12.0)
+                         AND (s.stop_frac < 0.5)) THEN 'quality'
+               WHEN d.is_dup THEN 'duplicate'
+               WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+               ELSE 'admitted'
+             END AS verdict
+      FROM sig s JOIN dup d ON s.doc_id = d.doc_id
+                 LEFT JOIN contam c ON s.doc_id = c.doc_id)
+    SELECT source, verdict,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_tokens
+    FROM verdicts GROUP BY source, verdict
+    ORDER BY source, verdict
+    """
+
+
+@query(
+    "q171_corpus_admission_pipeline",
+    oracle=_admission_oracle(),
+    tags=("curation", "pipeline", "quality", "dedup", "north-star"),
+)
+def q171_corpus_admission_pipeline(spark, sf_dir):
+    """The whole corpus-admission decision as ONE declared job — the
+    audit table an ingestion run publishes: every candidate document
+    (src0 is the held-out benchmark, so it is never admitted) gets a
+    first-reason-wins verdict — 'quality' (fails the q116 Gopher
+    composite), else 'duplicate' (a lower-id doc has the same q33
+    bag fingerprint), else 'contaminated' (shares an 8-token shingle
+    with the benchmark, q87's screen), else 'admitted' — rolled up to
+    (source, verdict) doc/token counts. Composing the three families
+    in one plan is the point: the driver verifies the precedence
+    logic end-to-end, not just each filter alone.
+
+    Scale shape: quality signals are row-local expressions at the
+    scan; the dup flag is one window over bag fingerprints (32-hex
+    shuffle keys, never text); contamination is the q87 broadcast
+    semi-join on shingles; the rollup is one hash-aggregate. Three
+    narrow exchanges total, nothing quadratic, no raw text past its
+    own stage."""
+    from mindseye_dataframes_spark.functions.textfns import (
+        STOPWORDS,
+        bag_fingerprint,
+        word_ngrams_udf,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("source") != "src0")
+    ws = F.split("text", " ")
+    n_words = F.size(ws).cast("long")
+    mean_wl = (
+        F.aggregate(ws, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
+        / n_words.cast("double")
+    )
+    stop_frac = (
+        F.size(F.filter(ws, lambda x: x.isin(*STOPWORDS))).cast("double")
+        / n_words.cast("double")
+    )
+    sig = base.select(
+        "doc_id",
+        "source",
+        "text",
+        n_words.alias("n_words"),
+        (
+            n_words.between(5, 100000)
+            & mean_wl.between(2.0, 12.0)
+            & (stop_frac < 0.5)
+        ).alias("quality_ok"),
+        bag_fingerprint("text").alias("bag_fp"),
+    )
+    sig = sig.withColumn(
+        "is_dup",
+        F.min("doc_id").over(Window.partitionBy("bag_fp")) < F.col("doc_id"),
+    )
+    sh = F.explode(word_ngrams_udf(8)(F.col("text"))).alias("shingle")
+    bench = docs.filter(F.col("source") == "src0").select(sh).distinct()
+    contam = (
+        base.select("doc_id", sh)
+        .join(F.broadcast(bench), "shingle")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contam", F.lit(True))
+    )
+    verdict = (
+        F.when(~F.col("quality_ok"), F.lit("quality"))
+        .when(F.col("is_dup"), F.lit("duplicate"))
+        .when(F.col("is_contam"), F.lit("contaminated"))
+        .otherwise(F.lit("admitted"))
+    )
+    return (
+        sig.join(contam, "doc_id", "left")
+        .withColumn("is_contam", F.coalesce("is_contam", F.lit(False)))
+        .groupBy("source", verdict.alias("verdict"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_tokens"),
+        )
+        .orderBy("source", "verdict")
+    )

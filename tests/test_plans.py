@@ -648,3 +648,9 @@ def test_round5_queries_plan_shapes(spark, sf_dir):
     # the text itself must never be a join key (shuffle stays 32-hex)
     plan = plan_of(spark, sf_dir, "q170_shared_span_stats")
     _assert_no_blowup(plan)
+
+    # q171: the contamination stage must keep q87's broadcast shape
+    # (bench side broadcast, corpus never shuffles for it)
+    plan = plan_of(spark, sf_dir, "q171_corpus_admission_pipeline")
+    _assert_no_blowup(plan)
+    assert "BroadcastHashJoin" in plan
