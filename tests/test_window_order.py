@@ -25,10 +25,16 @@ def test_unproven_and_stale_queries_fit_the_window():
         if q.oracle is not None and n not in window and _group(n, qs) == 0
     ]
     assert not unproven, f"unproven oracle queries outside the window: {unproven}"
-    # the stalest proven set (green in r2, never since) must be inside
-    # the re-verification window
+    # the stalest proven set (green in r2, never since) fills the
+    # remaining slots; when unproven + stale exceed 50 (a round that
+    # added many new oracle queries), EXACTLY the overflow may wait —
+    # never more (that would mean a fresher query stole a slot)
+    n_group0 = sum(1 for n in qs if _group(n, qs) == 0)
+    allowed_overflow = max(0, n_group0 + len(STALE_R02) - 50)
     missing_stale = STALE_R02 - set(window)
-    assert not missing_stale, f"stale queries rotated out: {missing_stale}"
+    assert len(missing_stale) <= allowed_overflow, (
+        f"stale queries rotated out beyond the overflow: {missing_stale}"
+    )
 
 
 def test_rows_only_queries_never_burn_window_slots():
