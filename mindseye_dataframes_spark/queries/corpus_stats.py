@@ -507,7 +507,15 @@ def q165_source_divergence(spark, sf_dir):
     The vocabulary absent from a source still carries mass (p = 0,
     |0 − q| = q), but that tail folds analytically:
     Σ_{w∉s} c_w·t_s = t_s·(t − Σ_{w∈s} c_w) — so the plan never
-    builds the source × vocab cross product. Shape at 100 TB: one
+    builds the source × vocab cross product.
+
+    BIGINT ceiling (load-bearing, the functions/exact.py discipline):
+    the final ``numerator × 1e6`` needs 2·t_s·t·1e6 < 2^63, i.e.
+    t_s·t < 4.6e12 — petabyte-scale token counts per *evaluation
+    scope*. Past that, run the identical query per shard/date
+    partition (TVD against the shard's pool) or lift the one final
+    division to DECIMAL; every earlier product is ≤ t_s·t and safe to
+    ~3e9 tokens per side beyond. Shape at 100 TB: one
     (source, word) hash-aggregate (map-side combine eats almost all
     of it), two roll-ups of that, one equi-join back on word, and a
     1-row broadcast total; everything after the first aggregate is

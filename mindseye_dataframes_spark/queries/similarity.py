@@ -361,3 +361,77 @@ def q162_pq_recall(spark, sf_dir):
         F.count(F.lit(1)).alias("n_queries"),
         (F.avg("_recall") >= F.lit(0.5)).alias("recall_ok"),
     )
+
+
+@query(
+    "q172_label_centroid_similarity",
+    oracle="""
+    WITH x AS (
+      SELECT label, CAST(d.dim AS INT) AS dim,
+             CAST(round(CAST(list_extract(embedding, CAST(d.dim AS INT) + 1)
+                             AS DOUBLE) * 1000000) AS BIGINT) AS x6
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(0, len(embedding) - 1)) AS dim) d),
+    c AS (
+      SELECT label, list(mu ORDER BY dim) AS v FROM (
+        SELECT label, dim,
+               CAST(sum(x6) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0 AS mu
+        FROM x GROUP BY label, dim) GROUP BY label)
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(list_cosine_similarity(a.v, b.v), 9) AS cos_r
+    FROM c a JOIN c b ON a.label < b.label
+    ORDER BY label_a, label_b
+    """,
+    tags=("similarity", "vector", "ml-features", "north-star"),
+)
+def q172_label_centroid_similarity(spark, sf_dir):
+    """Class-separability diagnostic in embedding space: the cosine
+    between every pair of per-label centroids — labels whose centroids
+    sit close are the ones a classifier (or a dedup threshold tuned
+    per class) will confuse. Centroid means use the q114/q140
+    integer-micros pattern (BIGINT sums, one double divide), so the
+    centroids — and the rounded pairwise cosines — are bit-identical
+    on both engines.
+
+    Scale: one (label, dim) hash-aggregate over the corpus; the
+    centroid frame is |labels| rows, so the pairwise join is
+    broadcast-trivial and everything downstream is parameters, not
+    data."""
+    from mindseye_dataframes_spark.functions.vectors import cosine_ranked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "xf")
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("xf").cast("double") * 1_000_000).cast("long").alias("x6"),
+    )
+    c = (
+        x.groupBy("label", "dim")
+        .agg(
+            (
+                F.sum("x6").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / 1e6
+            ).alias("mu")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("mu")))
+                ),
+                lambda s: s["mu"],
+            ).alias("v")
+        )
+    )
+    a = c.select(F.col("label").alias("label_a"), F.col("v").alias("va"))
+    b = c.select(F.col("label").alias("label_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a", "label_b", cosine_ranked("va", "vb").alias("cos_r")
+        )
+        .orderBy("label_a", "label_b")
+    )

@@ -654,3 +654,9 @@ def test_round5_queries_plan_shapes(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q171_corpus_admission_pipeline")
     _assert_no_blowup(plan)
     assert "BroadcastHashJoin" in plan
+
+    # q172: the corpus touches ONE (label, dim) aggregate; the
+    # centroid theta-join runs on |labels|-row frames (a broadcast
+    # nested-loop there is correct — it is parameters, not data)
+    plan = plan_of(spark, sf_dir, "q172_label_centroid_similarity")
+    assert "CartesianProduct" not in plan
