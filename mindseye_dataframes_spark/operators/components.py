@@ -61,7 +61,12 @@ def connected_components(
     if on_nonconverged not in ("raise", "warn"):
         raise ValueError("on_nonconverged must be 'raise' or 'warn'")
     half = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-    sym = half.union(half.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    # pin the symmetrized pair relation: the node set and the edge set
+    # below would otherwise EACH re-evaluate ``pairs`` — for dedup
+    # callers that is the whole LSH/verify pipeline, twice
+    sym = half.union(
+        half.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # self-loops fold "keep own label" into the SAME join that gathers
     # neighbor labels, so each round's plan references the previous
     # round's labels exactly ONCE. The earlier formulation (join for
@@ -110,11 +115,15 @@ def connected_components(
             "raise max_iter or use star-contraction for long chains"
         )
         if on_nonconverged == "raise":
+            sym.unpersist()
             edges.unpersist()
             labels.unpersist()
             raise ComponentsNotConverged(msg)
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
 
+    # labels was materialized by the convergence count, so the inputs
+    # can be released
+    sym.unpersist()
     edges.unpersist()
     return labels.select(
         F.col("node").alias(out_node), F.col("label").alias(out_component)
@@ -156,7 +165,12 @@ def connected_components_star(
     :func:`connected_components`).
     """
     half = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = half.union(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # pin the symmetrized relation: ``all_nodes`` and ``edges`` both
+    # consume it, and for dedup callers re-evaluating it means running
+    # the whole LSH/verify pipeline twice
+    sym = half.union(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     all_nodes = sym.select(F.col("u").alias("node")).distinct().persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -220,6 +234,7 @@ def connected_components_star(
             break
         prev_fp = fp
     else:
+        sym.unpersist()
         all_nodes.unpersist()
         edges.unpersist()
         raise ComponentsNotConverged(
@@ -237,6 +252,7 @@ def connected_components_star(
     )
     # materialize before releasing the inputs the plan reads from
     out = out.localCheckpoint(eager=True)
+    sym.unpersist()
     all_nodes.unpersist()
     edges.unpersist()
     return out
