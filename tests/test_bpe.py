@@ -75,3 +75,27 @@ def test_bpe_query_shape(spark, sf_dir):
     counts = [r["n"] for r in rows]
     assert counts == sorted(counts, reverse=True)
     assert all(r["merged"] == r["left"] + r["right"] for r in rows)
+
+
+def test_semdedup_dropped_edge_cases(spark):
+    """Zero-norm vectors must not produce NaN similarities (guarded to
+    norm 1), singleton clusters drop nothing, and the keep-lowest-id
+    rule holds for an exact-duplicate pair."""
+    from mindseye_dataframes_spark.operators.clustering import semdedup_dropped
+
+    rows = [
+        # cell 0: exact duplicates -> higher id dropped
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),
+        # cell 1: singleton -> nothing dropped
+        (3, [0.0, 1.0], 1),
+        # cell 2: zero vector + orthogonal-ish vector -> no NaN, no drop
+        (4, [0.0, 0.0], 2),
+        (5, [0.5, 0.5], 2),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<double>, _cell int"
+    )
+    dropped = semdedup_dropped(df, "vec_id", "embedding", tau=0.9)
+    got = {(r["cell"], r["vec_id"]) for r in dropped.collect()}
+    assert got == {(0, 2)}
