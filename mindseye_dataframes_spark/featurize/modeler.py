@@ -196,6 +196,12 @@ class DataframeModeler:
                 for ch in discover
             ]
             keys = _reduce(lambda a, b: a.unionAll(b), key_frames).distinct()
+            # the cardinality probe and the value collect below are
+            # two jobs over the same union-of-distincts aggregation —
+            # pin it so the dominant shuffle of key discovery runs once
+            # (the overflow branch rebinds ``keys`` with a filter on
+            # top, so keep the pinned handle for the unpersist)
+            keys = pinned = keys.persist()
             if self.max_dictionary_keys is not None:
                 # cardinality probe BEFORE any row collect: O(paths)
                 # rows to the driver, never values. Paths over the cap
@@ -233,6 +239,7 @@ class DataframeModeler:
                     (r["path"], r["value"]) for r in keys.collect()
                 )
             )
+            pinned.unpersist()
         for key in discovered_keys:
             if key not in self.context.representations:
                 self.context.representations[key] = (

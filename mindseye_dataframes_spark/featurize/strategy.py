@@ -102,6 +102,16 @@ class PathBucketedOverlay(ModelingStrategy):
         return self.base.enumerate_keys(path)
 
     def initial_representation(self, key: str) -> np.ndarray:
+        # bucketed keys are 'p#bucket=b': size them by the ORIGINAL
+        # path p through the base (a base with per-path size overrides
+        # would otherwise see the synthetic path 'p#bucket' and fall
+        # back to default_size, handing downstream layers sized from
+        # strategy.size(p) a mismatched representation)
+        path = key.split("=", 1)[0]
+        if path.endswith("#bucket"):
+            orig = path[: -len("#bucket")]
+            if orig in self.bucketed_paths:
+                return seeded_unit_rms_tensor(key, self.base.size(orig))
         return self.base.initial_representation(key)
 
     def is_frozen(self, key: str) -> bool:

@@ -84,13 +84,16 @@ def _pair_counts(words: DataFrame) -> DataFrame:
 
 def bpe_train(
     docs: DataFrame, text_col: str, n_merges: int = 3
-) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+) -> tuple[list[tuple[int, str, str, int, int]], DataFrame]:
     """Learn ``n_merges`` BPE merges from the corpus.
 
     Returns ``(merge_table, words)`` where merge_table rows are
-    (step, left, right, n_occurrences-at-selection) and ``words`` is
-    the distinct-word frame with the final ``syms`` segmentation
-    applied (for downstream vocab/token stats)."""
+    (step, left, right, n_occurrences-at-selection,
+    total_symbols-AFTER-applying-the-step) — the per-step totals are
+    the compression curve a tokenizer trainer reports — and ``words``
+    is the distinct-word frame with the final ``syms`` segmentation
+    applied (for downstream vocab/token stats). The per-step total is
+    one O(|vocab|) aggregate returning a single row per round."""
     spark = docs.sparkSession
     words = (
         docs.select(F.explode(F.split(text_col, " ")).alias("word"))
@@ -102,7 +105,7 @@ def bpe_train(
         # the raw corpus (trick #1 above)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    merges: list[tuple[int, str, str, int]] = []
+    merges: list[tuple[int, str, str, int, int]] = []
     cur = words
     for step in range(1, n_merges + 1):
         top = (
@@ -114,18 +117,31 @@ def bpe_train(
         if not top:
             break
         left, right, n = top[0]["left"], top[0]["right"], top[0]["n"]
-        merges.append((step, left, right, int(n)))
         cur = cur.select(
             _apply_merge(F.col("syms"), left, right).alias("syms"), "n_word"
         )
+        total_after = cur.agg(
+            F.sum(F.size("syms") * F.col("n_word")).alias("t")
+        ).collect()[0]["t"]
+        merges.append((step, left, right, int(n), int(total_after)))
     return merges, cur
 
 
 def merge_table_df(spark: SparkSession, merges) -> DataFrame:
     return spark.createDataFrame(
         [
-            {"step": s, "left": l, "right": r, "merged": l + r, "n": n}
-            for s, l, r, n in merges
+            {
+                "step": s,
+                "left": l,
+                "right": r,
+                "merged": l + r,
+                "n": n,
+                "total_symbols": t,
+            }
+            for s, l, r, n, t in merges
         ],
-        schema="step INT, left STRING, right STRING, merged STRING, n BIGINT",
+        schema=(
+            "step INT, left STRING, right STRING, merged STRING,"
+            " n BIGINT, total_symbols BIGINT"
+        ),
     )

@@ -134,8 +134,17 @@ def semdedup_dropped(
 
     Scale: the only movement is ONE hash-shuffle of (id, vec) by
     cell; per-cell work is the |c|² matmul that IS SemDeDup's
-    published cost model (k grows with the corpus to bound |c|)."""
+    published cost model (k grows with the corpus to bound |c|).
+
+    Output: ``(cell_col, id_col)`` of the dropped rows, keeping the
+    caller's column names and types (a doc-level caller gets its
+    ``doc_id`` back, and a hashed 64-bit cell key survives intact)."""
     import pandas as pd  # local: Arrow path only
+
+    dtypes = dict(assigned.dtypes)
+    out_schema = (
+        f"{cell_col} {dtypes[cell_col]}, {id_col} {dtypes[id_col]}"
+    )
 
     def drop_in_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
@@ -150,11 +159,11 @@ def semdedup_dropped(
         mask = np.triu(sims >= tau, k=1).any(axis=0)
         return pd.DataFrame(
             {
-                "cell": pdf[cell_col].to_numpy()[mask],
-                "vec_id": pdf[id_col].to_numpy()[mask],
+                cell_col: pdf[cell_col].to_numpy()[mask],
+                id_col: pdf[id_col].to_numpy()[mask],
             }
         )
 
     return assigned.groupBy(cell_col).applyInPandas(
-        drop_in_cell, schema="cell int, vec_id long"
+        drop_in_cell, schema=out_schema
     )

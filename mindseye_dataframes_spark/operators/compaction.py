@@ -66,7 +66,13 @@ def compact(
     executed plan. The caller swaps ``out_path`` into place (same
     temp-then-rename commit as streaming/sinks.py — or a real table
     format's commit)."""
-    plan = compaction_plan(file_row_stats(spark, path), target_rows)
+    # the plan is |files| rows of metadata — collect it ONCE and serve
+    # every later decision (group count, untouched probe, the routing
+    # join's build side) from the local copy; leaving those as lazy
+    # frames re-ran the full stats scan per decision
+    planned = compaction_plan(file_row_stats(spark, path), target_rows)
+    plan_rows = planned.collect()
+    plan = spark.createDataFrame(plan_rows, planned.schema)
     df = spark.read.parquet(path).withColumn("_file", F.input_file_name())
     routed = df.join(F.broadcast(plan), F.col("_file") == plan["file"], "inner")
     merged = routed.filter(F.col("merge_group").isNotNull())
@@ -76,8 +82,10 @@ def compact(
     # metadata-sized decisions: which sides have any files at all
     # (writing an empty side would still emit an empty part file,
     # re-fragmenting the very table being compacted)
-    n_groups = merged.select("merge_group").distinct().count()
-    has_untouched = plan.filter(F.col("merge_group").isNull()).limit(1).count() > 0
+    n_groups = len(
+        {r["merge_group"] for r in plan_rows if r["merge_group"] is not None}
+    )
+    has_untouched = any(r["merge_group"] is None for r in plan_rows)
     if n_groups:
         (
             merged.repartition(n_groups, "merge_group")

@@ -159,7 +159,7 @@ def q163_semdedup(spark, sf_dir):
     dropped = semdedup_dropped(
         m, "vec_id", "embedding", cell_col="_cell", tau=_SEMDEDUP_TAU
     )
-    drops = dropped.groupBy("cell").agg(
+    drops = dropped.groupBy(F.col("_cell").alias("cell")).agg(
         F.count(F.lit(1)).alias("n_dropped"),
         F.min("vec_id").alias("min_dropped"),
     )

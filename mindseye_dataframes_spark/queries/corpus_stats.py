@@ -569,19 +569,13 @@ def q169_bpe_trainer(spark, sf_dir):
     pair count): 4 merge rounds over the distinct-word table, each
     round = JVM pair-count aggregate + argmax + JVM fold applying the
     merge (operators/bpe.py — corpus is scanned exactly once, every
-    round after runs on |vocab| weighted rows, driver traffic is one
-    row per round). Output is the learned merge table plus, per step,
-    the weighted total symbol count after that merge — the
-    compression curve a tokenizer trainer reports."""
+    round after runs on |vocab| weighted rows, driver traffic is two
+    rows per round). Output is the learned merge table with, per step,
+    the weighted total symbol count AFTER that step's merge — the
+    actual compression curve a tokenizer trainer reports (strictly
+    decreasing by that step's pair count)."""
     from mindseye_dataframes_spark.operators.bpe import bpe_train, merge_table_df
 
     docs = load_table(spark, sf_dir, "documents")
-    merges, words = bpe_train(docs, "text", n_merges=4)
-    final_syms = words.agg(
-        F.sum(F.size("syms") * F.col("n_word")).alias("total_symbols")
-    )
-    return (
-        merge_table_df(spark, merges)
-        .crossJoin(F.broadcast(final_syms))
-        .orderBy("step")
-    )
+    merges, _words = bpe_train(docs, "text", n_merges=4)
+    return merge_table_df(spark, merges).orderBy("step")

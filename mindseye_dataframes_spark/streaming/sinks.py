@@ -67,13 +67,19 @@ def _recover_snapshot(target_dir: str) -> None:
         key=lambda d: int(d.rsplit("-", 1)[1]),
     )
     committed = os.path.exists(os.path.join(target_dir, "_SUCCESS"))
-    if not committed and olds:
-        newest = os.path.join(parent, olds[-1])
-        if os.path.exists(os.path.join(newest, "_SUCCESS")):
-            if os.path.exists(target_dir):
-                shutil.rmtree(target_dir)
-            os.rename(newest, target_dir)
-            olds = olds[:-1]
+    if not committed:
+        # promote the newest COMPLETE snapshot — the newest .old-* may
+        # itself be a partially-deleted carcass (a crash mid-cleanup
+        # can strip its _SUCCESS first), and stopping at it would send
+        # the older, still-complete snapshot to the rmtree below
+        for cand in reversed(olds):
+            path = os.path.join(parent, cand)
+            if os.path.exists(os.path.join(path, "_SUCCESS")):
+                if os.path.exists(target_dir):
+                    shutil.rmtree(target_dir)
+                os.rename(path, target_dir)
+                olds.remove(cand)
+                break
     for d in olds:
         shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
     for d in os.listdir(parent):

@@ -27,7 +27,6 @@ def _ref_bpe(texts: list[str], n_merges: int):
         if not pc:
             break
         (left, right), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
-        merges.append((step, left, right, n))
         for w, syms in vocab.items():
             out: list[str] = []
             for x in syms:
@@ -36,6 +35,8 @@ def _ref_bpe(texts: list[str], n_merges: int):
                 else:
                     out.append(x)
             vocab[w] = out
+        total_after = sum(len(vocab[w]) * n_w for w, n_w in words.items())
+        merges.append((step, left, right, n, total_after))
     total = sum(len(vocab[w]) * n for w, n in words.items())
     return merges, total
 
@@ -75,6 +76,13 @@ def test_bpe_query_shape(spark, sf_dir):
     counts = [r["n"] for r in rows]
     assert counts == sorted(counts, reverse=True)
     assert all(r["merged"] == r["left"] + r["right"] for r in rows)
+    # the compression curve strictly decreases (each merge round
+    # applies at least once), and no step can remove more symbols
+    # than its selected pair count (overlaps make it strictly fewer)
+    totals = [r["total_symbols"] for r in rows]
+    assert totals == sorted(totals, reverse=True) and len(set(totals)) == 4
+    for i in range(3):
+        assert 0 < totals[i] - totals[i + 1] <= rows[i + 1]["n"]
 
 
 def test_semdedup_dropped_edge_cases(spark):
@@ -97,5 +105,14 @@ def test_semdedup_dropped_edge_cases(spark):
         rows, schema="vec_id long, embedding array<double>, _cell int"
     )
     dropped = semdedup_dropped(df, "vec_id", "embedding", tau=0.9)
-    got = {(r["cell"], r["vec_id"]) for r in dropped.collect()}
+    assert dropped.columns == ["_cell", "vec_id"]  # caller's names kept
+    got = {(r["_cell"], r["vec_id"]) for r in dropped.collect()}
     assert got == {(0, 2)}
+
+    # generic column names survive too (doc-level caller)
+    renamed = df.selectExpr(
+        "vec_id AS doc_id", "embedding", "CAST(_cell AS BIGINT) AS bucket"
+    )
+    d2 = semdedup_dropped(renamed, "doc_id", "embedding", cell_col="bucket", tau=0.9)
+    assert d2.columns == ["bucket", "doc_id"]
+    assert {(r["bucket"], r["doc_id"]) for r in d2.collect()} == {(0, 2)}

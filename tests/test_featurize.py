@@ -360,3 +360,25 @@ def test_dictionary_overflow_error_mode_raises(spark):
 
     with _pytest.raises(DictionaryOverflowError, match="user"):
         modeler.init_keys(df)
+
+
+def test_bucketed_overlay_respects_base_path_size():
+    """A base strategy with per-path size overrides must size bucketed
+    keys by the ORIGINAL path, not the synthetic 'p#bucket' path —
+    otherwise layers sized from strategy.size(p) receive mismatched
+    representations (review finding, round 5)."""
+    from mindseye_dataframes_spark.featurize.strategy import (
+        ModelingStrategy,
+        PathBucketedOverlay,
+    )
+
+    class SizedBase(ModelingStrategy):
+        def size(self, path):
+            return 32 if path == "wide_col" else self.default_size
+
+    overlay = PathBucketedOverlay(SizedBase(), ["wide_col"], n_buckets=4)
+    assert overlay.size("wide_col") == 32
+    for key in overlay.enumerate_keys("wide_col"):
+        assert overlay.initial_representation(key).shape == (32,), key
+    # non-bucketed paths keep base behavior end to end
+    assert overlay.initial_representation("other=x").shape == (10,)

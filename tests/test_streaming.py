@@ -321,10 +321,24 @@ def test_upsert_sink_recovers_stranded_snapshot(spark, tmp_path_factory):
     # an .old WITHOUT _SUCCESS (crashed before the old snapshot was
     # ever complete) must not be promoted
     os.rename(target, target + ".old-9")
+    shutil.copytree(target + ".old-9", target + ".old-11")
     os.remove(target + ".old-9/_SUCCESS")
+    # two stranded dirs, the NEWER one a partially-deleted carcass
+    # (its _SUCCESS already gone): recovery must skip past it and
+    # promote the older complete snapshot, not rmtree it
+    os.rename(target + ".old-9", target + ".old-12")
+    _recover_snapshot(target)
+    got = sorted(tuple(r) for r in spark.read.parquet(target).collect())
+    assert got == want
+    leftovers = [d for d in os.listdir(outdir) if d != "snapshot"]
+    assert not leftovers, f"scratch dirs not cleared: {leftovers}"
+
+    # with NO complete snapshot anywhere, nothing is promoted
+    os.rename(target, target + ".old-13")
+    os.remove(target + ".old-13/_SUCCESS")
     _recover_snapshot(target)
     assert not os.path.exists(target)
-    shutil.rmtree(target + ".old-9", ignore_errors=True)
+    assert not os.path.exists(target + ".old-13")
 
 
 def test_watermark_drops_late_rows(spark, tmp_path_factory):
