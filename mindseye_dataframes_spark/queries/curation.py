@@ -321,3 +321,113 @@ def q166_temperature_mixture(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q173_mixture_materialized",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS actual_tokens
+      FROM documents GROUP BY source),
+    s AS (
+      SELECT source, actual_tokens,
+             CAST(round(sqrt(CAST(actual_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+               AS s6
+      FROM tok),
+    t AS (SELECT CAST(sum(s6) AS BIGINT) AS tot6 FROM s),
+    w AS (
+      SELECT source, actual_tokens,
+             CAST(greatest(s6 * 1000000 // tot6, 1) AS BIGINT) AS weight_ppm
+      FROM s CROSS JOIN t),
+    b AS (
+      SELECT CAST(min(actual_tokens * 1000000 // weight_ppm) AS BIGINT) AS bud
+      FROM w),
+    rates AS (
+      SELECT source,
+             CAST(least(
+               (bud * weight_ppm // 1000000) * 1000000 // actual_tokens,
+               1000000) AS BIGINT) AS rate_ppm
+      FROM w CROSS JOIN b),
+    sampled AS (
+      SELECT d.source,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS ntok
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 1000000 < r.rate_ppm)
+    SELECT r.source AS source, r.rate_ppm,
+           CAST(count(s.ntok) AS BIGINT) AS n_sampled,
+           CAST(COALESCE(sum(s.ntok), 0) AS BIGINT) AS tokens_sampled
+    FROM rates r LEFT JOIN sampled s ON s.source = r.source
+    GROUP BY r.source, r.rate_ppm
+    ORDER BY r.source
+    """,
+    tags=("curation", "mixture", "sampling", "north-star"),
+)
+def q173_mixture_materialized(spark, sf_dir):
+    """The mixture loop CLOSED: q166's temperature weights feed q160's
+    budget rule (largest total every source can serve at its weight),
+    which yields per-source sampling rates, which the q75 md5-bucket
+    sampler then actually applies — returning what each source really
+    contributed. One declared job from 'α = 0.5' to materialized
+    per-source token counts, every stage integer/md5-exact, so the
+    sample is reproducible across engines, reruns, and partitionings
+    (the property that makes a training mixture auditable).
+
+    Scale: one token aggregate; |sources|-row weight/budget algebra on
+    broadcast totals; the sampler is a narrow md5 filter at the scan
+    behind a broadcast rate join; one closing hash-aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("actual_tokens")
+    )
+    s = tok.select(
+        "source",
+        "actual_tokens",
+        F.round(F.sqrt(F.col("actual_tokens").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("s6"),
+    )
+    t = s.agg(F.sum("s6").alias("tot6"))
+    w = s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "actual_tokens",
+        F.expr("greatest(s6 * 1000000 DIV tot6, 1L)").alias("weight_ppm"),
+    )
+    b = w.agg(
+        F.min(F.expr("actual_tokens * 1000000 DIV weight_ppm")).alias("bud")
+    )
+    rates = w.crossJoin(F.broadcast(b)).select(
+        "source",
+        F.expr(
+            "least((bud * weight_ppm DIV 1000000) * 1000000"
+            " DIV actual_tokens, 1000000L)"
+        ).alias("rate_ppm"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1_000_000
+    )
+    sampled = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(bucket < F.col("rate_ppm"))
+        .select("source", F.size(F.split("text", " ")).cast("long").alias("ntok"))
+    )
+    return (
+        rates.join(
+            sampled.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_sampled"),
+                F.sum("ntok").alias("tokens_sampled"),
+            ),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "rate_ppm",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.coalesce("tokens_sampled", F.lit(0)).alias("tokens_sampled"),
+        )
+        .orderBy("source")
+    )

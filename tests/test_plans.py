@@ -660,3 +660,11 @@ def test_round5_queries_plan_shapes(spark, sf_dir):
     # nested-loop there is correct — it is parameters, not data)
     plan = plan_of(spark, sf_dir, "q172_label_centroid_similarity")
     assert "CartesianProduct" not in plan
+
+    # q173: the sampler applies the rates as a broadcast join + narrow
+    # md5 filter at the scan — the document rows never shuffle (its
+    # BroadcastNestedLoopJoins are the 1-row totals/budget crossJoins,
+    # parameters not data, so only cartesians are banned)
+    plan = plan_of(spark, sf_dir, "q173_mixture_materialized")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
