@@ -129,22 +129,47 @@ PROVEN_R04 = {
     "q62_winnow_fingerprints", "q64_analytic_ranks", "q66_image_resize",
     "q77_dup_clusters", "q01_pricing_summary",
 }
+PROVEN_R05 = {
+    # green in CORRECTNESS_r05.json (50/50): the 11 round-5 additions
+    # plus 39 re-proven round-2-stale queries
+    "q02_filter_project", "q03_staging_cast", "q04_topk_orders",
+    "q05_revenue_by_region", "q06_dictionary_keys", "q07_group_moments",
+    "q08_semi_join", "q09_anti_join", "q10_outer_join_agg",
+    "q11_union_groups", "q12_intersect_except", "q13_zip_positional",
+    "q14_count_distinct", "q15_rollup", "q16_window_topn",
+    "q17_window_lag_delta", "q18_running_sum", "q25_sessionization",
+    "q43_string_functions", "q44_date_functions", "q45_math_functions",
+    "q46_percentiles", "q47_cube", "q51_full_outer_join",
+    "q52_right_and_cross", "q53_json_extraction", "q54_supplier_volume",
+    "q55_sliding_window", "q56_curation_funnel", "q57_pivot",
+    "q59_grouping_sets", "q67_audio_features", "q68_csv_roundtrip",
+    "q69_json_roundtrip", "q70_scalar_subquery", "q71_conditional_agg",
+    "q72_orc_roundtrip", "q73_map_column", "q74_exact_stats",
+    "q162_pq_recall", "q163_semdedup", "q164_topp_quality_curation",
+    "q165_source_divergence", "q166_temperature_mixture",
+    "q167_net_token_accounting", "q168_distribution_drift",
+    "q170_shared_span_stats", "q171_corpus_admission_pipeline",
+    "q172_label_centroid_similarity", "q173_mixture_materialized",
+}
 
 # Stalest-first staleness: a query's group is its LAST proven round
 # (newest membership wins), so re-verification coverage rotates.
-STALE_R02 = (PROVEN_R02 - PROVEN_R03) - PROVEN_R04
+STALE_R02 = ((PROVEN_R02 - PROVEN_R03) - PROVEN_R04) - PROVEN_R05
+STALE_R03 = (PROVEN_R03 - PROVEN_R04) - PROVEN_R05
 
 
 def _order_key(item: tuple[str, Query]) -> tuple[int, str]:
     name, q = item
     if q.oracle is None:
-        group = 5  # rows-only checks last — never burn a window slot
+        group = 9  # rows-only checks last — never burn a window slot
+    elif name in PROVEN_R05:
+        group = 5  # freshest evidence: verify last
     elif name in PROVEN_R04:
-        group = 4  # freshest evidence: verify last
+        group = 4
     elif name in PROVEN_R03:
         group = 3
     elif name in PROVEN_R02:
-        group = 2  # two rounds stale: the re-verification front
+        group = 2  # four rounds stale: the re-verification front
     else:
         group = 0  # no green row yet (this round's new): claim a slot
     return (group, name)
