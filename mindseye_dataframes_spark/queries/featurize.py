@@ -143,28 +143,123 @@ def q39_param_identity(spark, sf_dir):
     return keys.select("key", uuid.alias("param_uuid")).orderBy("key")
 
 
+def _moments_sql(col: str, table: str = "lineitem") -> str:
+    """Exact-decimal moments CTE body — the engine-identical double
+    derivation ``init_keys`` performs (sum DECIMAL(18,4), sum of
+    DECIMAL(14,4) squares, single cast→divide→sqrt IEEE sequence)."""
+    return f"""
+      SELECT
+        CAST(SUM(CAST({col} AS DECIMAL(18,4))) AS DOUBLE)
+          / CAST(COUNT({col}) AS DOUBLE) AS mean_x,
+        SQRT(ABS(
+          CAST(SUM(CAST({col} AS DECIMAL(14,4)) * CAST({col} AS DECIMAL(14,4))) AS DOUBLE)
+            / CAST(COUNT({col}) AS DOUBLE)
+          - (CAST(SUM(CAST({col} AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT({col}) AS DOUBLE))
+            * (CAST(SUM(CAST({col} AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT({col}) AS DOUBLE))
+        )) AS std_x
+      FROM {table}
+"""
+
+
+def _pin_rank_representations(modeler, path: str, scales: tuple[float, ...]) -> None:
+    """Replace the seeded embeddings of every discovered key under
+    ``path`` with rank-derived constants (value rank i, 1-based, in
+    lexicographic order → vector [s*i for s in scales]) — the pinning
+    that makes the REAL mapInPandas featurize path SQL-expressible
+    (the q78 technique, generalized to any value set so the oracle
+    holds at every SF)."""
+    import numpy as np
+
+    vals = sorted(
+        k.split("=", 1)[1]
+        for k in modeler.context.representations
+        if k.startswith(path + "=")
+    )
+    for i, v in enumerate(vals, start=1):
+        modeler.context.representations[f"{path}={v}"] = np.array(
+            [s * i for s in scales]
+        )
+
+
 @query(
     "q40_featurize_pipeline",
-    oracle=None,  # numpy matmul inside mapInPandas — not SQL-expressible
+    oracle=f"""
+    WITH mq AS ({_moments_sql("l_quantity")}),
+    rf AS (SELECT v, 10.0 * r AS r0, 16.0 * r AS r1 FROM (
+      SELECT l_returnflag AS v,
+             ROW_NUMBER() OVER (ORDER BY l_returnflag) AS r
+      FROM (SELECT DISTINCT l_returnflag FROM lineitem))),
+    ls AS (SELECT v, 100.0 * r AS r0, 32.0 * r AS r1 FROM (
+      SELECT l_linestatus AS v,
+             ROW_NUMBER() OVER (ORDER BY l_linestatus) AS r
+      FROM (SELECT DISTINCT l_linestatus FROM lineitem)))
+    SELECT l.l_orderkey, l.l_linenumber,
+           (l.l_quantity - mq.mean_x) / mq.std_x
+             + (l.l_extendedprice - 0.0) / 1024.0
+             + (l.l_discount - 0.0) / 0.0625
+             + rf.r0 + ls.r0 AS f0,
+           ((l.l_quantity - mq.mean_x) / mq.std_x) * 2.0
+             + ((l.l_extendedprice - 0.0) / 1024.0) * 4.0
+             + ((l.l_discount - 0.0) / 0.0625) * 8.0
+             + rf.r1 + ls.r1 AS f1
+    FROM lineitem l
+    JOIN rf ON l.l_returnflag = rf.v
+    JOIN ls ON l.l_linestatus = ls.v
+    CROSS JOIN mq
+    ORDER BY l.l_orderkey, l.l_linenumber
+    """,
     tags=("featurize", "parity:M1,F1,F2,F3"),
 )
 def q40_featurize_pipeline(spark, sf_dir):
-    """M1 end-to-end: schema-recursive featurization of lineitem
-    measures + categoricals into a dense feature column via broadcast
-    params + Arrow-batched mapInPandas (rows-only driver check; value
-    semantics covered by tests/test_featurize.py)."""
+    """M1 end-to-end, driver-hash-checked (VERDICT r5 item 3): the
+    REAL featurize pipeline — schema recursion over three numeric +
+    two categorical channels, init_keys' exact-decimal moments,
+    broadcast params, Arrow-batched mapInPandas forward, struct-sum
+    reduction (F3) of all five channels into one size-2 feature — with
+    the numeric transforms pinned to [[0,0],[1,c]] (c a power of two)
+    and the categorical embeddings pinned to rank constants, so every
+    output feature equals a plain SQL expression over the same
+    moments. The quantity channel keeps the REAL data-derived moments
+    (the A1 machinery under oracle check); price/discount get pinned
+    frozen-affine stats (mean 0, power-of-two std → exact scaling) —
+    their data-derived path would push the oracle's squared-sum
+    unscaled decimals past the 2^53 ceiling where DuckDB's
+    int128→double conversion double-rounds (functions/exact.py
+    discipline). The channel accumulation order (schema order, left
+    fold from zeros) is mirrored by the oracle's left-associated sums,
+    so the doubles are bit-identical, not approximately equal."""
+    import numpy as np
+
     from mindseye_dataframes_spark.featurize import DataframeModeler, ModelingStrategy
 
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_quantity", "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus"
+        "l_orderkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount",
+        "l_returnflag", "l_linestatus",
     )
-    modeler = DataframeModeler(ModelingStrategy(default_size=8))
-    modeler.init_keys(li)
-    out = modeler.eval_to_dataframe(li, "features")
-    # rounded JSON digest keeps the rows-only check canonicalizable
-    return out.withColumn(
-        "features", F.to_json(F.transform(F.col("features"), lambda x: F.round(x, 6)))
+    modeler = DataframeModeler(ModelingStrategy(default_size=2))
+    modeler.init_keys(li.drop("l_orderkey", "l_linenumber"))
+    for path, c in (
+        ("l_quantity", 2.0), ("l_extendedprice", 4.0), ("l_discount", 8.0)
+    ):
+        modeler.context.transforms[f"transform/{path}"] = np.array(
+            [[0.0, 0.0], [1.0, c]]
+        )
+    # frozen-affine stats for the wide-magnitude channels (see oracle
+    # note): (n, mean, std) with power-of-two std → exact scaling
+    modeler.context.stats["l_extendedprice"] = (0.0, 0.0, 1024.0)
+    modeler.context.stats["l_discount"] = (0.0, 0.0, 0.0625)
+    _pin_rank_representations(modeler, "l_returnflag", (10.0, 16.0))
+    _pin_rank_representations(modeler, "l_linestatus", (100.0, 32.0))
+    out = modeler.eval_to_dataframe(
+        li, "features", passthrough=["l_orderkey", "l_linenumber"]
     )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at("features", 1).alias("f0"),
+        F.element_at("features", 2).alias("f1"),
+    ).orderBy("l_orderkey", "l_linenumber")
 
 
 @query(
@@ -212,15 +307,43 @@ def q78_eval_identity(spark, sf_dir):
 
 @query(
     "q65_featurize_temporal_embedding",
-    oracle=None,  # numpy matmul inside mapInPandas — not SQL-expressible
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, event_type, value FROM events
+      WHERE event_id % 100 < 10),
+    m AS ({_moments_sql("value", "ev")}),
+    et AS (SELECT v, 10.0 * r AS rep FROM (
+      SELECT event_type AS v,
+             ROW_NUMBER() OVER (ORDER BY event_type) AS r
+      FROM (SELECT DISTINCT event_type FROM ev)))
+    SELECT ev.event_id,
+           (et.rep + (ev.value - m.mean_x) / m.std_x)
+             + COALESCE(CAST(e.embedding[1] AS DOUBLE), 0.0) AS feat
+    FROM ev
+    JOIN et ON ev.event_type = et.v
+    LEFT JOIN embeddings e ON e.vec_id = ev.event_id
+    CROSS JOIN m
+    ORDER BY ev.event_id
+    """,
     tags=("featurize", "parity:type-extension"),
 )
 def q65_featurize_temporal_embedding(spark, sf_dir):
-    """Type-matrix extension end-to-end (SURVEY §1.2): timestamp →
-    epoch-seconds z-score channel (events.ts) joined with an
-    embedding-vector channel (embeddings.embedding → learned affine
-    map), featurized in one pass. Rows-only driver check; channel
-    value semantics covered by tests/test_featurize.py."""
+    """Type-matrix extension end-to-end, driver-hash-checked (VERDICT
+    r5 item 3): timestamp channel (events.ts → epoch-seconds z-score),
+    categorical channel, numeric z-score channel, and an
+    embedding-vector channel (array<float> → affine map) featurized in
+    ONE real mapInPandas pass. Pinning makes it SQL-expressible while
+    every channel still executes: the ts transform is pinned to zeros
+    (the channel runs; its contribution is exactly 0.0 — sub-second
+    timestamps are not engine-exact through the ns/µs epoch paths, so
+    its VALUE semantics stay pinned by tests/test_featurize.py), the
+    value transform to the identity [[0],[1]], event_type embeddings
+    to rank constants, and the vector map to e₀ (so the projection is
+    exactly embedding[0]; a missing left-join row contributes 0.0).
+    Channel accumulation order (ts, event_type, value, embedding) is
+    mirrored by the oracle's left-associated sum."""
+    import numpy as np
+
     from mindseye_dataframes_spark.featurize import DataframeModeler, ModelingStrategy
 
     ev = (
@@ -232,11 +355,15 @@ def q65_featurize_temporal_embedding(spark, sf_dir):
         F.col("vec_id").alias("event_id"), "embedding"
     )
     joined = ev.join(emb, "event_id", "left")
-    modeler = DataframeModeler(ModelingStrategy(default_size=8))
+    modeler = DataframeModeler(ModelingStrategy(default_size=1))
     modeler.init_keys(joined.drop("event_id"))
+    modeler.context.transforms["transform/ts"] = np.array([[0.0], [0.0]])
+    modeler.context.transforms["transform/value"] = np.array([[0.0], [1.0]])
+    _pin_rank_representations(modeler, "event_type", (10.0,))
+    e0 = np.zeros((modeler.context.transforms["vector/embedding"].shape[0], 1))
+    e0[0, 0] = 1.0
+    modeler.context.transforms["vector/embedding"] = e0
     out = modeler.eval_to_dataframe(joined, "features", passthrough=["event_id"])
-    # rounded JSON digest: the driver's rows-only canonicalizer cannot
-    # lexsort list cells (round 1 crash)
-    return out.withColumn(
-        "features", F.to_json(F.transform(F.col("features"), lambda x: F.round(x, 6)))
-    )
+    return out.select(
+        "event_id", F.element_at("features", 1).alias("feat")
+    ).orderBy("event_id")

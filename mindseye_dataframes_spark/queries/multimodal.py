@@ -42,34 +42,54 @@ def q41_blob_metadata(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+_Q42_HEXBYTE = (
+    "((strpos('0123456789abcdef', substr(hx, {hi}, 1))-1)*16"
+    " + strpos('0123456789abcdef', substr(hx, {lo}, 1))-1)"
+)
+
+
 @query(
     "q42_image_decode_features",
-    oracle=None,  # stub decode kernel (no image libs in env) — rows-only
+    oracle=f"""
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
+    SELECT doc_id,
+           CAST(64 + {_Q42_HEXBYTE.format(hi=1, lo=2)} % 192 AS INT) AS width,
+           CAST(64 + {_Q42_HEXBYTE.format(hi=3, lo=4)} % 192 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST({_Q42_HEXBYTE.format(hi=1, lo=2)} AS DOUBLE) / 255.0 AS f0,
+           CAST({_Q42_HEXBYTE.format(hi=3, lo=4)} AS DOUBLE) / 255.0 AS f1,
+           CAST({_Q42_HEXBYTE.format(hi=5, lo=6)} AS DOUBLE) / 255.0 AS f2,
+           CAST({_Q42_HEXBYTE.format(hi=7, lo=8)} AS DOUBLE) / 255.0 AS f3
+    FROM h ORDER BY doc_id
+    """,
     tags=("multimodal", "parity:decode"),
 )
 def q42_image_decode_features(spark, sf_dir):
-    """Decode plumbing end-to-end: binary payloads → (width, height,
-    channels, features) via Arrow-batched mapInPandas with the
-    deterministic stub kernel."""
+    """Decode plumbing end-to-end, driver-hash-checked (VERDICT r5
+    item 3): binary payloads → (width, height, channels, features) via
+    Arrow-batched mapInPandas. The payloads here aren't PNGs, so the
+    kernel takes its deterministic fake branch — every output is a
+    pure function of md5(payload), which DuckDB re-derives byte by
+    byte from the hex digest (the q66/q67 technique); the feature
+    vector lands as four scalar columns so the driver can hash it
+    (list cells crashed the round-1 canonicalizer). The real-PNG
+    branch of the same kernel is value-checked in
+    tests/test_multimodal.py."""
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "payload", F.encode("text", "utf-8")
     )
     packed = pack_blob(docs, "payload", mime="image/fake")
     decoded = decode_image(packed.select("doc_id", "blob"), "blob")
-    # serialize the feature vector: the driver's canonicalizer cannot
-    # lexsort list cells (round 1 crash), and a rounded JSON digest is
-    # stable across Arrow round-trips
-    array_cols = [
-        f.name
-        for f in decoded.schema.fields
-        if f.dataType.simpleString().startswith("array")
-    ]
-    out = decoded
-    for c in array_cols:
-        out = out.withColumn(
-            c, F.to_json(F.transform(F.col(c), lambda x: F.round(x, 6)))
-        )
-    return out.orderBy("doc_id")
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        F.element_at("features", 1).alias("f0"),
+        F.element_at("features", 2).alias("f1"),
+        F.element_at("features", 3).alias("f2"),
+        F.element_at("features", 4).alias("f3"),
+    ).orderBy("doc_id")
 
 
 # The fake resize kernel emits md5(payload || 'WxH') repeated to fill
