@@ -43,25 +43,94 @@ def _l2_ranked(vec_col, centroid: list[float], digits: int = 9):
     )
 
 
+# Above this many k·d centroid elements the literal-expression argmin
+# is replaced by the broadcast-numpy path: a 10⁴-10⁵-cluster SemDeDup
+# run would otherwise blow codegen/analysis limits with a k·d-literal
+# expression tree (VERDICT r5). Below it, the expression path is the
+# better plan (pure codegen, zero Python).
+ASSIGN_EXPR_MAX_ELEMS = 4096
+
+
 def _assign(df: DataFrame, vec_col: str, cents: list[tuple[int, list[float]]]) -> DataFrame:
-    """Nearest-centroid cell per row: argmin over k literal distances
-    (rounded, cell tiebreak) — a pure expression, no join, no shuffle."""
-    scored = F.array(
-        *[
-            F.struct(
-                _l2_ranked(F.col(vec_col), cvec).alias("d"),
-                F.lit(cell).alias("cell"),
-            )
-            for cell, cvec in cents
-        ]
+    """Nearest-centroid cell per row: argmin over k distances
+    (rounded to 9 digits, smallest-cell tiebreak) — a narrow map
+    either way, no join, no shuffle. Small k·d uses a pure literal
+    expression (codegen); large k·d broadcasts the centroid matrix
+    and runs an Arrow-batched numpy argmin with the SAME
+    round(·,9)+cell-tiebreak contract (the fold is replayed
+    dimension-by-dimension, so the doubles are bit-identical to the
+    expression fold — property-pinned in tests/test_clustering.py)."""
+    dims = {len(v) for _, v in cents}
+    if len(cents) * max(dims or {0}) <= ASSIGN_EXPR_MAX_ELEMS:
+        scored = F.array(
+            *[
+                F.struct(
+                    _l2_ranked(F.col(vec_col), cvec).alias("d"),
+                    F.lit(cell).alias("cell"),
+                )
+                for cell, cvec in cents
+            ]
+        )
+        best = F.array_sort(
+            scored,
+            lambda a, b: F.when(a["d"] < b["d"], F.lit(-1))
+            .when(a["d"] > b["d"], F.lit(1))
+            .otherwise(a["cell"] - b["cell"]),
+        )[0]["cell"]
+        return df.withColumn("_cell", best)
+    return _assign_numpy(df, vec_col, cents)
+
+
+def _assign_numpy(
+    df: DataFrame, vec_col: str, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Large-k assignment: broadcast the k×d centroid matrix (O(k·d)
+    driver→executor, parameters not data) and compute the argmin in
+    ONE Arrow-batched mapInPandas pass — still a narrow map with zero
+    shuffle, but plan size is O(1) instead of O(k·d) literals.
+
+    Exactness contract (identical to the expression path): the
+    squared-L2 is accumulated as the SAME left fold over dimensions
+    (acc += (x_j − c_j)² for j = 0..d−1, vectorized across rows and
+    centroids, so each scalar sees the identical IEEE sequence),
+    rounded to 9 digits; ties break to the smallest cell id
+    (centroids sorted ascending + argmin-first-occurrence). Assumes
+    fixed-length vectors (ragged inputs are undefined in the
+    expression path too — zip_with nulls poison the fold)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    cents = sorted(cents)  # argmin's first-occurrence tiebreak = min cell
+    cells = np.array([c for c, _ in cents], dtype=np.int64)
+    mat = np.array([v for _, v in cents], dtype=np.float64)  # [k, d]
+    bc = df.sparkSession.sparkContext.broadcast((cells, mat))
+    # fresh StructType — StructType.add would MUTATE the frame's
+    # cached schema and desync it from the JVM plan
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("_cell", T.IntegerType())]
     )
-    best = F.array_sort(
-        scored,
-        lambda a, b: F.when(a["d"] < b["d"], F.lit(-1))
-        .when(a["d"] > b["d"], F.lit(1))
-        .otherwise(a["cell"] - b["cell"]),
-    )[0]["cell"]
-    return df.withColumn("_cell", best)
+
+    def assign(batches):
+        cells_b, mat_b = bc.value
+        d = mat_b.shape[1]
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(_cell=np.array([], dtype=np.int32))
+                continue
+            x = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )  # [n, d]
+            acc = np.zeros((len(pdf), len(cells_b)))
+            for j in range(d):  # the expression fold, dimension order
+                diff = x[:, j : j + 1] - mat_b[None, :, j]
+                acc += diff * diff
+            best = np.argmin(np.round(acc, 9), axis=1)
+            out = pdf.copy()
+            out["_cell"] = cells_b[best].astype(np.int32)
+            yield out
+
+    return df.mapInPandas(assign, schema=schema)
 
 
 def kmeans_fit_assign(
