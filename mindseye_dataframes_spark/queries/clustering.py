@@ -137,16 +137,21 @@ def q163_semdedup(spark, sf_dir):
     rule). Reuses q140's engine-exact two-iteration Lloyd assignment —
     the oracle replays clustering AND dedup bit-for-bit.
 
-    Scale shape: the cluster assignment is a narrow map (centroids are
-    literals — no shuffle, and the vector rides along instead of being
-    re-joined); the quadratic pass is confined to single clusters and
-    executed as ONE numpy matmul per cell inside ``applyInPandas``
+    Scale shape: the cluster assignment is a narrow map with zero
+    shuffle either way — centroid literals below the k·d expression
+    ceiling (the plan here at k=8), a broadcast numpy centroid matrix
+    + mapInPandas argmin above it (``operators/clustering.py:
+    _assign_numpy``, same round-9/tiebreak contract, property-pinned)
+    — and the vector rides along instead of being re-joined. The
+    quadratic pass is confined to single clusters and executed as ONE
+    numpy matmul per cell inside ``applyInPandas``
     (``operators/clustering.py:semdedup_dropped`` — measured ~12×
     faster at sf0.1 than the equivalent interpreted HOF pair join),
-    which is the entire point of SemDeDup — k grows with the corpus so
-    cluster sizes stay bounded and the all-pairs cost is Σ|cluster|²
-    not N². Per-cluster stats aggregate map-side before the final
-    O(k)-row sort."""
+    which is the entire point of SemDeDup — k grows with the corpus
+    (into the 10⁴-10⁵ range the broadcast path exists for) so cluster
+    sizes stay bounded and the all-pairs cost is Σ|cluster|² not N².
+    Per-cluster stats aggregate map-side before the final O(k)-row
+    sort."""
     from mindseye_dataframes_spark.operators.clustering import (
         kmeans_fit_assign,
         semdedup_dropped,
