@@ -464,6 +464,35 @@ def q147_bpe_pair_counts(spark, sf_dir):
     )
 
 
+# 2·t_s·t·1e6 ≤ 2^63−1  ⇒  t_s·t ≤ ⌊(2^63−1)/2e6⌋
+_TVD_CEILING = (2**63 - 1) // 2_000_000
+
+
+def tvd_ppm_guarded():
+    """The q165 closing expression with its BIGINT ceiling enforced:
+    ``(present_abs + t_s·(t − present_mass)) · 1e6 DIV (2·t_s·t)``
+    over columns (t_s, t, present_abs, present_mass), raising a typed
+    error when t_s·t exceeds the ceiling instead of wrapping to a
+    wrong sign/value (Spark's non-ANSI BIGINT arithmetic wraps
+    silently). The overflow probe itself divides instead of
+    multiplying so IT cannot wrap. Property-tested past the ceiling in
+    tests/test_properties.py."""
+    over = F.expr(f"t_s > 0 AND t > 0 AND t_s > {_TVD_CEILING} DIV t")
+    return F.when(
+        over,
+        F.expr(
+            "CAST(raise_error('q165: t_s*t exceeds the exact-BIGINT ppm "
+            "ceiling (4.6e12); evaluate per shard/date partition or lift "
+            "the final division to DECIMAL(38)') AS BIGINT)"
+        ),
+    ).otherwise(
+        F.expr(
+            "(present_abs + t_s * (t - present_mass)) * 1000000"
+            " DIV (2 * t_s * t)"
+        )
+    )
+
+
 @query(
     "q165_source_divergence",
     oracle="""
@@ -511,11 +540,14 @@ def q165_source_divergence(spark, sf_dir):
 
     BIGINT ceiling (load-bearing, the functions/exact.py discipline):
     the final ``numerator × 1e6`` needs 2·t_s·t·1e6 < 2^63, i.e.
-    t_s·t < 4.6e12 — petabyte-scale token counts per *evaluation
-    scope*. Past that, run the identical query per shard/date
-    partition (TVD against the shard's pool) or lift the one final
-    division to DECIMAL; every earlier product is ≤ t_s·t and safe to
-    ~3e9 tokens per side beyond. Shape at 100 TB: one
+    t_s·t ≤ 4.611e12 — petabyte-scale token counts per *evaluation
+    scope*. The ceiling is ENFORCED, not just documented (VERDICT r5
+    item 6): past it the query raises a typed error via
+    ``tvd_ppm_guarded`` instead of silently wrapping to a wrong
+    sign/value; the mitigation is to run the identical query per
+    shard/date partition (TVD against the shard's pool) or lift the
+    one final division to DECIMAL. Every earlier product is ≤ t_s·t
+    and safe to ~3e9 tokens per side beyond. Shape at 100 TB: one
     (source, word) hash-aggregate (map-side combine eats almost all
     of it), two roll-ups of that, one equi-join back on word, and a
     1-row broadcast total; everything after the first aggregate is
@@ -548,10 +580,7 @@ def q165_source_divergence(spark, sf_dir):
             "source",
             F.col("t_s").alias("n_tokens"),
             "n_distinct",
-            F.expr(
-                "(present_abs + t_s * (t - present_mass)) * 1000000"
-                " DIV (2 * t_s * t)"
-            ).alias("tvd_ppm"),
+            tvd_ppm_guarded().alias("tvd_ppm"),
         )
         .orderBy("source")
     )

@@ -687,3 +687,46 @@ def test_connect_degradation_falls_back_gracefully(spark):
     f_rows = {tuple(r) for r in fused.select("event_id", "event_type", "val").collect()}
     g_rows = {tuple(r) for r in generic.select("event_id", "event_type", "val").collect()}
     assert f_rows == g_rows and f_rows
+
+
+def test_tvd_ppm_guard_errors_past_ceiling_exact_below(spark):
+    """q165's closing expression must be exact BIGINT arithmetic below
+    the 2·t_s·t·1e6 < 2^63 ceiling and raise a typed error (never wrap
+    to a wrong sign/value) above it — VERDICT r5 item 6."""
+    import pytest
+
+    from mindseye_dataframes_spark.queries.corpus_stats import (
+        _TVD_CEILING,
+        tvd_ppm_guarded,
+    )
+
+    # below the ceiling: matches plain-python exact integer arithmetic
+    ok_rows = [
+        (10**6, 4 * 10**6, 3 * 10**9, 2 * 10**6),
+        (2_000_000, 2_300_000, 10**12, 1_500_000),
+        (1, 1, 0, 1),
+    ]
+    df = spark.createDataFrame(
+        ok_rows, "t_s long, t long, present_abs long, present_mass long"
+    )
+    got = [r["ppm"] for r in df.select(tvd_ppm_guarded().alias("ppm")).collect()]
+    want = [
+        (pa + ts * (t - pm)) * 1_000_000 // (2 * ts * t)
+        for ts, t, pa, pm in ok_rows
+    ]
+    assert got == want
+
+    # just below vs just above the enforced boundary
+    t = 3_000_000_000
+    ts_max = _TVD_CEILING // t
+    below = spark.createDataFrame(
+        [(ts_max, t, 0, t)], "t_s long, t long, present_abs long, present_mass long"
+    )
+    assert below.select(tvd_ppm_guarded().alias("ppm")).collect()[0]["ppm"] == 0
+
+    above = spark.createDataFrame(
+        [(ts_max + 1, t, 0, t)],
+        "t_s long, t long, present_abs long, present_mass long",
+    )
+    with pytest.raises(Exception, match="exact-BIGINT ppm ceiling"):
+        above.select(tvd_ppm_guarded().alias("ppm")).collect()
