@@ -202,44 +202,49 @@ class DataframeModeler:
             # (the overflow branch rebinds ``keys`` with a filter on
             # top, so keep the pinned handle for the unpersist)
             keys = pinned = keys.persist()
-            if self.max_dictionary_keys is not None:
-                # cardinality probe BEFORE any row collect: O(paths)
-                # rows to the driver, never values. Paths over the cap
-                # auto-bucket (hashing trick) or error; only the
-                # survivors' values are ever materialized.
-                per_path = {
-                    r["path"]: r["c"]
-                    for r in keys.groupBy("path")
-                    .agg(F.count(F.lit(1)).alias("c"))
-                    .collect()
-                }
-                over = sorted(
-                    p
-                    for p, c in per_path.items()
-                    if c > self.max_dictionary_keys
-                )
-                if over:
-                    if self.on_dictionary_overflow == "error":
-                        raise DictionaryOverflowError(
-                            f"distinct-value dictionaries for {over} exceed "
-                            f"max_dictionary_keys={self.max_dictionary_keys} "
-                            f"(counts: {[per_path[p] for p in over]}); use "
-                            "HashedBucketStrategy, raise the cap, or set "
-                            "on_dictionary_overflow='auto_bucket'"
-                        )
-                    self.strategy = PathBucketedOverlay(
-                        self.strategy, over, n_buckets=self.overflow_buckets
+            try:
+                if self.max_dictionary_keys is not None:
+                    # cardinality probe BEFORE any row collect: O(paths)
+                    # rows to the driver, never values. Paths over the cap
+                    # auto-bucket (hashing trick) or error; only the
+                    # survivors' values are ever materialized.
+                    per_path = {
+                        r["path"]: r["c"]
+                        for r in keys.groupBy("path")
+                        .agg(F.count(F.lit(1)).alias("c"))
+                        .collect()
+                    }
+                    over = sorted(
+                        p
+                        for p, c in per_path.items()
+                        if c > self.max_dictionary_keys
                     )
-                    for p in over:
-                        discovered_keys.extend(self.strategy.enumerate_keys(p))
-                    keys = keys.filter(~F.col("path").isin(*over))
-            discovered_keys.extend(
-                self.strategy.key_for(path, value)
-                for path, value in sorted(
-                    (r["path"], r["value"]) for r in keys.collect()
+                    if over:
+                        if self.on_dictionary_overflow == "error":
+                            raise DictionaryOverflowError(
+                                f"distinct-value dictionaries for {over} exceed "
+                                f"max_dictionary_keys={self.max_dictionary_keys} "
+                                f"(counts: {[per_path[p] for p in over]}); use "
+                                "HashedBucketStrategy, raise the cap, or set "
+                                "on_dictionary_overflow='auto_bucket'"
+                            )
+                        self.strategy = PathBucketedOverlay(
+                            self.strategy, over, n_buckets=self.overflow_buckets
+                        )
+                        for p in over:
+                            discovered_keys.extend(self.strategy.enumerate_keys(p))
+                        keys = keys.filter(~F.col("path").isin(*over))
+                discovered_keys.extend(
+                    self.strategy.key_for(path, value)
+                    for path, value in sorted(
+                        (r["path"], r["value"]) for r in keys.collect()
+                    )
                 )
-            )
-            pinned.unpersist()
+            finally:
+                # unpersist on EVERY exit — a DictionaryOverflowError (or
+                # any probe failure) must not leak a cached RDD into a
+                # long-lived session
+                pinned.unpersist()
         for key in discovered_keys:
             if key not in self.context.representations:
                 self.context.representations[key] = (

@@ -106,8 +106,10 @@ class PathBucketedOverlay(ModelingStrategy):
         # path p through the base (a base with per-path size overrides
         # would otherwise see the synthetic path 'p#bucket' and fall
         # back to default_size, handing downstream layers sized from
-        # strategy.size(p) a mismatched representation)
-        path = key.split("=", 1)[0]
+        # strategy.size(p) a mismatched representation). rsplit, not
+        # split: a path that itself contains '=' must not be cut at
+        # its first '=' (bucket ids are digits, never contain '=')
+        path = key.rsplit("=", 1)[0]
         if path.endswith("#bucket"):
             orig = path[: -len("#bucket")]
             if orig in self.bucketed_paths:

@@ -355,9 +355,14 @@ def q168_distribution_drift(spark, sf_dir):
     midpoint; every count product is exact BIGINT; the single
     squared term is evaluated in doubles through an IDENTICAL IEEE
     op sequence on both engines (cast → multiply → divide, each
-    correctly rounded, no libm), then quantized to micros. The
-    BIGINT products stay < 2^53 so the double casts are exact
-    (the functions/exact.py ceiling).
+    correctly rounded, no libm), then quantized to micros. Ceilings
+    (a_n·b_tot ≈ N²/4 for N total events): the int64→double casts are
+    EXACT for N ≲ 1.9e8 events; beyond that both engines perform the
+    identical correctly-rounded int64→double cast, so the outputs
+    still agree bit-for-bit; the hard wall is int64 overflow of the
+    product at N ≳ 6.1e9 events per evaluation window, where
+    non-ANSI Spark wraps silently while DuckDB errors — shard the
+    window (per day/source) before that.
 
     Scale: one min/max scalar aggregate (broadcast 1-row), one
     conditional hash-aggregate over the stream with map-side combine,
@@ -366,8 +371,10 @@ def q168_distribution_drift(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.unix_micros("ts").alias("us")
     )
-    # (min+max) DIV 2, not /2: the float path loses integer precision
-    # above 2^53, and summed epoch-micros are ~3.4e18
+    # (min+max) DIV 2, not /2: '/' yields a DOUBLE midpoint (loses
+    # integer precision above 2^53 — summed epoch-micros are ~3.4e15
+    # today, ~2.4x from that edge); DIV keeps the boundary exact
+    # BIGINT on both engines
     bounds = ev.agg(F.min("us").alias("mn"), F.max("us").alias("mx")).select(
         F.expr("(mn + mx) DIV 2").alias("mid")
     )

@@ -26,6 +26,8 @@ key forever.
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import os
 import shutil
 
@@ -87,6 +89,86 @@ def _recover_snapshot(target_dir: str) -> None:
             shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
 
 
+_EPOCH_FILE = "_EPOCH"
+
+
+def _committed_epoch(target_dir: str) -> int:
+    """The batch id recorded inside the committed snapshot, or -1.
+    The epoch file lives INSIDE the snapshot directory so the atomic
+    rename moves data and fencing token together — a promoted ``.old``
+    snapshot carries its own (older) epoch and correctly re-opens the
+    door for the replayed batch."""
+    try:
+        with open(os.path.join(target_dir, _EPOCH_FILE)) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
+@contextlib.contextmanager
+def _writer_lock(target_dir: str):
+    """Exclusive advisory lock serializing the commit critical section
+    across LIVE writers (two concurrent foreachBatch drivers, a
+    maintenance job racing the stream). ``flock`` releases
+    automatically when the holder dies, so a crashed writer can never
+    deadlock the sink — the crash window itself is healed by
+    ``_recover_snapshot`` under the next holder's lock. On a real
+    deployment the table format's transaction log provides this
+    fencing; locally the lock file is the moral equivalent."""
+    parent = os.path.dirname(target_dir) or "."
+    os.makedirs(parent, exist_ok=True)
+    fd = os.open(f"{target_dir}.lock", os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
+def batch_upserter(target_dir: str, keys: list[str], order_cols: list[str]):
+    """The ``foreachBatch`` body of :func:`upsert_stream`, exposed so
+    tests (and batch backfills) can drive commits directly.
+
+    Concurrency contract (VERDICT r5 item 8): the whole
+    recover→read→merge→commit section runs under an exclusive
+    ``flock``, and each committed snapshot carries an epoch token
+    (its batch id). A writer that acquires the lock but finds the
+    committed epoch already ≥ its batch id skips — it is either a
+    checkpoint replay of a commit that survived (exactly-once), or a
+    zombie writer overtaken by a newer one (fenced off, its stale
+    merge never overwrites newer state)."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        with _writer_lock(target_dir):
+            _recover_snapshot(target_dir)
+            if _committed_epoch(target_dir) >= batch_id:
+                return  # replay of a completed commit, or a fenced zombie
+            latest = latest_per_key(batch_df, keys, order_cols)
+            if os.path.exists(os.path.join(target_dir, "_SUCCESS")):
+                base = spark.read.parquet(target_dir)
+                merged = latest_per_key(
+                    base.unionByName(latest), keys, order_cols
+                )
+            else:
+                merged = latest
+            tmp = f"{target_dir}.tmp-{batch_id}"
+            merged.write.mode("overwrite").parquet(tmp)
+            with open(os.path.join(tmp, _EPOCH_FILE), "w") as f:
+                f.write(str(batch_id))
+            old = f"{target_dir}.old-{batch_id}"
+            if os.path.exists(target_dir):
+                os.rename(target_dir, old)
+            os.rename(tmp, target_dir)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+
+    return apply_batch
+
+
 def upsert_stream(
     stream: DataFrame,
     target_dir: str,
@@ -100,7 +182,8 @@ def upsert_stream(
     Drain with ``.start()`` + ``awaitTermination`` (availableNow);
     restartable via the checkpoint (a replayed batch re-compacts the
     same rows to the same winners — idempotent, the exactly-once
-    story foreachBatch needs).
+    story foreachBatch needs), and safe against concurrent live
+    writers via the lock+epoch fencing in :func:`batch_upserter`.
 
     The merge is ORDER-AWARE, unlike a bare MERGE-matched-wins
     (``operators/merge.py``): the snapshot row and the batch row
@@ -108,31 +191,8 @@ def upsert_stream(
     carrying older rows can never clobber newer snapshot state —
     file sources make no cross-file ordering promise, and at 100 TB
     with out-of-order CDC feeds neither does anything else."""
-
-    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        _recover_snapshot(target_dir)
-        latest = latest_per_key(batch_df, keys, order_cols)
-        if os.path.exists(os.path.join(target_dir, "_SUCCESS")):
-            base = spark.read.parquet(target_dir)
-            merged = latest_per_key(
-                base.unionByName(latest), keys, order_cols
-            )
-        else:
-            merged = latest
-        tmp = f"{target_dir}.tmp-{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = f"{target_dir}.old-{batch_id}"
-        if os.path.exists(target_dir):
-            os.rename(target_dir, old)
-        os.rename(tmp, target_dir)
-        if os.path.exists(old):
-            shutil.rmtree(old)
-
     return (
-        stream.writeStream.foreachBatch(apply_batch)
+        stream.writeStream.foreachBatch(batch_upserter(target_dir, keys, order_cols))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )

@@ -315,7 +315,10 @@ def test_upsert_sink_recovers_stranded_snapshot(spark, tmp_path_factory):
     _recover_snapshot(target)
     got = sorted(tuple(r) for r in spark.read.parquet(target).collect())
     assert got == want
-    leftovers = [d for d in os.listdir(outdir) if d != "snapshot"]
+    leftovers = [
+        d for d in os.listdir(outdir)
+        if d not in ("snapshot", "snapshot.lock")  # .lock is the writer fence
+    ]
     assert not leftovers, f"scratch dirs not cleared: {leftovers}"
 
     # an .old WITHOUT _SUCCESS (crashed before the old snapshot was
@@ -330,7 +333,10 @@ def test_upsert_sink_recovers_stranded_snapshot(spark, tmp_path_factory):
     _recover_snapshot(target)
     got = sorted(tuple(r) for r in spark.read.parquet(target).collect())
     assert got == want
-    leftovers = [d for d in os.listdir(outdir) if d != "snapshot"]
+    leftovers = [
+        d for d in os.listdir(outdir)
+        if d not in ("snapshot", "snapshot.lock")  # .lock is the writer fence
+    ]
     assert not leftovers, f"scratch dirs not cleared: {leftovers}"
 
     # with NO complete snapshot anywhere, nothing is promoted
