@@ -431,3 +431,167 @@ def q173_mixture_materialized(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+_UNIMAX_EPOCH_CAP = 3  # max epochs any source may repeat
+_UNIMAX_BUDGET_EPOCHS = 2  # training budget = 2x the corpus
+
+
+@query(
+    "q174_unimax_mixture",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t_s
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(t_s) AS BIGINT) AS tot,
+                   CAST(count(*) AS BIGINT) AS n FROM tok),
+    u AS (SELECT source, t_s, t_s * {_UNIMAX_EPOCH_CAP} AS cap,
+                 tot.tot * {_UNIMAX_BUDGET_EPOCHS} AS budget, tot.n
+          FROM tok CROSS JOIN tot),
+    r AS (SELECT *,
+                 CAST(ROW_NUMBER() OVER (ORDER BY cap, source) AS BIGINT) AS i,
+                 CAST(sum(cap) OVER (ORDER BY cap, source
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+          FROM u),
+    f AS (SELECT *, CASE WHEN cap <= (budget - (p - cap)) // (n - i + 1)
+                         THEN 1 ELSE 0 END AS flag FROM r),
+    pf AS (SELECT *, CAST(min(flag) OVER (ORDER BY cap, source
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS sat FROM f),
+    kk AS (SELECT CAST(sum(sat) AS BIGINT) AS k,
+                  CAST(coalesce(sum(CASE WHEN sat = 1 THEN cap END), 0)
+                       AS BIGINT) AS pk FROM pf)
+    SELECT source, t_s AS supply_tokens, cap AS cap_tokens,
+           CAST(CASE WHEN sat = 1 THEN cap
+                     ELSE (budget - kk.pk) // (n - kk.k) END AS BIGINT)
+             AS alloc_tokens,
+           CAST((CASE WHEN sat = 1 THEN cap
+                      ELSE (budget - kk.pk) // (n - kk.k) END) * 1000000 // t_s
+                AS BIGINT) AS epochs_ppm,
+           sat = 1 AS saturated
+    FROM pf CROSS JOIN kk ORDER BY source
+    """,
+    tags=("curation", "mixture", "north-star"),
+)
+def q174_unimax_mixture(spark, sf_dir):
+    """UniMax mixture allocation (Chung et al. 2023, arXiv:2304.09151):
+    spread the training budget UNIFORMLY across sources, but cap any
+    source at ``_UNIMAX_EPOCH_CAP`` epochs of its supply — the
+    alternative to temperature sampling (q166) that never over-repeats
+    low-resource sources. The waterfill is computed in closed form:
+    sources ascend by capped supply; a source is saturated iff its cap
+    fits under the running fair share (budget − smaller caps, split
+    over the rest); everything after the saturation prefix takes the
+    equal integer share of what remains. All BIGINT with DIV — the
+    allocation is bit-identical on both engines, no iterative loop.
+
+    Scale: ONE token-count aggregate over the corpus; the waterfill
+    itself runs on |sources| rows (a single-partition window over
+    parameters, not data — 10⁴ sources is still nothing), so the plan
+    is corpus-scan-bound exactly like q166."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("t_s")
+    )
+    tot = tok.agg(
+        F.sum("t_s").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    u = tok.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "t_s",
+        (F.col("t_s") * _UNIMAX_EPOCH_CAP).alias("cap"),
+        (F.col("tot") * _UNIMAX_BUDGET_EPOCHS).alias("budget"),
+        "n",
+    )
+    w = Window.orderBy("cap", "source").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = u.withColumn(
+        "i", F.row_number().over(Window.orderBy("cap", "source"))
+    ).withColumn("p", F.sum("cap").over(w))
+    flagged = ranked.withColumn(
+        "flag",
+        F.when(
+            F.expr("cap <= (budget - (p - cap)) DIV (n - i + 1)"), 1
+        ).otherwise(0),
+    ).withColumn("sat", F.min("flag").over(w))
+    scalars = flagged.agg(
+        F.sum("sat").alias("k"),
+        F.coalesce(
+            F.sum(F.when(F.col("sat") == 1, F.col("cap"))), F.lit(0)
+        ).alias("pk"),
+    )
+    alloc = F.expr(
+        "CASE WHEN sat = 1 THEN cap ELSE (budget - pk) DIV (n - k) END"
+    )
+    return (
+        flagged.crossJoin(F.broadcast(scalars))
+        .select(
+            "source",
+            F.col("t_s").alias("supply_tokens"),
+            F.col("cap").alias("cap_tokens"),
+            alloc.alias("alloc_tokens"),
+            (F.col("sat") == 1).alias("saturated"),
+        )
+        .withColumn(
+            "epochs_ppm", F.expr("alloc_tokens * 1000000 DIV supply_tokens")
+        )
+        .select(
+            "source", "supply_tokens", "cap_tokens", "alloc_tokens",
+            "epochs_ppm", "saturated",
+        )
+        .orderBy("source")
+    )
+
+
+_PACK_SEQ_LEN = 512
+
+
+@query(
+    "q176_packing_efficiency",
+    oracle=f"""
+    WITH tk AS (
+      SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS total_tokens,
+           CAST(sum((ntok + {_PACK_SEQ_LEN - 1}) // {_PACK_SEQ_LEN})
+                AS BIGINT) AS n_seqs,
+           CAST(sum(ntok) * 1000000
+             // (sum((ntok + {_PACK_SEQ_LEN - 1}) // {_PACK_SEQ_LEN})
+                 * {_PACK_SEQ_LEN}) AS BIGINT) AS util_ppm
+    FROM tk GROUP BY source ORDER BY source
+    """,
+    tags=("curation", "packing", "north-star"),
+)
+def q176_packing_efficiency(spark, sf_dir):
+    """Sequence-packing utilization per source at seq_len 512 under
+    the no-cross-document rule (each doc splits into ⌈ntok/L⌉
+    sequences, the tail padded): util_ppm = tokens / (n_seqs·L). This
+    is the planning stat that decides whether a source needs the
+    cross-doc greedy packer (q81) — a source with util far below 1e6
+    is mostly short docs whose padding the packer can reclaim. Pure
+    integer arithmetic (ceil via (n+L−1) DIV L), one hash-aggregate
+    with map-side combine; scan-bound at any scale."""
+    tk = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).cast("long").alias("ntok")
+    )
+    L = _PACK_SEQ_LEN
+    return (
+        tk.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").alias("total_tokens"),
+            F.sum(F.expr(f"(ntok + {L - 1}) DIV {L}")).alias("n_seqs"),
+        )
+        .withColumn(
+            "util_ppm",
+            F.expr(f"total_tokens * 1000000 DIV (n_seqs * {L})"),
+        )
+        .orderBy("source")
+    )

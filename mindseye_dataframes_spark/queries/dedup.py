@@ -672,3 +672,67 @@ def q170_shared_span_stats(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_NOVELTY_BATCH = 100  # docs per ingest batch (doc_id is ingest order)
+
+
+@query(
+    "q175_ingest_novelty",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id // {_NOVELTY_BATCH} AS batch,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fp
+      FROM documents),
+    fb AS (SELECT fp, CAST(min(batch) AS BIGINT) AS first_batch
+           FROM f GROUP BY fp)
+    SELECT CAST(f.batch AS BIGINT) AS batch,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT f.fp) AS BIGINT) AS n_distinct,
+           CAST(count(DISTINCT CASE WHEN fb.first_batch = f.batch
+                                    THEN f.fp END) AS BIGINT) AS n_novel,
+           CAST(count(DISTINCT CASE WHEN fb.first_batch = f.batch
+                                    THEN f.fp END) * 1000000
+                // count(DISTINCT f.fp) AS BIGINT) AS novelty_ppm
+    FROM f JOIN fb ON fb.fp = f.fp
+    GROUP BY f.batch ORDER BY batch
+    """,
+    tags=("dedup", "incremental", "north-star"),
+)
+def q175_ingest_novelty(spark, sf_dir):
+    """Crawl-health novelty curve: per ingest batch (doc_id is ingest
+    order), what fraction of its distinct content fingerprints was
+    never seen in ANY earlier batch? A crawler whose novelty_ppm
+    decays toward zero is re-fetching the same content — the signal
+    that decides when to stop paying for a source. Fingerprints are
+    the order-insensitive bag digest (q115), so shuffled near-copies
+    count as stale, not novel.
+
+    Scale shape: one fingerprint map (row-local), one (fp → min batch)
+    hash-aggregate — at 100 TB that aggregate IS the persisted
+    first-seen index q154 maintains incrementally, so the nightly form
+    joins the new batch against the index instead of rescanning — and
+    one per-batch count-distinct roll-up."""
+    from mindseye_dataframes_spark.functions.textfns import bag_fingerprint
+
+    f = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") / _NOVELTY_BATCH).cast("long").alias("batch"),
+        bag_fingerprint(F.col("text")).alias("fp"),
+    )
+    fb = f.groupBy("fp").agg(F.min("batch").alias("first_batch"))
+    novel = F.when(F.col("first_batch") == F.col("batch"), F.col("fp"))
+    return (
+        f.join(fb, "fp")
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct"),
+            F.countDistinct(novel).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_ppm", F.expr("n_novel * 1000000 DIV n_distinct")
+        )
+        .select("batch", "n_docs", "n_distinct", "n_novel", "novelty_ppm")
+        .orderBy("batch")
+    )
