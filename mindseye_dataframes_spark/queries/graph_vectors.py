@@ -168,23 +168,63 @@ def q127_int8_quantize(spark, sf_dir):
 
 @query(
     "q128_pca_projection",
-    oracle=None,  # eigendecomposition is not SQL-expressible; numeric
-    # parity vs direct numpy PCA is pinned in tests/test_training_ops.py
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(2 AS INT) AS k,
+           true AS centered_ok, true AS var_ordered_ok,
+           true AS decorrelated_ok, true AS variance_share_ok
+    FROM embeddings
+    """,
     tags=("vector", "pca", "north-star"),
 )
 def q128_pca_projection(spark, sf_dir):
     """Top-2 principal-component projection of the embedding corpus
-    (operators/decomp.py) — rounded to 4 digits for display stability;
-    the driver applies its rows-only check here."""
+    (operators/decomp.py), driver-gated on the SPECTRAL CONTRACT the
+    eigendecomposition must satisfy (the values themselves are
+    sign-ambiguous and not SQL-expressible; numeric parity vs a direct
+    numpy PCA is pinned in tests/test_training_ops.py): projections of
+    centered data must have ~zero mean, component variances must
+    descend, distinct components' projections must be uncorrelated
+    (the eigen property), and the top-2 variance share must sit
+    between the uniform floor 2/d and the total. A wrong eigensolver,
+    a skipped centering, or a non-orthogonal basis flips a gate and
+    the driver row goes red."""
     from mindseye_dataframes_spark.operators.decomp import pca_project
 
     emb = load_table(spark, sf_dir, "embeddings")
-    out = pca_project(emb, "vec_id", "embedding", k=2)
-    return out.select(
-        "vec_id",
-        F.round(F.col("pc")[0], 4).alias("pc1"),
-        F.round(F.col("pc")[1], 4).alias("pc2"),
-    ).orderBy("vec_id")
+    out = pca_project(emb, "vec_id", "embedding", k=2).select(
+        F.col("pc")[0].alias("pc1"), F.col("pc")[1].alias("pc2")
+    )
+    total_var = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.var_samp(F.col("x").cast("double")).alias("v"))
+        .agg(F.sum("v").alias("total_var"))
+    )
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("pc1").alias("m1"),
+        F.avg("pc2").alias("m2"),
+        F.var_samp("pc1").alias("v1"),
+        F.var_samp("pc2").alias("v2"),
+        F.covar_samp("pc1", "pc2").alias("c12"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(total_var))
+        .select(
+            "n",
+            F.lit(2).alias("k"),
+            F.expr(
+                "abs(m1) <= 1e-6 * sqrt(v1) AND abs(m2) <= 1e-6 * sqrt(v2)"
+            ).alias("centered_ok"),
+            F.expr("v1 >= v2").alias("var_ordered_ok"),
+            F.expr("abs(c12) <= 1e-6 * sqrt(v1 * v2)").alias("decorrelated_ok"),
+            F.expr(
+                "v1 + v2 <= total_var * 1.000001"
+                " AND (v1 + v2) * 32 >= total_var"  # ≥ 2/64 uniform floor
+            ).alias("variance_share_ok"),
+        )
+    )
 
 
 @query(

@@ -201,26 +201,51 @@ def q84_video_frame_sample(spark, sf_dir):
     )
 
 
+_PHASH_FEATS = ["((strpos('0123456789abcdef', substr(hx, 1, 1))-1)*16 + strpos('0123456789abcdef', substr(hx, 2, 1))-1)/255.0", "((strpos('0123456789abcdef', substr(hx, 3, 1))-1)*16 + strpos('0123456789abcdef', substr(hx, 4, 1))-1)/255.0", "((strpos('0123456789abcdef', substr(hx, 5, 1))-1)*16 + strpos('0123456789abcdef', substr(hx, 6, 1))-1)/255.0", "((strpos('0123456789abcdef', substr(hx, 7, 1))-1)*16 + strpos('0123456789abcdef', substr(hx, 8, 1))-1)/255.0"]
+_PHASH_MEAN = "((({0} + {1}) + {2}) + {3}) / 4.0".format(*_PHASH_FEATS)
+_PHASH_BITS = " + ".join(
+    f"CASE WHEN {f} > m.mean THEN {w} ELSE 0 END"
+    for f, w in zip(_PHASH_FEATS, (8, 4, 2, 1))
+)
+
+
 @query(
     "q112_image_phash_clusters",
-    oracle=None,  # phash derives from the decode kernel — rows-only
+    oracle=f"""
+    WITH rep AS (
+      SELECT m.doc_id, md5(r.text) AS hx
+      FROM documents m JOIN documents r ON r.doc_id = m.doc_id % 300),
+    m AS (
+      SELECT doc_id, hx, {_PHASH_MEAN} AS mean FROM rep),
+    p AS (
+      SELECT doc_id,
+             substr('0123456789abcdef', 1 + ({_PHASH_BITS}), 1) AS phash
+      FROM m)
+    SELECT phash, CAST(count(*) AS BIGINT) AS n_images,
+           min(doc_id) AS canonical_id
+    FROM p GROUP BY phash HAVING count(*) > 1
+    ORDER BY canonical_id
+    """,
     tags=("multimodal", "dedup", "north-star"),
 )
 def q112_image_phash_clusters(spark, sf_dir):
     """Image dedup via perceptual hash: payloads (synthesized with
-    forced duplicates — every doc shares its image with doc_id % 300)
-    → aHash → groupBy(phash) clusters. The all-pairs image comparison
-    becomes one hash-aggregate, the multimodal twin of exact text
-    dedup (q30)."""
+    forced duplicates — every doc re-embeds the image of doc
+    ``doc_id % 300``, the deterministic representative) → aHash →
+    groupBy(phash) clusters. The all-pairs image comparison becomes
+    one hash-aggregate, the multimodal twin of exact text dedup (q30).
+    Driver-hash-checked since round 6: the stub kernel's aHash is a
+    pure function of md5(payload) — four features h[i]/255, each bit =
+    feature > mean with the SAME left-associated sum — so DuckDB
+    replays the hash bit-for-bit from the hex digest (the q42/q66/q67
+    technique), clusters included."""
     from mindseye_dataframes_spark.operators.multimodal import image_phash
 
     docs = load_table(spark, sf_dir, "documents")
-    shared = docs.select(
-        (F.col("doc_id") % 300).alias("img_key"), F.col("text")
-    ).dropDuplicates(["img_key"])
+    rep = docs.select(F.col("doc_id").alias("img_key"), "text")
     payloads = (
         docs.select("doc_id", (F.col("doc_id") % 300).alias("img_key"))
-        .join(shared, "img_key")
+        .join(rep, "img_key")
         .withColumn("payload", F.encode("text", "utf-8"))
     )
     packed = pack_blob(payloads, "payload", mime="image/fake")

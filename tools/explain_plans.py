@@ -31,6 +31,8 @@ def main() -> None:
             "q158_dedup_pipeline_end_to_end",
             "q163_semdedup",
             "q165_source_divergence",
+            "q167_net_token_accounting",
+            "q174_unimax_mixture",
         )
         if n in registry
     ]
