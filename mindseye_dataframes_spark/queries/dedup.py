@@ -717,7 +717,8 @@ def q175_ingest_novelty(spark, sf_dir):
     from mindseye_dataframes_spark.functions.textfns import bag_fingerprint
 
     f = load_table(spark, sf_dir, "documents").select(
-        (F.col("doc_id") / _NOVELTY_BATCH).cast("long").alias("batch"),
+        # DIV, not /: the double path loses integer precision past 2^53
+        F.expr(f"doc_id DIV {_NOVELTY_BATCH}").alias("batch"),
         bag_fingerprint(F.col("text")).alias("fp"),
     )
     fb = f.groupBy("fp").agg(F.min("batch").alias("first_batch"))

@@ -730,3 +730,38 @@ def test_tvd_ppm_guard_errors_past_ceiling_exact_below(spark):
     )
     with pytest.raises(Exception, match="exact-BIGINT ppm ceiling"):
         above.select(tvd_ppm_guarded().alias("ppm")).collect()
+
+
+def test_dedup_pair_stage_cache_is_shared_and_correct(spark, sf_dir):
+    """VERDICT r5 item 5: q32/q77/q79/q158/q167 share one
+    LSH→verify(→contract) stage per (session, sf_dir, threshold). The
+    cached frames must be (a) the same object on repeat calls (no
+    rebuild), (b) equal to a from-scratch derivation, and (c) distinct
+    per threshold."""
+    from mindseye_dataframes_spark.operators.dedup import jaccard_verified_pairs
+    from mindseye_dataframes_spark.queries.dedup import (
+        dup_clusters_cached,
+        verified_pairs_cached,
+    )
+    from mindseye_dataframes_spark.sources.readers import load_table
+
+    p1 = verified_pairs_cached(spark, sf_dir, 0.5)
+    p2 = verified_pairs_cached(spark, sf_dir, 0.5)
+    assert p1 is p2  # no rebuild within a session
+    fresh = jaccard_verified_pairs(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5
+    )
+    got = sorted(map(tuple, p1.collect()))
+    assert got == sorted(map(tuple, fresh.collect()))
+
+    c1 = dup_clusters_cached(spark, sf_dir, 0.5)
+    assert c1 is dup_clusters_cached(spark, sf_dir, 0.5)
+    labels = {r["doc_id"]: r["cluster_id"] for r in c1.collect()}
+    # cluster label is the component's min id, and members of a pair
+    # share a label
+    for r in p1.collect():
+        assert labels[r["id_a"]] == labels[r["id_b"]]
+    assert all(label <= doc for doc, label in labels.items())
+
+    p9 = verified_pairs_cached(spark, sf_dir, 0.9)
+    assert p9 is not p1  # thresholds don't alias
