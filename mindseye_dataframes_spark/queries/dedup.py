@@ -13,7 +13,6 @@ import weakref
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from mindseye_dataframes_spark.functions.exact import oracle_tuple_rank, tuple_rank
 from mindseye_dataframes_spark.functions.vectors import cosine_ranked
@@ -25,31 +24,35 @@ from mindseye_dataframes_spark.operators.dedup import (
 from mindseye_dataframes_spark.queries.registry import query
 from mindseye_dataframes_spark.sources.readers import load_table
 
-# Five queries (q32/q77/q79/q158/q167) consume the SAME
+# Four queries (q77/q79/q158/q167) consume the SAME
 # LSH→Jaccard-verified pair relation over the documents table, and
 # three of them also contract it to components. Re-deriving that
 # stage per query made q167 the heaviest query in the suite (VERDICT
 # r5 item 5), so the stage is computed once per (session, sf_dir,
-# threshold) and shared: the pair frame is persisted (it is the
-# verified-duplicate set — tiny relative to the corpus), and the
-# cluster frame is the star-contraction output, which
-# connected_components_star already materializes via localCheckpoint.
-# The cache is keyed weakly by session so a torn-down session frees
-# its frames; entries assume the sf_dir's contents are immutable for
-# the session's lifetime (true for the driver, bench, and tests).
+# threshold) and shared (q32 keeps its direct pipeline — see its
+# bench note): the pair frame is localCheckpoint-ed (it is the
+# verified-duplicate set — tiny relative to the corpus; a stored RDD,
+# not a CacheManager entry, so the build keeps AQE coalescing and the
+# first materialization costs the same as a direct run — persist()
+# measured ~40% slower cold), and the cluster frame is the
+# star-contraction output, which connected_components_star already
+# materializes via localCheckpoint. The cache is keyed weakly by
+# session so a torn-down session frees its frames; entries assume the
+# sf_dir's contents are immutable for the session's lifetime (true
+# for the driver, bench, and tests).
 _PAIR_STAGE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def verified_pairs_cached(spark, sf_dir: str, threshold: float = 0.5):
     """The q32 pair machinery (MinHash → LSH bands → exact-Jaccard
-    verify), persisted once per session/sf_dir/threshold."""
+    verify), materialized once per session/sf_dir/threshold."""
     per_session = _PAIR_STAGE_CACHE.setdefault(spark, {})
     key = ("pairs", os.path.realpath(sf_dir), threshold)
     if key not in per_session:
         docs = load_table(spark, sf_dir, "documents")
         per_session[key] = jaccard_verified_pairs(
             docs, "text", "doc_id", threshold=threshold
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        ).localCheckpoint(eager=False)
     return per_session[key]
 
 
@@ -167,7 +170,16 @@ def q31_minhash_signatures(spark, sf_dir):
     bench=True,
 )
 def q32_lsh_dup_pairs(spark, sf_dir):
-    return verified_pairs_cached(spark, sf_dir, 0.5).orderBy("id_a", "id_b")
+    # deliberately NOT the session-shared cached stage: q32 is the
+    # bench-timed query, and a CacheManager-persisted plan loses AQE
+    # partition coalescing and rebuilds pathologically after
+    # clearCache (measured 1.3 s direct vs 6-7 s via a cleared cache
+    # at sf0.1); the cache exists for the CLUSTER consumers
+    # (q77/q79/q158/q167) that reuse the stage within a session
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_verified_pairs(
+        docs, "text", "doc_id", threshold=0.5
+    ).orderBy("id_a", "id_b")
 
 
 @query(
