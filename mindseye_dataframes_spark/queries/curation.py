@@ -486,50 +486,56 @@ def q174_unimax_mixture(spark, sf_dir):
     equal integer share of what remains. All BIGINT with DIV — the
     allocation is bit-identical on both engines, no iterative loop.
 
-    Scale: ONE token-count aggregate over the corpus; the waterfill
-    itself runs on |sources| rows (a single-partition window over
-    parameters, not data — 10⁴ sources is still nothing), so the plan
-    is corpus-scan-bound exactly like q166."""
+    Scale: ONE token-count aggregate over the corpus — literally one
+    parquet scan in the plan: the budget, source count, saturation
+    prefix, and its totals are all full-frame window aggregates over
+    the same |sources|-row frame (a naive agg-and-cross-join form
+    re-derived the corpus aggregate five times; window form keeps the
+    single subtree). The waterfill runs on parameters, not data —
+    single-partition windows over 10⁴ sources are nothing."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.groupBy("source").agg(
         F.sum(F.size(F.split("text", " "))).alias("t_s")
     )
-    tot = tok.agg(
-        F.sum("t_s").alias("tot"), F.count(F.lit(1)).alias("n")
+    full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    u = tok.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "t_s",
-        (F.col("t_s") * _UNIMAX_EPOCH_CAP).alias("cap"),
-        (F.col("tot") * _UNIMAX_BUDGET_EPOCHS).alias("budget"),
-        "n",
-    )
-    w = Window.orderBy("cap", "source").rowsBetween(
+    cum = Window.orderBy("cap", "source").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    ranked = u.withColumn(
-        "i", F.row_number().over(Window.orderBy("cap", "source"))
-    ).withColumn("p", F.sum("cap").over(w))
-    flagged = ranked.withColumn(
-        "flag",
-        F.when(
-            F.expr("cap <= (budget - (p - cap)) DIV (n - i + 1)"), 1
-        ).otherwise(0),
-    ).withColumn("sat", F.min("flag").over(w))
-    scalars = flagged.agg(
-        F.sum("sat").alias("k"),
-        F.coalesce(
-            F.sum(F.when(F.col("sat") == 1, F.col("cap"))), F.lit(0)
-        ).alias("pk"),
+    flagged = (
+        tok.select(
+            "source", "t_s", (F.col("t_s") * _UNIMAX_EPOCH_CAP).alias("cap")
+        )
+        .withColumn(
+            "budget", F.sum("t_s").over(full) * _UNIMAX_BUDGET_EPOCHS
+        )
+        .withColumn("n", F.count(F.lit(1)).over(full))
+        .withColumn("i", F.row_number().over(Window.orderBy("cap", "source")))
+        .withColumn("p", F.sum("cap").over(cum))
+        .withColumn(
+            "flag",
+            F.when(
+                F.expr("cap <= (budget - (p - cap)) DIV (n - i + 1)"), 1
+            ).otherwise(0),
+        )
+        .withColumn("sat", F.min("flag").over(cum))
+        .withColumn("k", F.sum("sat").over(full))
+        .withColumn(
+            "pk",
+            F.coalesce(
+                F.sum(F.when(F.col("sat") == 1, F.col("cap"))).over(full),
+                F.lit(0),
+            ),
+        )
     )
     alloc = F.expr(
         "CASE WHEN sat = 1 THEN cap ELSE (budget - pk) DIV (n - k) END"
     )
     return (
-        flagged.crossJoin(F.broadcast(scalars))
-        .select(
+        flagged.select(
             "source",
             F.col("t_s").alias("supply_tokens"),
             F.col("cap").alias("cap_tokens"),

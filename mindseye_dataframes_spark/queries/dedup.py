@@ -721,11 +721,14 @@ def q175_ingest_novelty(spark, sf_dir):
     the order-insensitive bag digest (q115), so shuffled near-copies
     count as stale, not novel.
 
-    Scale shape: one fingerprint map (row-local), one (fp → min batch)
-    hash-aggregate — at 100 TB that aggregate IS the persisted
+    Scale shape: one fingerprint map (row-local), ONE corpus scan —
+    first-seen is a min-over-fp window, so the plan is scan → exchange
+    on fp → window → per-batch count-distinct roll-up (an
+    aggregate-and-join-back form scans and re-fingerprints the corpus
+    twice). At 100 TB the (fp → min batch) relation is the persisted
     first-seen index q154 maintains incrementally, so the nightly form
-    joins the new batch against the index instead of rescanning — and
-    one per-batch count-distinct roll-up."""
+    joins only the new batch against the index instead of
+    rescanning."""
     from mindseye_dataframes_spark.functions.textfns import bag_fingerprint
 
     f = load_table(spark, sf_dir, "documents").select(
@@ -733,11 +736,12 @@ def q175_ingest_novelty(spark, sf_dir):
         F.expr(f"doc_id DIV {_NOVELTY_BATCH}").alias("batch"),
         bag_fingerprint(F.col("text")).alias("fp"),
     )
-    fb = f.groupBy("fp").agg(F.min("batch").alias("first_batch"))
+    first = f.withColumn(
+        "first_batch", F.min("batch").over(Window.partitionBy("fp"))
+    )
     novel = F.when(F.col("first_batch") == F.col("batch"), F.col("fp"))
     return (
-        f.join(fb, "fp")
-        .groupBy("batch")
+        first.groupBy("batch")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.countDistinct("fp").alias("n_distinct"),
