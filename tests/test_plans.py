@@ -668,3 +668,36 @@ def test_round5_queries_plan_shapes(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q173_mixture_materialized")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_unimax_waterfill_single_corpus_scan(spark, sf_dir):
+    """q174's whole waterfill must hang off ONE parquet scan — budget,
+    source count, and saturation totals are full-frame window
+    aggregates, not re-derived aggregate subtrees (the naive
+    agg-and-cross-join form scanned the corpus five times)."""
+    plan = plan_of(spark, sf_dir, "q174_unimax_mixture")
+    assert plan.count("Scan parquet") == 1, plan
+    read_schema = explain_formatted(spark, sf_dir, "q174_unimax_mixture").split(
+        "ReadSchema:"
+    )[1].splitlines()[0]
+    assert "doc_id" not in read_schema  # only source + text are read
+    assert "lang" not in read_schema
+
+
+def test_ingest_novelty_single_scan_single_fp_exchange(spark, sf_dir):
+    """q175: first-seen is a min-over-fp window — one scan, one
+    exchange keyed on the fingerprint, then the per-batch roll-up
+    (never a join back that re-fingerprints the corpus)."""
+    plan = plan_of(spark, sf_dir, "q175_ingest_novelty")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_packing_efficiency_is_one_aggregate(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q176_packing_efficiency")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("HashAggregate") <= 2  # partial + final, nothing else
+    read_schema = explain_formatted(
+        spark, sf_dir, "q176_packing_efficiency"
+    ).split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" not in read_schema and "n_chars" not in read_schema
