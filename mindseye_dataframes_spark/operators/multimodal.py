@@ -621,3 +621,31 @@ def audio_mel_features(
             yield out
 
     return ensure_min_parallelism(df).mapInPandas(extract, schema=out_schema)
+
+
+def encode_png_gray(pixels: "np.ndarray") -> bytes:
+    """Minimal REAL PNG encoder (8-bit grayscale, filter 0,
+    non-interlaced): the write twin of :func:`decode_png`, small
+    enough to run inside an Arrow batch kernel. Input [h, w] uint8."""
+    import struct
+
+    h, w = pixels.shape
+    raw = b"".join(
+        b"\x00" + pixels[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # gray, 8-bit
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )

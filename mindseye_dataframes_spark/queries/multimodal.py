@@ -259,3 +259,75 @@ def q112_image_phash_clusters(spark, sf_dir):
         .filter(F.col("n_images") > 1)
         .orderBy("canonical_id")
     )
+
+
+@query(
+    "q177_binary_png_roundtrip",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
+    SELECT doc_id,
+           CAST(2 AS INT) AS width, CAST(2 AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST({_HEXBYTE.format(hi=1, lo=2)} AS DOUBLE) / 255.0 AS f0,
+           CAST({_HEXBYTE.format(hi=3, lo=4)} AS DOUBLE) / 255.0 AS f1,
+           CAST({_HEXBYTE.format(hi=5, lo=6)} AS DOUBLE) / 255.0 AS f2,
+           CAST({_HEXBYTE.format(hi=7, lo=8)} AS DOUBLE) / 255.0 AS f3
+    FROM h ORDER BY doc_id
+    """,
+    tags=("multimodal", "sources", "parity:binary-ingest"),
+)
+def q177_binary_png_roundtrip(spark, sf_dir):
+    """The FULL multimodal file-ingestion loop with REAL codecs on
+    both ends: per doc, a 2×2 grayscale image (pixels = the first four
+    md5(text) bytes) is encoded by the real zlib PNG writer
+    (``encode_png_gray``) inside an Arrow batch, written as one .png
+    per row by the distributed binary sink, scanned back with Spark's
+    ``binaryFile`` source (pathGlobFilter pruning at the listing),
+    decoded by the real stdlib PNG decoder, and feature-extracted —
+    every byte crosses a genuine codec + filesystem + source boundary,
+    and DuckDB hash-checks the result because a 2×2 gray image's quad
+    features are exactly pixel/255. Scale: encode and write are
+    embarrassingly parallel per partition; the read side's parallelism
+    is the binaryFile listing — the standard shape for image-corpus
+    ingestion."""
+    import hashlib
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from mindseye_dataframes_spark.operators.multimodal import encode_png_gray
+    from mindseye_dataframes_spark.sources.readers import read_binary_files
+    from mindseye_dataframes_spark.sources.sinks import write_binary_files
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = sf_dir.strip("/").replace("/", "_")
+    out_dir = os.path.join(tempfile.gettempdir(), "msdf_png_ingest", tag)
+
+    def enc(batches):
+        for pdf in batches:
+            names, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                px = np.frombuffer(
+                    hashlib.md5(text.encode("utf-8")).digest()[:4], np.uint8
+                ).reshape(2, 2)
+                names.append(f"{int(doc_id)}.png")
+                blobs.append(encode_png_gray(px))
+            yield pd.DataFrame({"name": names, "png": blobs})
+
+    write_binary_files(
+        docs.mapInPandas(enc, "name string, png binary"), out_dir, "name", "png"
+    )
+    scanned = read_binary_files(spark, out_dir, glob="*.png").select(
+        F.regexp_extract("path", r"(\d+)\.png$", 1).cast("long").alias("doc_id"),
+        F.col("content").alias("blob"),
+    )
+    decoded = decode_image(scanned, "blob")
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        *[F.element_at("features", i + 1).alias(f"f{i}") for i in range(4)],
+    ).orderBy("doc_id")

@@ -178,3 +178,16 @@ def quarantine_split(
         F.col(corrupt_col).alias("raw_line")
     )
     return good, bad
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Spark's ``binaryFile`` source: one row per file with (path,
+    modificationTime, length, content) — the ingestion scan for
+    multimodal corpora (images/audio/video as opaque bytes + typed
+    metadata, SURVEY 2B ★ multimodal). Partition parallelism comes
+    from the file listing, and ``pathGlobFilter`` prunes at the
+    listing, never reading filtered files."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -69,3 +69,30 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_binary_files(
+    df: DataFrame, out_dir: str, name_col: str, bytes_col: str
+) -> None:
+    """Distributed binary-object sink: one file per row, named by
+    ``name_col``, bytes from ``bytes_col`` — the write half Spark's
+    ``binaryFile`` source lacks (it is read-only). Executors write
+    their partitions directly (no driver collect), so the sink scales
+    with the cluster; names must be unique per row, and writes are
+    idempotent (task retries overwrite the same name with the same
+    deterministic bytes). Locally ``out_dir`` is a directory; on a
+    real deployment it is shared storage, exactly like any file
+    sink."""
+    import os
+    import shutil
+
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(rows) -> None:
+        for row in rows:
+            with open(os.path.join(out_dir, row[name_col]), "wb") as fh:
+                fh.write(bytes(row[bytes_col]))
+
+    df.select(name_col, bytes_col).foreachPartition(write_partition)

@@ -288,3 +288,45 @@ def test_mel_features_separate_tone_bands(spark):
     assert rows[3]["mel_profile"] is None
     rows2 = {r["doc_id"]: r for r in audio_mel_features(df).collect()}
     assert rows2[1]["mel_profile"] == rows[1]["mel_profile"]
+
+
+def test_png_encoder_roundtrips_through_real_decoder():
+    """encode_png_gray must produce PNGs the real decoder reads back
+    pixel-exact, at sizes where features are true block means."""
+    import numpy as np
+
+    from mindseye_dataframes_spark.operators.multimodal import (
+        decode_png,
+        encode_png_gray,
+    )
+
+    rng = np.random.default_rng(3)
+    for h, w in ((2, 2), (5, 7), (16, 16)):
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        got = decode_png(encode_png_gray(px))
+        assert got is not None
+        assert (got["width"], got["height"], got["channels"]) == (w, h, 1)
+        assert (got["pixels"][:, :, 0] == px).all()
+
+
+def test_binary_file_sink_and_source_roundtrip(spark, tmp_path_factory):
+    """write_binary_files → binaryFile source: every object comes back
+    byte-identical, named, with glob pruning at the listing."""
+    from pyspark.sql import functions as F
+
+    from mindseye_dataframes_spark.sources.readers import read_binary_files
+    from mindseye_dataframes_spark.sources.sinks import write_binary_files
+
+    out = str(tmp_path_factory.mktemp("bin") / "objs")
+    rows = [(f"obj{i}.bin", bytes([i] * (i + 1))) for i in range(10)]
+    rows.append(("skip.txt", b"not matched by the glob"))
+    df = spark.createDataFrame(rows, "name string, payload binary")
+    write_binary_files(df, out, "name", "payload")
+
+    back = read_binary_files(spark, out, glob="*.bin").select(
+        F.element_at(F.split("path", "/"), -1).alias("name"), "content", "length"
+    )
+    got = {r["name"]: bytes(r["content"]) for r in back.collect()}
+    assert got == {n: p for n, p in rows if n.endswith(".bin")}
+    lengths = {r["name"]: r["length"] for r in back.collect()}
+    assert lengths == {f"obj{i}.bin": i + 1 for i in range(10)}
