@@ -101,3 +101,43 @@ def q85_partitioned_layout_roundtrip(spark, sf_dir):
         .select("lang", "source", "doc_id", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q178_schema_evolution",
+    oracle="""
+    SELECT n_nationkey, n_name, CAST(NULL AS INT) AS n_regionkey
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey + 100, n_name, n_regionkey FROM nation
+    ORDER BY n_nationkey
+    """,
+    tags=("sources", "lakehouse", "parity:schema-evolution"),
+)
+def q178_schema_evolution(spark, sf_dir):
+    """Parquet schema evolution: an old batch written before a column
+    existed and a new batch carrying it are read back as ONE table via
+    ``mergeSchema`` — the additive-evolution contract every long-lived
+    lakehouse table needs (old files yield NULL for columns they
+    predate; no rewrite of history). The oracle replays the union with
+    an explicit NULL, value-checking both the merged schema and the
+    per-batch column fill. At scale mergeSchema's footer sweep is the
+    cost — production tables pin the merged schema in a catalog; the
+    READ semantics verified here are identical."""
+    from pyspark.sql import functions as F
+
+    nation = load_table(spark, sf_dir, "nation")
+    root = _scratch(sf_dir, "nation_evolved")
+    nation.select("n_nationkey", "n_name").write.mode("overwrite").parquet(
+        os.path.join(root, "batch=1")
+    )
+    nation.select(
+        (F.col("n_nationkey") + 100).alias("n_nationkey"), "n_name", "n_regionkey"
+    ).write.mode("overwrite").parquet(os.path.join(root, "batch=2"))
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(root, "batch=1"), os.path.join(root, "batch=2"))
+    )
+    return merged.select("n_nationkey", "n_name", "n_regionkey").orderBy(
+        "n_nationkey"
+    )
