@@ -405,3 +405,59 @@ def q161_interval_union(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+_STREAM_PARITY_SEQ = iter(range(10**9))
+
+
+@query(
+    "q179_streaming_tumbling_parity",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '{TS_FMT_DUCK}') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("streaming", "timeseries", "parity:stream-batch-parity"),
+)
+def q179_streaming_tumbling_parity(spark, sf_dir):
+    """Structured Streaming under the DRIVER's hash check (previously
+    pytest-only): the events table is re-staged as a multi-file
+    parquet drop, read back as a bounded file-source STREAM
+    (maxFilesPerTrigger → several real micro-batches), aggregated by
+    the watermarked tumbling-window operator
+    (streaming/events.py:tumbling_counts — the streaming twin of
+    q24), drained with availableNow into a memory sink, and returned.
+    The oracle is the plain batch SQL, so the driver verifies the
+    streaming engine's incremental state accumulation produces
+    bit-identical counts and decimal-exact sums to a one-shot
+    aggregate. Scale: this IS the production shape — file-source
+    micro-batches, watermark-bounded state keyed by (window, type),
+    complete-mode output of O(windows × types) rows."""
+    import os
+    import tempfile
+
+    from mindseye_dataframes_spark.streaming.events import (
+        read_event_stream,
+        run_bounded,
+        tumbling_counts,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    src = os.path.join(tempfile.gettempdir(), "msdf_stream_parity", tag)
+    load_table(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    result = run_bounded(
+        tumbling_counts(read_event_stream(spark, src)),
+        f"q179_parity_{next(_STREAM_PARITY_SEQ)}",
+    )
+    return result.select(
+        F.date_format("window_start", TS_FMT_SPARK).alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    ).orderBy("window_start", "event_type")
