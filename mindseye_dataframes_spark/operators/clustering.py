@@ -56,10 +56,15 @@ def _assign(df: DataFrame, vec_col: str, cents: list[tuple[int, list[float]]]) -
     (rounded to 9 digits, smallest-cell tiebreak) — a narrow map
     either way, no join, no shuffle. Small k·d uses a pure literal
     expression (codegen); large k·d broadcasts the centroid matrix
-    and runs an Arrow-batched numpy argmin with the SAME
-    round(·,9)+cell-tiebreak contract (the fold is replayed
-    dimension-by-dimension, so the doubles are bit-identical to the
-    expression fold — property-pinned in tests/test_clustering.py)."""
+    and runs an Arrow-batched numpy argmin replaying the identical
+    dimension-order fold (bit-identical distances) with the same
+    smallest-cell tiebreak — property-pinned in
+    tests/test_clustering.py. Rounding caveat: the paths round the
+    (identical) distances through np.round vs Spark's decimal
+    HALF_UP, which can differ only when a distance lands exactly on a
+    1e-9 grid half-boundary — measure-zero for continuous embeddings,
+    and irrelevant to the oracle-replayed queries (q140/q163 run at
+    k·d far below the ceiling, always on the expression path)."""
     dims = {len(v) for _, v in cents}
     if len(cents) * max(dims or {0}) <= ASSIGN_EXPR_MAX_ELEMS:
         scored = F.array(
@@ -93,7 +98,8 @@ def _assign_numpy(
     squared-L2 is accumulated as the SAME left fold over dimensions
     (acc += (x_j − c_j)² for j = 0..d−1, vectorized across rows and
     centroids, so each scalar sees the identical IEEE sequence),
-    rounded to 9 digits; ties break to the smallest cell id
+    rounded to 9 digits (np.round — see _assign on the half-boundary
+    caveat vs Spark's HALF_UP); ties break to the smallest cell id
     (centroids sorted ascending + argmin-first-occurrence). Assumes
     fixed-length vectors (ragged inputs are undefined in the
     expression path too — zip_with nulls poison the fold)."""

@@ -542,8 +542,21 @@ def q174_unimax_mixture(spark, sf_dir):
             alloc.alias("alloc_tokens"),
             (F.col("sat") == 1).alias("saturated"),
         )
+        # the q165 ceiling discipline: alloc·1e6 must stay in BIGINT —
+        # raise, never wrap (alloc ≤ 3·t_s, so this fires around
+        # 9.2e12 tokens allocated to ONE source; shard the evaluation
+        # scope before that)
         .withColumn(
-            "epochs_ppm", F.expr("alloc_tokens * 1000000 DIV supply_tokens")
+            "epochs_ppm",
+            F.when(
+                F.expr(f"alloc_tokens > {(2**63 - 1) // 1_000_000}"),
+                F.expr(
+                    "CAST(raise_error('q174: alloc_tokens exceeds the "
+                    "exact-BIGINT ppm ceiling; evaluate per shard') AS BIGINT)"
+                ),
+            ).otherwise(
+                F.expr("alloc_tokens * 1000000 DIV supply_tokens")
+            ),
         )
         .select(
             "source", "supply_tokens", "cap_tokens", "alloc_tokens",
@@ -595,9 +608,17 @@ def q176_packing_efficiency(spark, sf_dir):
             F.sum("ntok").alias("total_tokens"),
             F.sum(F.expr(f"(ntok + {L - 1}) DIV {L}")).alias("n_seqs"),
         )
+        # same BIGINT ppm ceiling as q165/q174: raise past ~9.2e12
+        # tokens per source rather than wrap to a wrong sign
         .withColumn(
             "util_ppm",
-            F.expr(f"total_tokens * 1000000 DIV (n_seqs * {L})"),
+            F.when(
+                F.expr(f"total_tokens > {(2**63 - 1) // 1_000_000}"),
+                F.expr(
+                    "CAST(raise_error('q176: total_tokens exceeds the "
+                    "exact-BIGINT ppm ceiling; evaluate per shard') AS BIGINT)"
+                ),
+            ).otherwise(F.expr(f"total_tokens * 1000000 DIV (n_seqs * {L})")),
         )
         .orderBy("source")
     )

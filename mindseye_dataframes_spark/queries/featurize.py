@@ -3,9 +3,11 @@
 The relational faces of the featurize/ package: z-score
 standardization with exact-decimal moments, one-hot expansion, and
 deterministic parameter identity (name-UUID v3) — each with a DuckDB
-oracle twin. The full differentiable pipeline (embeddings + network
-forward) is exercised as a rows-only query (q40) plus unit tests —
-numpy matmul is not SQL-expressible.
+oracle twin. The full differentiable pipeline (q40/q65/q78) runs the
+REAL broadcast-params + Arrow mapInPandas path with pinned parameter
+configurations that make every channel SQL-expressible, so the driver
+hash-checks it end to end; free-parameter semantics (seeded inits,
+gradients, training) stay pinned by tests/test_featurize.py.
 """
 
 from __future__ import annotations
@@ -360,9 +362,13 @@ def q65_featurize_temporal_embedding(spark, sf_dir):
     modeler.context.transforms["transform/ts"] = np.array([[0.0], [0.0]])
     modeler.context.transforms["transform/value"] = np.array([[0.0], [1.0]])
     _pin_rank_representations(modeler, "event_type", (10.0,))
-    e0 = np.zeros((modeler.context.transforms["vector/embedding"].shape[0], 1))
-    e0[0, 0] = 1.0
-    modeler.context.transforms["vector/embedding"] = e0
+    vec_w = modeler.context.transforms.get("vector/embedding")
+    if vec_w is not None:  # absent when NO slice row joined an
+        # embedding (d-probe 0): the channel then contributes nothing,
+        # exactly the oracle's COALESCE(embedding[1], 0.0) on all-null
+        e0 = np.zeros((vec_w.shape[0], 1))
+        e0[0, 0] = 1.0
+        modeler.context.transforms["vector/embedding"] = e0
     out = modeler.eval_to_dataframe(joined, "features", passthrough=["event_id"])
     return out.select(
         "event_id", F.element_at("features", 1).alias("feat")

@@ -42,7 +42,10 @@ def q41_blob_metadata(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-_Q42_HEXBYTE = (
+# Shared oracle building block: decode byte i (1-based hex positions
+# hi/lo) of an md5 digest column ``hx`` — used by every stub-kernel
+# replay (q42/q67/q84/q112/q177) so a fix lands in exactly one place.
+_HEXBYTE = (
     "((strpos('0123456789abcdef', substr(hx, {hi}, 1))-1)*16"
     " + strpos('0123456789abcdef', substr(hx, {lo}, 1))-1)"
 )
@@ -53,13 +56,13 @@ _Q42_HEXBYTE = (
     oracle=f"""
     WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
     SELECT doc_id,
-           CAST(64 + {_Q42_HEXBYTE.format(hi=1, lo=2)} % 192 AS INT) AS width,
-           CAST(64 + {_Q42_HEXBYTE.format(hi=3, lo=4)} % 192 AS INT) AS height,
+           CAST(64 + {_HEXBYTE.format(hi=1, lo=2)} % 192 AS INT) AS width,
+           CAST(64 + {_HEXBYTE.format(hi=3, lo=4)} % 192 AS INT) AS height,
            CAST(3 AS INT) AS channels,
-           CAST({_Q42_HEXBYTE.format(hi=1, lo=2)} AS DOUBLE) / 255.0 AS f0,
-           CAST({_Q42_HEXBYTE.format(hi=3, lo=4)} AS DOUBLE) / 255.0 AS f1,
-           CAST({_Q42_HEXBYTE.format(hi=5, lo=6)} AS DOUBLE) / 255.0 AS f2,
-           CAST({_Q42_HEXBYTE.format(hi=7, lo=8)} AS DOUBLE) / 255.0 AS f3
+           CAST({_HEXBYTE.format(hi=1, lo=2)} AS DOUBLE) / 255.0 AS f0,
+           CAST({_HEXBYTE.format(hi=3, lo=4)} AS DOUBLE) / 255.0 AS f1,
+           CAST({_HEXBYTE.format(hi=5, lo=6)} AS DOUBLE) / 255.0 AS f2,
+           CAST({_HEXBYTE.format(hi=7, lo=8)} AS DOUBLE) / 255.0 AS f3
     FROM h ORDER BY doc_id
     """,
     tags=("multimodal", "parity:decode"),
@@ -124,12 +127,6 @@ def q66_image_resize(spark, sf_dir):
 # The audio stub derives every feature from md5(payload) bytes; DuckDB
 # re-derives the same bytes from md5(text) hex chars, so duration,
 # sample rate, and the coefficient vector are all value-checked.
-_HEXBYTE = (
-    "((strpos('0123456789abcdef', substr(hx, {hi}, 1))-1)*16"
-    " + strpos('0123456789abcdef', substr(hx, {lo}, 1))-1)"
-)
-
-
 @query(
     "q67_audio_features",
     oracle=f"""
@@ -201,7 +198,10 @@ def q84_video_frame_sample(spark, sf_dir):
     )
 
 
-_PHASH_FEATS = ["((strpos('0123456789abcdef', substr(hx, 1, 1))-1)*16 + strpos('0123456789abcdef', substr(hx, 2, 1))-1)/255.0", "((strpos('0123456789abcdef', substr(hx, 3, 1))-1)*16 + strpos('0123456789abcdef', substr(hx, 4, 1))-1)/255.0", "((strpos('0123456789abcdef', substr(hx, 5, 1))-1)*16 + strpos('0123456789abcdef', substr(hx, 6, 1))-1)/255.0", "((strpos('0123456789abcdef', substr(hx, 7, 1))-1)*16 + strpos('0123456789abcdef', substr(hx, 8, 1))-1)/255.0"]
+_PHASH_FEATS = [
+    _HEXBYTE.format(hi=1 + 2 * i, lo=2 + 2 * i) + "/255.0"
+    for i in range(4)
+]
 _PHASH_MEAN = "((({0} + {1}) + {2}) + {3}) / 4.0".format(*_PHASH_FEATS)
 _PHASH_BITS = " + ".join(
     f"CASE WHEN {f} > m.mean THEN {w} ELSE 0 END"

@@ -244,15 +244,16 @@ def q49_random_split(spark, sf_dir):
     the honest disjointness check when the natural key is non-unique,
     as lineitem's is), and the 90/10 ratio must hold inside a 5σ
     band."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_linenumber")
-        # the documented randomSplit contract: without a materialized
-        # source, each split's job may re-derive rows in a different
-        # partition-internal order and the per-row RNG draws diverge —
-        # persisting the (tiny, two-column) key frame pins one layout
-        # for both samples, which is the standard practice at any scale
-        .persist()
+    # no materialization needed: a parquet scan is a DETERMINISTIC
+    # source (stable splits + in-file order), so both split jobs see
+    # identical per-row RNG draws — verified by the partition_exact
+    # gate below, which the driver hashes every round. The documented
+    # randomSplit caveat (persist/checkpoint first) applies only to
+    # nondeterministic upstreams (shuffling joins, repartition(n) with
+    # round-robin, sampled inputs); feeding one here would trip the
+    # gate loudly rather than corrupt silently.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
     )
     train, test = li.randomSplit([0.9, 0.1], seed=42)
     keys = ["l_orderkey", "l_linenumber"]

@@ -407,9 +407,6 @@ def q161_interval_union(spark, sf_dir):
     )
 
 
-_STREAM_PARITY_SEQ = iter(range(10**9))
-
-
 @query(
     "q179_streaming_tumbling_parity",
     oracle=f"""
@@ -451,10 +448,11 @@ def q179_streaming_tumbling_parity(spark, sf_dir):
     load_table(spark, sf_dir, "events").repartition(4).write.mode(
         "overwrite"
     ).parquet(src)
-    result = run_bounded(
-        tumbling_counts(read_event_stream(spark, src)),
-        f"q179_parity_{next(_STREAM_PARITY_SEQ)}",
-    )
+    # one stable sink table per sf: re-invocations replace it instead
+    # of accumulating never-dropped memory tables in the session
+    table = f"q179_parity_{tag}".replace(".", "_").replace("-", "_")
+    spark.catalog.dropTempView(table)
+    result = run_bounded(tumbling_counts(read_event_stream(spark, src)), table)
     return result.select(
         F.date_format("window_start", TS_FMT_SPARK).alias("window_start"),
         "event_type",

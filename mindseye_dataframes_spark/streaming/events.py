@@ -116,7 +116,14 @@ def run_bounded(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_sec)
+    if not query.awaitTermination(timeout_sec):
+        # a partial complete-mode snapshot is a silent wrong answer —
+        # stop the query and fail loudly instead
+        query.stop()
+        raise TimeoutError(
+            f"bounded stream '{table_name}' did not drain within "
+            f"{timeout_sec}s"
+        )
     return stream_df.sparkSession.table(table_name)
 
 

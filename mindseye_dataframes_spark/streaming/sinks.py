@@ -93,11 +93,11 @@ _EPOCH_FILE = "_EPOCH"
 
 
 def _committed_epoch(target_dir: str) -> int:
-    """The batch id recorded inside the committed snapshot, or -1.
-    The epoch file lives INSIDE the snapshot directory so the atomic
-    rename moves data and fencing token together — a promoted ``.old``
-    snapshot carries its own (older) epoch and correctly re-opens the
-    door for the replayed batch."""
+    """The batch id recorded inside the committed snapshot, or -1 —
+    recovery/observability metadata (which batch produced this
+    snapshot), NOT a fencing gate: see batch_upserter on why id-based
+    skipping would lose data. The epoch file lives INSIDE the snapshot
+    directory so the atomic rename moves data and marker together."""
     try:
         with open(os.path.join(target_dir, _EPOCH_FILE)) as f:
             return int(f.read().strip())
@@ -132,12 +132,18 @@ def batch_upserter(target_dir: str, keys: list[str], order_cols: list[str]):
 
     Concurrency contract (VERDICT r5 item 8): the whole
     recover→read→merge→commit section runs under an exclusive
-    ``flock``, and each committed snapshot carries an epoch token
-    (its batch id). A writer that acquires the lock but finds the
-    committed epoch already ≥ its batch id skips — it is either a
-    checkpoint replay of a commit that survived (exactly-once), or a
-    zombie writer overtaken by a newer one (fenced off, its stale
-    merge never overwrites newer state)."""
+    ``flock``, so two live writers can never interleave the rename
+    pair — each sees a complete snapshot and commits atomically.
+    STALENESS protection is the order-aware merge itself, not batch
+    ids: every row competes on ``order_cols``, so a replayed batch, a
+    duplicate driver, or a zombie carrying old rows merges to the
+    identical snapshot (idempotent) and can never clobber newer
+    state. Deliberately NO id-based skip: batch ids are per-checkpoint
+    counters, and skipping ids ≤ the stored epoch would silently
+    discard real data whenever a fresh checkpoint (new pipeline, reset
+    checkpoint dir) restarts numbering against an existing snapshot.
+    The committed snapshot still records its last batch id in
+    ``_EPOCH`` as recovery/observability metadata."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -145,8 +151,6 @@ def batch_upserter(target_dir: str, keys: list[str], order_cols: list[str]):
         spark = batch_df.sparkSession
         with _writer_lock(target_dir):
             _recover_snapshot(target_dir)
-            if _committed_epoch(target_dir) >= batch_id:
-                return  # replay of a completed commit, or a fenced zombie
             latest = latest_per_key(batch_df, keys, order_cols)
             if os.path.exists(os.path.join(target_dir, "_SUCCESS")):
                 base = spark.read.parquet(target_dir)
