@@ -483,8 +483,12 @@ def q174_unimax_mixture(spark, sf_dir):
     sources ascend by capped supply; a source is saturated iff its cap
     fits under the running fair share (budget − smaller caps, split
     over the rest); everything after the saturation prefix takes the
-    equal integer share of what remains. All BIGINT with DIV — the
-    allocation is bit-identical on both engines, no iterative loop.
+    EQUAL integer share of what remains (flooring — the ≤|sources|
+    leftover tokens are deliberately unallocated rather than dribbled
+    to arbitrary sources, keeping the allocation a pure function of
+    the inputs; pinned vs a sequential-greedy reference in
+    tests/test_properties.py). All BIGINT with DIV — bit-identical on
+    both engines, no iterative loop.
 
     Scale: ONE token-count aggregate over the corpus — literally one
     parquet scan in the plan: the budget, source count, saturation

