@@ -586,11 +586,69 @@ def q165_source_divergence(spark, sf_dir):
     )
 
 
+def _bpe_oracle(rounds: int = 4) -> str:
+    """Replay the ENTIRE iterative BPE training loop in SQL — one
+    unrolled CTE block per merge round. The non-SQL-expressible part
+    was the greedy-leftmost merge fold; the unlock is the classic
+    separator-string equivalence: encode a segmentation as
+    ``\x1F s1 \x1F\x1F s2 ... \x1F`` and SQL ``replace`` of
+    ``\x1F L \x1F\x1F R \x1F`` → ``\x1F LR \x1F`` performs
+    exactly the fold's greedy leftmost non-overlapping application
+    (each symbol owns its flanking separators, so matches cannot
+    overlap, and a fused symbol cannot re-fuse within the same pass —
+    pinned against bpe_train, which tests/test_bpe.py pins against a
+    from-scratch Python reference). \x1F (unit separator) never
+    occurs in the corpus text."""
+    sep = "chr(31)"
+
+    def syms(seg: str) -> str:
+        return f"string_split(trim({seg}, {sep}), {sep} || {sep})"
+
+    ctes = [
+        f"""w AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS n_word FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE len(word) >= 1 GROUP BY word),
+    s0 AS (
+      SELECT {sep} || array_to_string(
+               list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)),
+               {sep} || {sep}) || {sep} AS seg, n_word
+      FROM w)"""
+    ]
+    finals = []
+    for k in range(1, rounds + 1):
+        prev = f"s{k - 1}"
+        ctes.append(f"""p{k} AS (
+      SELECT z[1] AS l, z[2] AS r, CAST(sum(n_word) AS BIGINT) AS n
+      FROM (SELECT {syms("seg")} AS sy, n_word FROM {prev}) t,
+           LATERAL (SELECT unnest(list_zip(t.sy[1:len(t.sy)-1], t.sy[2:len(t.sy)])) AS z) u
+      WHERE len(t.sy) >= 2
+      GROUP BY 1, 2)""")
+        ctes.append(
+            f"t{k} AS (SELECT l, r, n FROM p{k} ORDER BY n DESC, l, r LIMIT 1)"
+        )
+        ctes.append(f"""s{k} AS (
+      SELECT replace(seg, {sep} || t{k}.l || {sep} || {sep} || t{k}.r || {sep},
+                          {sep} || t{k}.l || t{k}.r || {sep}) AS seg, n_word
+      FROM {prev} CROSS JOIN t{k})""")
+        ctes.append(f"""tot{k} AS (
+      SELECT CAST(sum(len({syms("seg")}) * n_word) AS BIGINT) AS t FROM s{k})""")
+        finals.append(f"""SELECT CAST({k} AS INT) AS step, t{k}.l AS "left",
+           t{k}.r AS "right", t{k}.l || t{k}.r AS merged, t{k}.n AS n,
+           tot{k}.t AS total_symbols
+      FROM t{k} CROSS JOIN tot{k}""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(finals)
+        + "\nORDER BY step"
+    )
+
+
 @query(
     "q169_bpe_trainer",
-    oracle=None,  # iterative fold-based training — the documented
-    # non-SQL-expressible family; pinned against a from-scratch
-    # Python BPE reference in tests/test_bpe.py
+    oracle=_bpe_oracle(4),
     tags=("text", "bpe", "iterative", "north-star"),
 )
 def q169_bpe_trainer(spark, sf_dir):
@@ -602,7 +660,11 @@ def q169_bpe_trainer(spark, sf_dir):
     rows per round). Output is the learned merge table with, per step,
     the weighted total symbol count AFTER that step's merge — the
     actual compression curve a tokenizer trainer reports (strictly
-    decreasing by that step's pair count)."""
+    decreasing by that step's pair count). Driver-hash-checked since
+    round 6: the oracle (``_bpe_oracle``) unrolls all four training
+    rounds in SQL via the separator-string merge equivalence, so the
+    learned merge table itself — choices, tie-breaks, counts, and
+    compression curve — is verified end to end, not just shape."""
     from mindseye_dataframes_spark.operators.bpe import bpe_train, merge_table_df
 
     docs = load_table(spark, sf_dir, "documents")
