@@ -128,9 +128,22 @@ def _assign_numpy(
         list(df.schema.fields) + [T.StructField("_cell", T.IntegerType())]
     )
 
+    # Cache-blocked fold: the naive layout streams a full [n, k]
+    # accumulator through memory d times (at k=16384, batch n=10⁴
+    # that is a 1.2 GB array × 64 passes × 3 temporaries — measured
+    # 66.5 s for the sf1 probe). Tiling rows×centroids keeps each
+    # (RB × KB) accumulator L3-resident across the whole d-loop and
+    # replaces the per-step temporaries with two reused out= buffers.
+    # Exactness is untouched: every (row, centroid) scalar still sees
+    # the IDENTICAL left fold acc += (x_j − c_j)² in dimension order —
+    # tiling only changes which scalars are computed together, never
+    # the per-scalar IEEE sequence (pinned by
+    # test_blocked_fold_matches_unblocked).
+    _RB, _KB = 512, 2048
+
     def assign(batches):
         cells_b, mat_b = bc.value
-        d = mat_b.shape[1]
+        k, d = mat_b.shape
         for pdf in batches:
             if len(pdf) == 0:
                 yield pdf.assign(_cell=np.array([], dtype=np.int32))
@@ -138,11 +151,25 @@ def _assign_numpy(
             x = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )  # [n, d]
-            acc = np.zeros((len(pdf), len(cells_b)))
-            for j in range(d):  # the expression fold, dimension order
-                diff = x[:, j : j + 1] - mat_b[None, :, j]
-                acc += diff * diff
-            best = np.argmin(np.round(acc, 9), axis=1)
+            n = len(pdf)
+            best = np.empty(n, dtype=np.int64)
+            for i0 in range(0, n, _RB):
+                xb = x[i0 : i0 + _RB]
+                rb = len(xb)
+                acc = np.empty((rb, k))
+                a = np.zeros((rb, min(_KB, k)))
+                t = np.empty_like(a)
+                for k0 in range(0, k, _KB):
+                    kb = min(_KB, k - k0)
+                    av, tv = a[:, :kb], t[:, :kb]
+                    av[:] = 0.0
+                    cb = mat_b[k0 : k0 + kb]
+                    for j in range(d):  # the expression fold, dim order
+                        np.subtract(xb[:, j : j + 1], cb[None, :, j], out=tv)
+                        np.multiply(tv, tv, out=tv)
+                        np.add(av, tv, out=av)
+                    acc[:, k0 : k0 + kb] = av
+                best[i0 : i0 + rb] = np.argmin(np.round(acc, 9), axis=1)
             out = pdf.copy()
             out["_cell"] = cells_b[best].astype(np.int32)
             yield out

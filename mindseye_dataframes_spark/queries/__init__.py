@@ -48,6 +48,7 @@ _MODULES = (
     "basket",
     "sequences",
     "clustering",
+    "paragraphs",
 )
 _loaded = False
 

@@ -586,23 +586,22 @@ def q165_source_divergence(spark, sf_dir):
     )
 
 
-def _bpe_oracle(rounds: int = 4) -> str:
-    """Replay the ENTIRE iterative BPE training loop in SQL — one
-    unrolled CTE block per merge round. The non-SQL-expressible part
-    was the greedy-leftmost merge fold; the unlock is the classic
-    separator-string equivalence: encode a segmentation as
-    ``\x1F s1 \x1F\x1F s2 ... \x1F`` and SQL ``replace`` of
-    ``\x1F L \x1F\x1F R \x1F`` → ``\x1F LR \x1F`` performs
-    exactly the fold's greedy leftmost non-overlapping application
-    (each symbol owns its flanking separators, so matches cannot
-    overlap, and a fused symbol cannot re-fuse within the same pass —
-    pinned against bpe_train, which tests/test_bpe.py pins against a
-    from-scratch Python reference). \x1F (unit separator) never
-    occurs in the corpus text."""
-    sep = "chr(31)"
+_BPE_SEP = "chr(31)"
 
-    def syms(seg: str) -> str:
-        return f"string_split(trim({seg}, {sep}), {sep} || {sep})"
+
+def _bpe_syms(seg: str) -> str:
+    sep = _BPE_SEP
+    return f"string_split(trim({seg}, {sep}), {sep} || {sep})"
+
+
+def _bpe_ctes(rounds: int) -> list[str]:
+    """The shared SQL replay of the BPE training loop (see
+    ``_bpe_oracle``): returns the CTE chain ``w, s0, (p/t/s/tot)×k``
+    where ``s{rounds}`` holds the final per-word segmentation.
+    Consumers append their own final SELECTs (q169 reads the merge
+    table, q183 reads the segmentations)."""
+    sep = _BPE_SEP
+    syms = _bpe_syms
 
     ctes = [
         f"""w AS (
@@ -615,7 +614,6 @@ def _bpe_oracle(rounds: int = 4) -> str:
                {sep} || {sep}) || {sep} AS seg, n_word
       FROM w)"""
     ]
-    finals = []
     for k in range(1, rounds + 1):
         prev = f"s{k - 1}"
         ctes.append(f"""p{k} AS (
@@ -633,16 +631,69 @@ def _bpe_oracle(rounds: int = 4) -> str:
       FROM {prev} CROSS JOIN t{k})""")
         ctes.append(f"""tot{k} AS (
       SELECT CAST(sum(len({syms("seg")}) * n_word) AS BIGINT) AS t FROM s{k})""")
+    return ctes
+
+
+def _bpe_oracle(rounds: int = 4) -> str:
+    """Replay the ENTIRE iterative BPE training loop in SQL — one
+    unrolled CTE block per merge round. The non-SQL-expressible part
+    was the greedy-leftmost merge fold; the unlock is the classic
+    separator-string equivalence: encode a segmentation as
+    ``\x1F s1 \x1F\x1F s2 ... \x1F`` and SQL ``replace`` of
+    ``\x1F L \x1F\x1F R \x1F`` → ``\x1F LR \x1F`` performs
+    exactly the fold's greedy leftmost non-overlapping application
+    (each symbol owns its flanking separators, so matches cannot
+    overlap, and a fused symbol cannot re-fuse within the same pass —
+    pinned against bpe_train, which tests/test_bpe.py pins against a
+    from-scratch Python reference). \x1F (unit separator) never
+    occurs in the corpus text."""
+    finals = []
+    for k in range(1, rounds + 1):
         finals.append(f"""SELECT CAST({k} AS INT) AS step, t{k}.l AS "left",
            t{k}.r AS "right", t{k}.l || t{k}.r AS merged, t{k}.n AS n,
            tot{k}.t AS total_symbols
       FROM t{k} CROSS JOIN tot{k}""")
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_bpe_ctes(rounds))
         + "\n"
         + "\nUNION ALL\n".join(finals)
         + "\nORDER BY step"
+    )
+
+
+def _bpe_encode_oracle(rounds: int = 4) -> str:
+    """Train (the full ``_bpe_ctes`` replay) then ENCODE: reconstruct
+    each vocab word from its final segmentation (symbols concatenate
+    back to the word — merges only fuse adjacent symbols), join every
+    corpus token to its symbol count, and roll token accounting up to
+    sources."""
+    sep = _BPE_SEP
+    return (
+        "WITH "
+        + ",\n".join(_bpe_ctes(rounds))
+        + f""",
+    wt AS (
+      SELECT replace(seg, {sep}, '') AS word,
+             CAST(len({_bpe_syms("seg")}) AS BIGINT) AS n_tok
+      FROM s{rounds}),
+    dw AS (
+      SELECT doc_id, source, u.word AS word
+      FROM documents, UNNEST(string_split(text, ' ')) AS u(word)
+      WHERE len(u.word) >= 1),
+    ds AS (
+      SELECT d.doc_id, d.source,
+             CAST(SUM(wt.n_tok) AS BIGINT) AS bpe,
+             CAST(SUM(len(d.word)) AS BIGINT) AS chars
+      FROM dw d JOIN wt ON d.word = wt.word
+      GROUP BY 1, 2)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(chars) AS BIGINT) AS word_chars,
+           CAST(SUM(bpe) * 1000000 // SUM(chars) AS BIGINT)
+             AS symbols_per_char_ppm
+    FROM ds GROUP BY source ORDER BY source"""
     )
 
 
@@ -670,3 +721,69 @@ def q169_bpe_trainer(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     merges, _words = bpe_train(docs, "text", n_merges=4)
     return merge_table_df(spark, merges).orderBy("step")
+
+
+@query(
+    "q183_bpe_encode_accounting",
+    oracle=_bpe_encode_oracle(4),
+    tags=("text", "bpe", "curation", "parity:bpe-encode"),
+)
+def q183_bpe_encode_accounting(spark, sf_dir):
+    """Apply the learned tokenizer — the other half of the q169
+    training loop: train 4 BPE merges, then ENCODE the corpus and
+    report per-source token accounting under the learned vocabulary
+    (the number that actually prices a training run, vs q61's
+    regex-proxy counts).
+
+    Encode uses the standard distinct-word trick in reverse: the
+    trainer already holds the final segmentation of every distinct
+    word, so encoding the corpus is a BROADCAST join of corpus tokens
+    to an O(|vocab|) (word → n_symbols) table — the corpus is scanned
+    once and never enters a merge loop. symbols_per_char_ppm is the
+    compression the tokenizer achieves (exact integer ppm, the
+    q165/q176 arithmetic, with the same BIGINT ceiling guard).
+
+    The oracle replays training AND encoding end-to-end in SQL via
+    the separator-string merge equivalence (``_bpe_encode_oracle``),
+    so the learned segmentations themselves are hash-verified
+    through the join — not just the counts' shape."""
+    from mindseye_dataframes_spark.operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, words_final = bpe_train(docs, "text", n_merges=4)
+    vocab = words_final.select(
+        F.concat_ws("", "syms").alias("word"),
+        F.size("syms").cast("long").alias("n_tok"),
+    )
+    dw = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.length("word") >= 1)
+    ds = (
+        dw.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("n_tok").alias("bpe"),
+            F.sum(F.length("word").cast("long")).alias("chars"),
+        )
+    )
+    return (
+        ds.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("bpe").alias("bpe_tokens"),
+            F.sum("chars").alias("word_chars"),
+        )
+        # same exact-BIGINT ppm ceiling as q165/q176: raise past
+        # ~9.2e12 tokens per source rather than wrap to a wrong sign
+        .withColumn(
+            "symbols_per_char_ppm",
+            F.when(
+                F.expr(f"bpe_tokens > {(2**63 - 1) // 1_000_000}"),
+                F.expr(
+                    "CAST(raise_error('q183: bpe_tokens exceeds the "
+                    "exact-BIGINT ppm ceiling; evaluate per shard') AS BIGINT)"
+                ),
+            ).otherwise(F.expr("bpe_tokens * 1000000 DIV word_chars")),
+        )
+        .orderBy("source")
+    )

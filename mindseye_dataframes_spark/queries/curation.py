@@ -626,3 +626,131 @@ def q176_packing_efficiency(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q181_importance_resampling",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, source, lang, u.w AS w
+      FROM documents, UNNEST(string_split(text, ' ')) AS u(w)
+    ),
+    nr AS (SELECT COUNT(*) AS n FROM words),
+    nt AS (SELECT COUNT(*) AS n FROM words WHERE lang = 'en'),
+    pr AS (SELECT w, COUNT(*) * 1000000 // (SELECT n FROM nr) AS ppm
+           FROM words GROUP BY w),
+    pt AS (SELECT w, COUNT(*) * 1000000 // (SELECT n FROM nt) AS ppm
+           FROM words WHERE lang = 'en' GROUP BY w),
+    dc AS (SELECT doc_id, source, w, COUNT(*) AS c
+           FROM words GROUP BY 1, 2, 3),
+    ds AS (
+      SELECT dc.doc_id, dc.source,
+             CAST(SUM(dc.c * (COALESCE(pt.ppm, 0) - pr.ppm)) AS BIGINT)
+               AS score
+      FROM dc JOIN pr USING (w) LEFT JOIN pt USING (w)
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT source, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY score DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n_src
+      FROM ds
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rn <= (n_src + 4) // 5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_admitted,
+           CAST(SUM(CASE WHEN rn <= (n_src + 4) // 5 THEN score ELSE 0 END)
+                AS BIGINT) AS sum_adm_score,
+           CAST(MIN(CASE WHEN rn <= (n_src + 4) // 5 THEN score END)
+                AS BIGINT) AS min_adm_score,
+           CAST(MAX(CASE WHEN rn <= (n_src + 4) // 5 THEN score END)
+                AS BIGINT) AS max_adm_score
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+    tags=("curation", "parity:importance-resampling"),
+)
+def q181_importance_resampling(spark, sf_dir):
+    """DSIR-style importance resampling (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling" — public
+    paper): score every document by how much its unigram distribution
+    looks like a TARGET domain (here lang='en') versus the raw crawl,
+    then admit the top ceil(20%) per source.
+
+    Exactness: the published method uses log-likelihood ratios of
+    hashed n-gram features; floats in ``ln`` differ across engines,
+    so the score is re-expressed in exact integer arithmetic —
+    score(doc) = Σ_w c_doc(w) · (ppm_target(w) − ppm_raw(w)), a
+    linear importance proxy with every term BIGINT (ppm = count·10⁶
+    DIV total, the q165/q174 pattern). Overflow ceiling: per-word
+    ppm delta is bounded by ±10⁶, so |score| ≤ 10⁶·tokens_per_doc —
+    exact until a single document holds ~9.2e12 tokens.
+
+    Scale shape: ONE explode scan feeds three hash-aggregates (raw
+    vocab, target vocab, per-doc counts) — all map-side-combining;
+    the two ppm tables are O(|vocab|) and BROADCAST to the per-doc
+    count join (no corpus shuffle on the join key); ranking is a
+    per-source window over O(docs) scored rows (score + ids only, no
+    text); totals are 1-row broadcast cross-joins. Text never moves:
+    the only full-width pass is the scan itself.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    words = docs.select(
+        "doc_id", "source", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    n_raw = words.agg(F.count(F.lit(1)).alias("n_r"))
+    n_tgt = words.filter(F.col("lang") == "en").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    p_raw = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_r"))
+        .crossJoin(F.broadcast(n_raw))
+        .select("w", F.expr("c_r * 1000000 DIV n_r").alias("ppm_r"))
+    )
+    p_tgt = (
+        words.filter(F.col("lang") == "en")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+        .crossJoin(F.broadcast(n_tgt))
+        .select("w", F.expr("c_t * 1000000 DIV n_t").alias("ppm_t"))
+    )
+    vocab = p_raw.join(p_tgt, "w", "left").select(
+        "w",
+        (F.coalesce("ppm_t", F.lit(0)) - F.col("ppm_r")).alias("delta"),
+    )
+    doc_counts = words.groupBy("doc_id", "source", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    scores = (
+        doc_counts.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.col("c") * F.col("delta")).alias("score"))
+    )
+    w_rank = Window.partitionBy("source").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    w_src = Window.partitionBy("source")
+    ranked = scores.select(
+        "source",
+        "score",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_src).alias("n_src"),
+    )
+    admitted = F.col("rn") <= F.expr("(n_src + 4) DIV 5")
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(admitted.cast("long")).alias("n_admitted"),
+            F.sum(F.when(admitted, F.col("score")).otherwise(0)).alias(
+                "sum_adm_score"
+            ),
+            F.min(F.when(admitted, F.col("score"))).alias("min_adm_score"),
+            F.max(F.when(admitted, F.col("score"))).alias("max_adm_score"),
+        )
+        .orderBy("source")
+    )

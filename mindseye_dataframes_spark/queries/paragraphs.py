@@ -1,0 +1,125 @@
+"""Paragraph-granularity exact dedup with document reassembly — the
+C4/RefinedWeb curation step the doc-level dedup family (q30/q158)
+doesn't cover: a *chunk* of a document can be boilerplate shared by
+thousands of pages even when no two documents are identical.
+
+The synthetic corpus has no newline structure, so "paragraphs" are
+fixed 16-word chunks — the mechanics (chunk → fingerprint →
+corpus-wide first-occurrence → reassemble survivors in order) are
+exactly the production shape; only the splitter differs.
+
+Reference context: SURVEY §2B ★ dedup (the reference engine has no
+sub-document dedup at all — this extends the family the same way
+q170's shared-span audit does, but with a materialized rewrite).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mindseye_dataframes_spark.queries.registry import query
+from mindseye_dataframes_spark.sources.readers import load_table
+
+CHUNK_WORDS = 16
+
+
+@query(
+    "q180_paragraph_dedup_rewrite",
+    oracle=f"""
+    WITH parts AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(t.i AS BIGINT) AS chunk,
+             array_to_string(
+               ws[CAST(t.i * {CHUNK_WORDS} + 1 AS BIGINT)
+                  :CAST((t.i + 1) * {CHUNK_WORDS} AS BIGINT)], ' ') AS ctext
+      FROM parts,
+           UNNEST(range(0, (len(ws) + {CHUNK_WORDS - 1}) // {CHUNK_WORDS})) AS t(i)
+    ),
+    keep AS (
+      SELECT doc_id, chunk, ctext,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(ctext) ORDER BY doc_id, chunk) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(COALESCE(LENGTH(
+             string_agg(CASE WHEN rn = 1 THEN ctext END, ' ' ORDER BY chunk)),
+             0) AS BIGINT) AS kept_chars,
+           md5(COALESCE(
+             string_agg(CASE WHEN rn = 1 THEN ctext END, ' ' ORDER BY chunk),
+             '')) AS kept_md5
+    FROM keep GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("dedup", "curation", "parity:paragraph-dedup"),
+)
+def q180_paragraph_dedup_rewrite(spark, sf_dir):
+    """Corpus-wide paragraph dedup + rewrite: split every document
+    into 16-word chunks, keep only the FIRST occurrence of each
+    distinct chunk (first = lexicographically smallest (doc_id,
+    chunk_idx) — deterministic, order-independent), reassemble each
+    document from its surviving chunks in order, and report per-doc
+    chunk/keep counts plus the md5 of the rewritten text (hashable
+    full-value evidence without shipping the text to the driver).
+
+    Scale shape (the part that must survive 100 TB):
+    - chunking is a narrow map + ONE (doc_id, chunk) hash-aggregate;
+    - the first-occurrence decision shuffles by the 16-byte md5
+      fingerprint — the canonical paragraph-dedup exchange. The
+      keeper table is keys-only (fp → min (doc_id, chunk) struct),
+      built with a map-side-combining min aggregate, then joined
+      back; chunk text crosses that join exchange once;
+    - reassembly is ONE groupBy(doc_id) — the second and last time
+      text moves.
+    No driver collect, no window over the whole corpus, nothing
+    quadratic: cost is 2 text shuffles + 1 key shuffle, all
+    hash-partitioned on high-cardinality keys.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    chunks = words.groupBy(
+        "doc_id", F.expr(f"pos DIV {CHUNK_WORDS}").alias("chunk")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("ctext")
+    )
+    fp_chunks = chunks.withColumn("fp", F.md5("ctext"))
+    keepers = fp_chunks.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "chunk")).alias("keeper")
+    )
+    decided = fp_chunks.join(keepers, "fp").withColumn(
+        "kept", F.struct("doc_id", "chunk") == F.col("keeper")
+    )
+    kept_struct = F.when(F.col("kept"), F.struct("chunk", "ctext"))
+    return (
+        decided.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["ctext"],
+                ),
+                " ",
+            ).alias("_kept_text"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_kept",
+            F.length("_kept_text").cast("long").alias("kept_chars"),
+            F.md5("_kept_text").alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )

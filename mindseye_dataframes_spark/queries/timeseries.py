@@ -459,3 +459,60 @@ def q179_streaming_tumbling_parity(spark, sf_dir):
         "n",
         "sum_value",
     ).orderBy("window_start", "event_type")
+
+
+@query(
+    "q182_streaming_dedup_parity",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("streaming", "dedup", "parity:stream-dedup-parity"),
+)
+def q182_streaming_dedup_parity(spark, sf_dir):
+    """Streaming exact-dedup under the driver's hash check: the
+    events table is doubled (every event_id arrives twice, the
+    at-least-once delivery a real ingest bus produces), re-staged as
+    a multi-file parquet drop, read back as a bounded file-source
+    stream (several real micro-batches), passed through streaming
+    ``dropDuplicates(event_id)``, aggregated by type, and drained
+    with availableNow. The oracle is the batch aggregate over the
+    ORIGINAL (undoubled) events, so the driver verifies the
+    streaming key-store admitted each event exactly once across
+    micro-batch boundaries — counts AND decimal-exact sums.
+
+    This is the order-independent variant so the replay is exact
+    regardless of which micro-batch a duplicate lands in; the
+    production watermark-bounded twin (streaming/events.py:
+    dedup_stream, dropDuplicatesWithinWatermark — state bounded by
+    the watermark horizon instead of growing with distinct keys) is
+    pinned by tests/test_streaming.py, where arrival order is
+    controlled. Scale: state is one entry per distinct key sharded
+    by hash across executors; each trigger touches only its batch's
+    keys; the aggregate holds O(types) rows in complete mode.
+    """
+    import os
+    import tempfile
+
+    from mindseye_dataframes_spark.streaming.events import (
+        read_event_stream,
+        run_bounded,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    doubled = events.unionAll(events)
+    tag = sf_dir.strip("/").replace("/", "_")
+    src = os.path.join(tempfile.gettempdir(), "msdf_stream_dedup", tag)
+    doubled.repartition(4).write.mode("overwrite").parquet(src)
+    table = f"q182_dedup_{tag}".replace(".", "_").replace("-", "_")
+    spark.catalog.dropTempView(table)
+    deduped = read_event_stream(spark, src).dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(dec(F.col("value"))).alias("sum_value"),
+    )
+    result = run_bounded(agg, table, output_mode="complete")
+    return result.orderBy("event_type")

@@ -123,3 +123,26 @@ def test_numpy_assignment_matches_pure_numpy_reference(spark, k):
         acc += diff * diff
     want = cells[np.argmin(np.round(acc, 9), axis=1)]
     assert [got[i] for i in range(n)] == list(want)
+
+
+def test_blocked_fold_matches_unblocked(spark):
+    """The cache-blocked assignment kernel must be bit-identical to
+    the unblocked dimension-order fold across BOTH tile boundaries
+    (n > 512 rows, k > 2048 centroids): tiling changes which scalars
+    are computed together, never any per-scalar IEEE sequence."""
+    n, d, k = 600, 8, 2500
+    df = _seeded_frame(spark, n=n, d=d, seed=11)
+    cents = _seeded_cents(k=k, d=d, seed=12)
+    got = {
+        r["vec_id"]: r["_cell"]
+        for r in _assign_numpy(df, "embedding", cents).collect()
+    }
+    x = np.array([r["embedding"] for r in df.orderBy("vec_id").collect()])
+    cells = np.array([c for c, _ in sorted(cents)])
+    mat = np.array([v for _, v in sorted(cents)])
+    acc = np.zeros((n, k))
+    for j in range(d):
+        diff = x[:, j : j + 1] - mat[None, :, j]
+        acc += diff * diff
+    want = cells[np.argmin(np.round(acc, 9), axis=1)]
+    assert [got[i] for i in range(n)] == list(want)
