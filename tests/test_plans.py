@@ -701,3 +701,33 @@ def test_packing_efficiency_is_one_aggregate(spark, sf_dir):
         spark, sf_dir, "q176_packing_efficiency"
     ).split("ReadSchema:")[1].splitlines()[0]
     assert "doc_id" not in read_schema and "n_chars" not in read_schema
+
+
+def test_paragraph_dedup_no_cartesian_two_text_moves(spark, sf_dir):
+    """q180: the keeper decision joins on the md5 fingerprint (hash
+    join, never a cartesian), and the only scan columns are doc_id +
+    text."""
+    plan = plan_of(spark, sf_dir, "q180_paragraph_dedup_rewrite")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    read_schema = explain_formatted(
+        spark, sf_dir, "q180_paragraph_dedup_rewrite"
+    ).split("ReadSchema:")[1].splitlines()[0]
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_importance_resampling_broadcasts_vocab(spark, sf_dir):
+    """q181: the per-doc count join against the ppm vocab table must
+    be a broadcast hash join — the corpus-sized side never shuffles on
+    the word key."""
+    plan = plan_of(spark, sf_dir, "q181_importance_resampling")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_encode_broadcasts_vocab(spark, sf_dir):
+    """q183: encoding is a broadcast join of corpus tokens to the
+    O(|vocab|) (word -> n_symbols) table — no corpus-side shuffle on
+    the word key, no cartesian."""
+    plan = plan_of(spark, sf_dir, "q183_bpe_encode_accounting")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan

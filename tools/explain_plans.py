@@ -33,6 +33,9 @@ def main() -> None:
             "q165_source_divergence",
             "q167_net_token_accounting",
             "q174_unimax_mixture",
+            "q180_paragraph_dedup_rewrite",
+            "q181_importance_resampling",
+            "q183_bpe_encode_accounting",
         )
         if n in registry
     ]
