@@ -435,3 +435,120 @@ def q172_label_centroid_similarity(spark, sf_dir):
         )
         .orderBy("label_a", "label_b")
     )
+
+
+_KNN_N_EVAL = 200
+_KNN_K = 10
+
+
+@query(
+    "q184_knn_label_eval",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings),
+    q AS (SELECT vec_id, v, label FROM e WHERE vec_id < {_KNN_N_EVAL}),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS true_label,
+             c.label AS n_label,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY round(list_cosine_similarity(q.v, c.v), 9) DESC,
+                                         c.vec_id) AS rank
+      FROM q JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    votes AS (
+      SELECT query_id, true_label, n_label, CAST(COUNT(*) AS BIGINT) AS v
+      FROM scored WHERE rank <= {_KNN_K} GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT query_id, true_label, n_label AS pred_label,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY v DESC, n_label) AS r
+      FROM votes
+    )
+    SELECT true_label,
+           COUNT(*) AS n_eval,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS accuracy_ppm
+    FROM pred WHERE r = 1 GROUP BY true_label ORDER BY true_label
+    """,
+    tags=("similarity", "ml-eval", "parity:knn-eval"),
+)
+def q184_knn_label_eval(spark, sf_dir):
+    """Embedding-quality evaluation by kNN label vote — the standard
+    "are these embeddings any good" probe a curation pipeline runs
+    before trusting them for SemDeDup/clustering: for each vector in
+    a bounded eval split, take the 10 nearest non-self neighbors by
+    exact cosine (the q35 scoring contract: round(cos, 9) with
+    neighbor-id tiebreak), majority-vote their labels (tie → smallest
+    label id), and report per-class accuracy in exact integer ppm.
+
+    Scale shape: the eval split is O(eval) rows and BROADCASTS to the
+    corpus (q35's corpus-never-shuffles contract — the corpus is
+    scanned once, scored in codegen, and only (query, label, rank)
+    tuples survive the per-query top-k window). The vote and the
+    per-class rollup are O(eval · k) rows. At 100 TB the corpus side
+    stays a single narrow scan; everything downstream is eval-sized.
+    """
+    from pyspark.sql import Window
+
+    from mindseye_dataframes_spark.functions.vectors import dot, norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") < _KNN_N_EVAL)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("label").alias("true_label"),
+        )
+        .withColumn("_qn", norm("qv"))
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("n_label"),
+    ).withColumn("_cn", norm("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            "neighbor_id",
+            "n_label",
+            F.round(
+                dot("qv", "cv") / (F.col("_qn") * F.col("_cn")), 9
+            ).alias("cos_r"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), F.col("neighbor_id")
+    )
+    top = scored.withColumn("rank", F.row_number().over(w_rank)).filter(
+        F.col("rank") <= _KNN_K
+    )
+    votes = top.groupBy("query_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    w_vote = Window.partitionBy("query_id").orderBy(
+        F.col("v").desc(), F.col("n_label")
+    )
+    pred = (
+        votes.withColumn("r", F.row_number().over(w_vote))
+        .filter(F.col("r") == 1)
+        .select("true_label", F.col("n_label").alias("pred_label"))
+    )
+    return (
+        pred.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(
+                (F.col("pred_label") == F.col("true_label")).cast("long")
+            ).alias("n_correct"),
+        )
+        .withColumn("accuracy_ppm", F.expr("n_correct * 1000000 DIV n_eval"))
+        .orderBy("true_label")
+    )

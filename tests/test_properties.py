@@ -868,3 +868,38 @@ def test_unimax_waterfill_matches_sequential_reference(spark):
         assert len(set(free)) <= 1  # equal integer shares
         assert sum(got.values()) <= budget
         assert budget - sum(got.values()) <= max(1, len(got))  # floored remainder only
+
+
+def test_paragraph_dedup_rewrite_semantics(spark, tmp_path_factory):
+    """Pin q180's keep/drop rule on a hand-built corpus, independent
+    of the DuckDB oracle: a chunk duplicated across docs survives
+    only at its first (doc_id, chunk_idx); an intra-doc repeat keeps
+    only its first slot; reassembly preserves chunk order. Also pins
+    the fixed-boundary caveat: dedup fires on ALIGNED 16-word chunks."""
+    from mindseye_dataframes_spark.queries.paragraphs import (
+        q180_paragraph_dedup_rewrite,
+    )
+
+    X = " ".join(f"x{i}" for i in range(16))
+    Y = " ".join(f"y{i}" for i in range(16))
+    Z = " ".join(f"z{i}" for i in range(16))
+    W = " ".join(f"w{i}" for i in range(16))
+    rows = [
+        (0, X + " " + Y),   # first occurrence of X and Y
+        (1, X + " " + Z),   # X dropped, Z kept
+        (2, W + " " + W),   # intra-doc repeat: second W dropped
+    ]
+    d = str(tmp_path_factory.mktemp("q180sem"))
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/documents.parquet")
+    got = {
+        r["doc_id"]: r
+        for r in q180_paragraph_dedup_rewrite(spark, d).collect()
+    }
+    assert got[0]["n_chunks"] == 2 and got[0]["n_kept"] == 2
+    assert got[1]["n_chunks"] == 2 and got[1]["n_kept"] == 1
+    assert got[2]["n_chunks"] == 2 and got[2]["n_kept"] == 1
+    # reassembly drops the duplicated chunk but keeps order
+    assert got[1]["kept_chars"] == len(Z)
+    assert got[0]["kept_chars"] == len(X + " " + Y)
