@@ -628,26 +628,31 @@ def q176_packing_efficiency(spark, sf_dir):
     )
 
 
+_DSIR_BUCKETS = 4096
+
+
 @query(
     "q181_importance_resampling",
-    oracle="""
+    oracle=f"""
     WITH words AS (
-      SELECT doc_id, source, lang, u.w AS w
+      SELECT doc_id, source, lang,
+             CAST(('0x' || substr(md5(u.w), 1, 8)) AS BIGINT)
+               % {_DSIR_BUCKETS} AS b
       FROM documents, UNNEST(string_split(text, ' ')) AS u(w)
     ),
     nr AS (SELECT COUNT(*) AS n FROM words),
     nt AS (SELECT COUNT(*) AS n FROM words WHERE lang = 'en'),
-    pr AS (SELECT w, COUNT(*) * 1000000 // (SELECT n FROM nr) AS ppm
-           FROM words GROUP BY w),
-    pt AS (SELECT w, COUNT(*) * 1000000 // (SELECT n FROM nt) AS ppm
-           FROM words WHERE lang = 'en' GROUP BY w),
-    dc AS (SELECT doc_id, source, w, COUNT(*) AS c
+    pr AS (SELECT b, COUNT(*) * 1000000 // (SELECT n FROM nr) AS ppm
+           FROM words GROUP BY b),
+    pt AS (SELECT b, COUNT(*) * 1000000 // (SELECT n FROM nt) AS ppm
+           FROM words WHERE lang = 'en' GROUP BY b),
+    dc AS (SELECT doc_id, source, b, COUNT(*) AS c
            FROM words GROUP BY 1, 2, 3),
     ds AS (
       SELECT dc.doc_id, dc.source,
              CAST(SUM(dc.c * (COALESCE(pt.ppm, 0) - pr.ppm)) AS BIGINT)
                AS score
-      FROM dc JOIN pr USING (w) LEFT JOIN pt USING (w)
+      FROM dc JOIN pr USING (b) LEFT JOIN pt USING (b)
       GROUP BY 1, 2
     ),
     ranked AS (
@@ -678,55 +683,72 @@ def q181_importance_resampling(spark, sf_dir):
     looks like a TARGET domain (here lang='en') versus the raw crawl,
     then admit the top ceil(20%) per source.
 
+    Features are HASHED into a fixed 4096-bucket space —
+    exactly the paper's construction, and the property that makes the
+    method scale-safe: the two distribution tables are O(buckets)
+    (constant) rows no matter how large the crawl's raw vocabulary
+    grows, so the broadcast join below never depends on corpus size.
+    The hash is the engine-portable md5-prefix pair (Spark ``conv``
+    ≡ DuckDB ``'0x' || substr`` — the q75 idiom).
+
     Exactness: the published method uses log-likelihood ratios of
     hashed n-gram features; floats in ``ln`` differ across engines,
     so the score is re-expressed in exact integer arithmetic —
-    score(doc) = Σ_w c_doc(w) · (ppm_target(w) − ppm_raw(w)), a
+    score(doc) = Σ_b c_doc(b) · (ppm_target(b) − ppm_raw(b)), a
     linear importance proxy with every term BIGINT (ppm = count·10⁶
-    DIV total, the q165/q174 pattern). Overflow ceiling: per-word
+    DIV total, the q165/q174 pattern). Overflow ceiling: per-bucket
     ppm delta is bounded by ±10⁶, so |score| ≤ 10⁶·tokens_per_doc —
     exact until a single document holds ~9.2e12 tokens.
 
     Scale shape: ONE explode scan feeds three hash-aggregates (raw
-    vocab, target vocab, per-doc counts) — all map-side-combining;
-    the two ppm tables are O(|vocab|) and BROADCAST to the per-doc
-    count join (no corpus shuffle on the join key); ranking is a
-    per-source window over O(docs) scored rows (score + ids only, no
-    text); totals are 1-row broadcast cross-joins. Text never moves:
-    the only full-width pass is the scan itself.
+    buckets, target buckets, per-doc bucket counts) — all
+    map-side-combining on bounded keys; the two ppm tables are
+    O(buckets) = 4096 rows and BROADCAST to the per-doc count join
+    (no corpus shuffle on the join key, and the broadcast cannot
+    outgrow memory); ranking is a per-source window over O(docs)
+    scored rows (score + ids only, no text); totals are 1-row
+    broadcast cross-joins. Text never moves: the only full-width
+    pass is the scan itself.
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "lang", "text"
     )
+    bucket = (
+        F.expr("conv(substring(md5(w), 1, 8), 16, 10)").cast("long")
+        % _DSIR_BUCKETS
+    ).alias("b")
     words = docs.select(
-        "doc_id", "source", "lang", F.explode(F.split("text", " ")).alias("w")
-    )
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(F.split("text", " ")).alias("w"),
+    ).select("doc_id", "source", "lang", bucket)
     n_raw = words.agg(F.count(F.lit(1)).alias("n_r"))
     n_tgt = words.filter(F.col("lang") == "en").agg(
         F.count(F.lit(1)).alias("n_t")
     )
     p_raw = (
-        words.groupBy("w")
+        words.groupBy("b")
         .agg(F.count(F.lit(1)).alias("c_r"))
         .crossJoin(F.broadcast(n_raw))
-        .select("w", F.expr("c_r * 1000000 DIV n_r").alias("ppm_r"))
+        .select("b", F.expr("c_r * 1000000 DIV n_r").alias("ppm_r"))
     )
     p_tgt = (
         words.filter(F.col("lang") == "en")
-        .groupBy("w")
+        .groupBy("b")
         .agg(F.count(F.lit(1)).alias("c_t"))
         .crossJoin(F.broadcast(n_tgt))
-        .select("w", F.expr("c_t * 1000000 DIV n_t").alias("ppm_t"))
+        .select("b", F.expr("c_t * 1000000 DIV n_t").alias("ppm_t"))
     )
-    vocab = p_raw.join(p_tgt, "w", "left").select(
-        "w",
+    vocab = p_raw.join(p_tgt, "b", "left").select(
+        "b",
         (F.coalesce("ppm_t", F.lit(0)) - F.col("ppm_r")).alias("delta"),
     )
-    doc_counts = words.groupBy("doc_id", "source", "w").agg(
+    doc_counts = words.groupBy("doc_id", "source", "b").agg(
         F.count(F.lit(1)).alias("c")
     )
     scores = (
-        doc_counts.join(F.broadcast(vocab), "w")
+        doc_counts.join(F.broadcast(vocab), "b")
         .groupBy("doc_id", "source")
         .agg(F.sum(F.col("c") * F.col("delta")).alias("score"))
     )
