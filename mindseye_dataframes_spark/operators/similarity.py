@@ -72,6 +72,83 @@ def cosine_topk(
     )
 
 
+def cosine_topk_pruned(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+    k: int,
+    pair_filter: F.Column | None = None,
+) -> DataFrame:
+    """``cosine_topk`` with a partition-local prune: identical scoring
+    (broadcast queries, JVM codegen, round(cos,9) + corpus-id
+    tiebreak) and identical results, but the scored tuples pass
+    through an Arrow-batched local top-k BEFORE the global rank
+    window, so the window's shuffle input shrinks from |Q|·|C| rows
+    to ≤ |Q|·k per partition — the shape that matters when |C| is the
+    100 TB side (exact top-k is distributive: the global top-k is
+    contained in the union of per-partition top-ks, so pruning loses
+    nothing; equality with ``cosine_topk`` is property-pinned in
+    tests/test_properties.py including exact-tie corpora).
+
+    The prune keeps O(|Q|·k) rows of state per task (a pandas carry
+    frame, re-pruned each batch) — bounded memory regardless of
+    partition size.
+
+    ``pair_filter`` (optional) excludes pairs BEFORE ranking — e.g.
+    ``F.col(corpus_id) != F.col(query_id)`` for self-exclusion in a
+    shared id space; filtering a k+1 result after the fact would
+    mis-rank under duplicate vectors."""
+    from pyspark.sql import types as T
+
+    from mindseye_dataframes_spark.functions.vectors import norm
+
+    q_n = queries.withColumn("_qn", norm(query_vec))
+    c_n = corpus.withColumn("_cn", norm(corpus_vec))
+    pairs = F.broadcast(q_n).crossJoin(c_n)
+    if pair_filter is not None:
+        pairs = pairs.filter(pair_filter)
+    scored = pairs.select(
+        F.col(query_id),
+        F.col(corpus_id),
+        F.round(
+            dot(query_vec, corpus_vec) / (F.col("_qn") * F.col("_cn")), 9
+        ).alias("cos_r"),
+    )
+
+    def local_topk(batches):
+        import pandas as pd
+
+        carry = None
+        for pdf in batches:
+            both = pdf if carry is None else pd.concat((carry, pdf))
+            both = both.sort_values(
+                ["cos_r", corpus_id], ascending=[False, True], kind="mergesort"
+            )
+            carry = both.groupby(query_id, sort=False).head(k)
+        if carry is not None and len(carry):
+            yield carry
+
+    pruned = scored.mapInPandas(
+        local_topk,
+        schema=T.StructType(
+            [
+                scored.schema[query_id],
+                scored.schema[corpus_id],
+                T.StructField("cos_r", T.DoubleType()),
+            ]
+        ),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos_r").desc(), F.col(corpus_id))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", corpus_id, "cos_r")
+    )
+
+
 def ann_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,

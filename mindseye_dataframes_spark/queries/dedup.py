@@ -753,3 +753,106 @@ def q175_ingest_novelty(spark, sf_dir):
         .select("batch", "n_docs", "n_distinct", "n_novel", "novelty_ppm")
         .orderBy("batch")
     )
+
+
+_Q32_PAIRS_CTE = """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) >= 3
+                  THEN list_distinct(list_transform(range(1, len(string_split(text, ' '))-1),
+                       i -> concat_ws(' ', string_split(text, ' ')[i], string_split(text, ' ')[i+1], string_split(text, ' ')[i+2])))
+                  ELSE [text] END AS t
+      FROM documents
+    ), sigs AS (
+      SELECT doc_id,
+             list_transform(range(0, 16), i ->
+               list_aggregate(list_transform(t, s -> md5(concat(i, ':', s))), 'min')) AS sig
+      FROM toks
+    ), buckets AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, 4), j ->
+               concat(j, ':', md5(array_to_string(sig[j*4+1 : j*4+4], ','))))) AS band_key
+      FROM sigs
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b USING (band_key)
+      WHERE a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM cands
+      JOIN toks ta ON ta.doc_id = id_a
+      JOIN toks tb ON tb.doc_id = id_b
+      WHERE CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
+              / CAST(len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t)) AS DOUBLE) >= 0.5
+    )
+"""
+
+_SPLIT_SQL = (
+    "CASE WHEN CAST(('0x' || substr(md5(CAST({id} AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " % 100 < 10 THEN 'test' ELSE 'train' END"
+)
+
+
+@query(
+    "q185_split_leakage_audit",
+    oracle=_Q32_PAIRS_CTE
+    + f""",
+    p AS (
+      SELECT {_SPLIT_SQL.format(id='id_a')} AS s_a,
+             {_SPLIT_SQL.format(id='id_b')} AS s_b,
+             id_a, id_b
+      FROM pairs)
+    SELECT COUNT(*) AS total_pairs,
+           CAST(COALESCE(SUM(CASE WHEN s_a <> s_b THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS cross_pairs,
+           CAST(CASE WHEN COUNT(*) = 0 THEN 0
+                ELSE SUM(CASE WHEN s_a <> s_b THEN 1 ELSE 0 END)
+                     * 1000000 // COUNT(*) END AS BIGINT) AS leak_ppm,
+           CAST(COUNT(DISTINCT CASE WHEN s_a <> s_b THEN
+                  CASE WHEN s_a = 'test' THEN id_a ELSE id_b END END)
+                AS BIGINT) AS n_leaked_test_docs
+    FROM p
+    """,
+    tags=("dedup", "curation", "parity:split-leakage"),
+)
+def q185_split_leakage_audit(spark, sf_dir):
+    """Eval-contamination audit for a train/test split: how many
+    verified near-duplicate pairs CROSS the split boundary — the
+    leakage that silently inflates eval scores when test documents
+    have near-dups in train (the reason dedup must precede splitting,
+    Lee et al. 2022 §6). The split is the deterministic md5-bucket
+    rule (q75's engine-portable idiom; bucket < 10 → 'test'), so
+    membership is a PURE FUNCTION of doc_id — the audit computes both
+    sides' labels inline on the pair relation and touches neither the
+    corpus nor a split table: zero joins, zero extra shuffles, one
+    global aggregate over the (already tiny) verified-pair frame,
+    which is the session-shared q32 stage (verified_pairs_cached) the
+    q77/q158/q167 family reuses. Output: total/crossing pair counts,
+    the crossing rate in exact integer ppm, and the number of test
+    docs that must be evicted (distinct test-side members of crossing
+    pairs)."""
+    from mindseye_dataframes_spark.queries.curation import hash_bucket
+
+    pairs = verified_pairs_cached(spark, sf_dir, threshold=0.5)
+    lab = lambda c: F.when(hash_bucket(c) < 10, F.lit("test")).otherwise(  # noqa: E731
+        F.lit("train")
+    )
+    p = pairs.select(
+        "id_a", "id_b", lab("id_a").alias("s_a"), lab("id_b").alias("s_b")
+    )
+    cross = F.col("s_a") != F.col("s_b")
+    return p.agg(
+        F.count(F.lit(1)).alias("total_pairs"),
+        F.coalesce(F.sum(cross.cast("long")), F.lit(0)).alias("cross_pairs"),
+        F.coalesce(
+            F.expr(
+                "CASE WHEN count(1) = 0 THEN 0 ELSE "
+                "sum(CASE WHEN s_a <> s_b THEN 1 ELSE 0 END) * 1000000 "
+                "DIV count(1) END"
+            ),
+            F.lit(0),
+        ).alias("leak_ppm"),
+        F.countDistinct(
+            F.when(cross, F.when(F.col("s_a") == "test", F.col("id_a")).otherwise(F.col("id_b")))
+        ).alias("n_leaked_test_docs"),
+    )

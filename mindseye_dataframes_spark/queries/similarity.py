@@ -485,52 +485,52 @@ def q184_knn_label_eval(spark, sf_dir):
     label id), and report per-class accuracy in exact integer ppm.
 
     Scale shape: the eval split is O(eval) rows and BROADCASTS to the
-    corpus (q35's corpus-never-shuffles contract — the corpus is
-    scanned once, scored in codegen, and only (query, label, rank)
-    tuples survive the per-query top-k window). The vote and the
-    per-class rollup are O(eval · k) rows. At 100 TB the corpus side
-    stays a single narrow scan; everything downstream is eval-sized.
+    corpus, which is scanned once and scored in codegen (q35's
+    contract), and the scored tuples pass through the Arrow-batched
+    partition-local prune (``cosine_topk_pruned``) so the global rank
+    window shuffles ≤ |eval|·k rows per partition instead of
+    |eval|·|C| — the exact-top-k shape that survives a 100 TB corpus.
+    Neighbor labels join AFTER top-k as a broadcast of the eval-sized
+    result against the corpus scan (corpus never shuffles); the vote
+    and per-class rollup are O(eval · k). For a corpus-sized query
+    set even this is wrong by construction — use the bucketed ANN
+    operators (q36/q60) whose candidate sets are bounded per query.
     """
     from pyspark.sql import Window
 
-    from mindseye_dataframes_spark.functions.vectors import dot, norm
+    from mindseye_dataframes_spark.operators.similarity import (
+        cosine_topk_pruned,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    q = (
-        emb.filter(F.col("vec_id") < _KNN_N_EVAL)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qv"),
-            F.col("label").alias("true_label"),
-        )
-        .withColumn("_qn", norm("qv"))
+    q = emb.filter(F.col("vec_id") < _KNN_N_EVAL).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
     )
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cv"),
-        F.col("label").alias("n_label"),
-    ).withColumn("_cn", norm("cv"))
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "true_label",
-            "neighbor_id",
-            "n_label",
-            F.round(
-                dot("qv", "cv") / (F.col("_qn") * F.col("_cn")), 9
-            ).alias("cos_r"),
-        )
     )
-    w_rank = Window.partitionBy("query_id").orderBy(
-        F.col("cos_r").desc(), F.col("neighbor_id")
+    top = cosine_topk_pruned(
+        q,
+        c,
+        "query_id",
+        "qv",
+        "neighbor_id",
+        "cv",
+        _KNN_K,
+        pair_filter=F.col("neighbor_id") != F.col("query_id"),
     )
-    top = scored.withColumn("rank", F.row_number().over(w_rank)).filter(
-        F.col("rank") <= _KNN_K
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
     )
-    votes = top.groupBy("query_id", "true_label", "n_label").agg(
+    true_l = emb.filter(F.col("vec_id") < _KNN_N_EVAL).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    top_l = labels.join(F.broadcast(top), "neighbor_id").join(
+        F.broadcast(true_l), "query_id"
+    )
+    votes = top_l.groupBy("query_id", "true_label", "n_label").agg(
         F.count(F.lit(1)).alias("v")
     )
     w_vote = Window.partitionBy("query_id").orderBy(

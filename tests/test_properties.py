@@ -903,3 +903,33 @@ def test_paragraph_dedup_rewrite_semantics(spark, tmp_path_factory):
     # reassembly drops the duplicated chunk but keeps order
     assert got[1]["kept_chars"] == len(Z)
     assert got[0]["kept_chars"] == len(X + " " + Y)
+
+
+def test_cosine_topk_pruned_equals_exact(spark):
+    """The partition-local prune must be invisible: identical
+    (query, rank, neighbor, score) rows as cosine_topk, including
+    under exact ties (duplicated corpus vectors) and across multiple
+    partitions/batches."""
+    import numpy as np
+
+    from mindseye_dataframes_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_pruned,
+    )
+
+    rng = np.random.default_rng(17)
+    vecs = [[float(x) for x in rng.normal(0, 1, 8)] for _ in range(120)]
+    # exact ties: clones of vector 0 scattered through the corpus
+    for i in (30, 60, 90):
+        vecs[i] = list(vecs[0])
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "cid long, cv array<double>"
+    ).repartition(7)
+    queries = spark.createDataFrame(
+        [(i, vecs[i]) for i in range(5)], "qid long, qv array<double>"
+    )
+    exact = cosine_topk(queries, corpus, "qid", "qv", "cid", "cv", 10)
+    pruned = cosine_topk_pruned(queries, corpus, "qid", "qv", "cid", "cv", 10)
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, pruned.collect())
+    )
