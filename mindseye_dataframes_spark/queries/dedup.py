@@ -856,3 +856,116 @@ def q185_split_leakage_audit(spark, sf_dir):
             F.when(cross, F.when(F.col("s_a") == "test", F.col("id_a")).otherwise(F.col("id_b")))
         ).alias("n_leaked_test_docs"),
     )
+
+
+@query(
+    "q186_leakage_eviction",
+    oracle=_CLOSURE_CTES
+    + f""",
+    clus AS (SELECT s AS doc_id, MIN(d) AS cluster_id FROM reach GROUP BY s),
+    cl AS (SELECT doc_id, cluster_id,
+                  {_SPLIT_SQL.format(id='doc_id')} AS s FROM clus),
+    tainted AS (
+      SELECT cluster_id,
+             MAX(CASE WHEN s = 'train' THEN 1 ELSE 0 END) AS has_train
+      FROM cl GROUP BY cluster_id),
+    evicted AS (
+      SELECT cl.doc_id FROM cl JOIN tainted USING (cluster_id)
+      WHERE tainted.has_train = 1 AND cl.s = 'test'),
+    base AS (
+      SELECT doc_id, {_SPLIT_SQL.format(id='doc_id')} AS s FROM documents),
+    fp AS (
+      SELECT CASE WHEN id_a IN (SELECT doc_id FROM evicted)
+                  THEN 'train' ELSE {_SPLIT_SQL.format(id='id_a')} END AS f_a,
+             CASE WHEN id_b IN (SELECT doc_id FROM evicted)
+                  THEN 'train' ELSE {_SPLIT_SQL.format(id='id_b')} END AS f_b
+      FROM pairs)
+    SELECT (SELECT COUNT(*) FROM base) AS n_docs,
+           (SELECT CAST(COALESCE(SUM(CASE WHEN s = 'test' THEN 1 ELSE 0 END), 0)
+                   AS BIGINT) FROM base) AS test_before,
+           (SELECT COUNT(*) FROM evicted) AS n_evicted,
+           (SELECT CAST(COALESCE(SUM(CASE WHEN s = 'test' THEN 1 ELSE 0 END), 0)
+                   AS BIGINT) FROM base)
+             - (SELECT COUNT(*) FROM evicted) AS test_after,
+           (SELECT CAST(COALESCE(SUM(CASE WHEN f_a <> f_b THEN 1 ELSE 0 END), 0)
+                   AS BIGINT) FROM fp) AS residual_cross_pairs
+    """,
+    tags=("dedup", "curation", "parity:leakage-eviction"),
+)
+def q186_leakage_eviction(spark, sf_dir):
+    """Resolve the leakage q185 measures: evict from 'test' every doc
+    whose dup CLUSTER also touches 'train' (cluster-level eviction —
+    evicting only the directly-paired docs can CREATE new crossings
+    between a surviving test doc and its re-assigned former test
+    neighbor; whole-cluster eviction makes residual leakage zero by
+    construction, and the query PROVES it by recomputing the crossing
+    count under the final assignment — the driver hashes the zero).
+
+    Scale shape: split labels are pure md5 functions of doc_id (zero
+    joins to the corpus); the cluster frame is the session-shared
+    star-contraction output (O(docs-in-pairs) rows); taint is one
+    keys-only aggregate over it; the residual audit is a narrow map
+    over the pair frame against the BROADCAST evicted set. Nothing
+    here touches document text at all."""
+    from mindseye_dataframes_spark.queries.curation import hash_bucket
+
+    def lab(c):
+        return F.when(hash_bucket(c) < 10, F.lit("test")).otherwise(
+            F.lit("train")
+        )
+
+    clusters = dup_clusters_cached(spark, sf_dir, 0.5)
+    cl = clusters.withColumn("s", lab("doc_id"))
+    tainted = cl.groupBy("cluster_id").agg(
+        F.max((F.col("s") == "train").cast("int")).alias("has_train")
+    )
+    evicted = (
+        cl.join(tainted, "cluster_id")
+        .filter((F.col("has_train") == 1) & (F.col("s") == "test"))
+        .select("doc_id")
+    )
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", lab("doc_id").alias("s")
+    )
+    counts = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(
+            F.sum((F.col("s") == "test").cast("long")), F.lit(0)
+        ).alias("test_before"),
+    )
+    n_evicted = evicted.agg(F.count(F.lit(1)).alias("n_evicted"))
+    pairs = verified_pairs_cached(spark, sf_dir, 0.5)
+    ev_a = evicted.select(F.col("doc_id").alias("id_a")).withColumn(
+        "ev_a", F.lit(1)
+    )
+    ev_b = evicted.select(F.col("doc_id").alias("id_b")).withColumn(
+        "ev_b", F.lit(1)
+    )
+    fp = (
+        pairs.join(F.broadcast(ev_a), "id_a", "left")
+        .join(F.broadcast(ev_b), "id_b", "left")
+        .select(
+            F.when(F.col("ev_a") == 1, F.lit("train"))
+            .otherwise(lab("id_a"))
+            .alias("f_a"),
+            F.when(F.col("ev_b") == 1, F.lit("train"))
+            .otherwise(lab("id_b"))
+            .alias("f_b"),
+        )
+    )
+    residual = fp.agg(
+        F.coalesce(
+            F.sum((F.col("f_a") != F.col("f_b")).cast("long")), F.lit(0)
+        ).alias("residual_cross_pairs")
+    )
+    return (
+        counts.crossJoin(F.broadcast(n_evicted))
+        .crossJoin(F.broadcast(residual))
+        .select(
+            "n_docs",
+            "test_before",
+            "n_evicted",
+            (F.col("test_before") - F.col("n_evicted")).alias("test_after"),
+            "residual_cross_pairs",
+        )
+    )
