@@ -131,10 +131,12 @@ def q31_minhash_signatures(spark, sf_dir):
     )
 
 
-@query(
-    "q32_lsh_dup_pairs",
-    oracle="""
-    WITH toks AS (
+# The MinHash→LSH-band→exact-Jaccard pair relation in SQL — the ONE
+# definition every pair-consuming oracle builds on (q32 reads it
+# directly; the closure oracles append edges/reach; q185/q186 append
+# split audits). Kept as a CTE-core string so the replay logic exists
+# exactly once.
+_PAIRS_CORE = """toks AS (
       SELECT doc_id,
              CASE WHEN len(string_split(text, ' ')) >= 3
                   THEN list_distinct(list_transform(range(1, len(string_split(text, ' '))-1),
@@ -155,16 +157,25 @@ def q31_minhash_signatures(spark, sf_dir):
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM buckets a JOIN buckets b USING (band_key)
       WHERE a.doc_id < b.doc_id
-    )
-    SELECT id_a, id_b,
-           CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
-             / CAST(len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t)) AS DOUBLE) AS jaccard
-    FROM cands
-    JOIN toks ta ON ta.doc_id = id_a
-    JOIN toks tb ON tb.doc_id = id_b
-    WHERE CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
-            / CAST(len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t)) AS DOUBLE) >= 0.5
-    ORDER BY id_a, id_b
+    ), pairs AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
+               / CAST(len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t)) AS DOUBLE) AS jaccard
+      FROM cands
+      JOIN toks ta ON ta.doc_id = id_a
+      JOIN toks tb ON tb.doc_id = id_b
+      WHERE CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
+              / CAST(len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t)) AS DOUBLE) >= 0.5
+    )"""
+
+_Q32_PAIRS_CTE = "\n    WITH " + _PAIRS_CORE
+
+
+@query(
+    "q32_lsh_dup_pairs",
+    oracle=_Q32_PAIRS_CTE
+    + """
+    SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b
     """,
     tags=("dedup", "parity:minhash-lsh"),
     bench=True,
@@ -241,36 +252,10 @@ def q34_embedding_near_dup(spark, sf_dir):
 # Shared by q77 (naive label propagation) and q79 (star contraction):
 # both must produce the identical transitive-closure clustering, so
 # they share one recursive-CTE reachability oracle.
-_CLOSURE_CTES = """
-    WITH RECURSIVE toks AS (
-      SELECT doc_id,
-             CASE WHEN len(string_split(text, ' ')) >= 3
-                  THEN list_distinct(list_transform(range(1, len(string_split(text, ' '))-1),
-                       i -> concat_ws(' ', string_split(text, ' ')[i], string_split(text, ' ')[i+1], string_split(text, ' ')[i+2])))
-                  ELSE [text] END AS t
-      FROM documents
-    ), sigs AS (
-      SELECT doc_id,
-             list_transform(range(0, 16), i ->
-               list_aggregate(list_transform(t, s -> md5(concat(i, ':', s))), 'min')) AS sig
-      FROM toks
-    ), buckets AS (
-      SELECT doc_id,
-             unnest(list_transform(range(0, 4), j ->
-               concat(j, ':', md5(array_to_string(sig[j*4+1 : j*4+4], ','))))) AS band_key
-      FROM sigs
-    ), cands AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM buckets a JOIN buckets b USING (band_key)
-      WHERE a.doc_id < b.doc_id
-    ), pairs AS (
-      SELECT id_a, id_b
-      FROM cands
-      JOIN toks ta ON ta.doc_id = id_a
-      JOIN toks tb ON tb.doc_id = id_b
-      WHERE CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
-              / CAST(len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t)) AS DOUBLE) >= 0.5
-    ), edges AS (
+_CLOSURE_CTES = (
+    "\n    WITH RECURSIVE "
+    + _PAIRS_CORE
+    + """, edges AS (
       SELECT id_a AS s, id_b AS d FROM pairs
       UNION SELECT id_b, id_a FROM pairs
     ), reach(s, d) AS (
@@ -278,6 +263,7 @@ _CLOSURE_CTES = """
       UNION
       SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
     )"""
+)
 
 _CLOSURE_SELECT = """
     SELECT s AS doc_id, MIN(d) AS cluster_id FROM reach GROUP BY s ORDER BY doc_id
@@ -754,38 +740,6 @@ def q175_ingest_novelty(spark, sf_dir):
         .orderBy("batch")
     )
 
-
-_Q32_PAIRS_CTE = """
-    WITH toks AS (
-      SELECT doc_id,
-             CASE WHEN len(string_split(text, ' ')) >= 3
-                  THEN list_distinct(list_transform(range(1, len(string_split(text, ' '))-1),
-                       i -> concat_ws(' ', string_split(text, ' ')[i], string_split(text, ' ')[i+1], string_split(text, ' ')[i+2])))
-                  ELSE [text] END AS t
-      FROM documents
-    ), sigs AS (
-      SELECT doc_id,
-             list_transform(range(0, 16), i ->
-               list_aggregate(list_transform(t, s -> md5(concat(i, ':', s))), 'min')) AS sig
-      FROM toks
-    ), buckets AS (
-      SELECT doc_id,
-             unnest(list_transform(range(0, 4), j ->
-               concat(j, ':', md5(array_to_string(sig[j*4+1 : j*4+4], ','))))) AS band_key
-      FROM sigs
-    ), cands AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM buckets a JOIN buckets b USING (band_key)
-      WHERE a.doc_id < b.doc_id
-    ), pairs AS (
-      SELECT id_a, id_b
-      FROM cands
-      JOIN toks ta ON ta.doc_id = id_a
-      JOIN toks tb ON tb.doc_id = id_b
-      WHERE CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
-              / CAST(len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t)) AS DOUBLE) >= 0.5
-    )
-"""
 
 _SPLIT_SQL = (
     "CASE WHEN CAST(('0x' || substr(md5(CAST({id} AS VARCHAR)), 1, 8)) AS BIGINT)"
