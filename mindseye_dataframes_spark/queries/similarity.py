@@ -277,7 +277,7 @@ def q157_pq_ann_topk(spark, sf_dir):
     deterministic but the Lloyd means are not SQL-expressible at
     reasonable oracle size — the q140 oracle covers that machinery);
     recall@10 vs exact L2 is pinned in tests/test_sketches.py."""
-    from mindseye_dataframes_spark.operators.pq import pq_topk
+    from mindseye_dataframes_spark.operators.pq import pq_topk_rerank
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
@@ -288,8 +288,13 @@ def q157_pq_ann_topk(spark, sf_dir):
     )
     # 32 two-dim sub-quantizers: these embeddings are near-isotropic
     # (PQ's hardest case), so recall needs fine subspaces — measured
-    # 0.11 at m=4, 0.62-0.65 at m=32 (recall@10, both SFs)
-    return pq_topk(
+    # 0.11 at m=4, 0.62-0.65 at m=32 (recall@10, code distance only)
+    # — and the code estimator alone still DEGRADES with corpus size
+    # (0.42 at a 2k corpus), so the query runs the production ADC+R
+    # shape: 80-candidate PQ shortlist, exact re-rank (recall@10
+    # ≥ 0.9 at every test SF — the sf0.1 sweep that caught the
+    # degradation is recorded in README)
+    return pq_topk_rerank(
         queries, corpus, "q_id", "q_vec", "c_id", "c_vec", dim=64, k=10, m=32
     ).orderBy("q_id", "rank")
 
@@ -312,11 +317,17 @@ def q162_pq_recall(spark, sf_dir):
     SQL-expressible (Lloyd codebooks), so the oracle is the constant
     the gate must produce; a PQ quality regression flips recall_ok and
     the driver row goes red, exactly like a correctness failure.
+    Gate raised to 0.8 in round 6: the code-distance-only path this
+    query originally gated degraded with corpus size (0.42 avg recall
+    at sf0.1 — caught by the round-6 full-parity sweep at sf0.1), so
+    both q157 and this gate now run the ADC+R re-ranked path
+    (operators/pq.py:pq_topk_rerank), measured 1.0 / 0.98 / 0.94 at
+    sf0.001/0.01/0.1.
 
     The exact baseline is q35-shaped: broadcast the 10 queries, scan
     the corpus once unshuffled, L2² per pair via a JVM fold, per-query
     WindowGroupLimit top-10 — no collect of row data anywhere."""
-    from mindseye_dataframes_spark.operators.pq import pq_topk
+    from mindseye_dataframes_spark.operators.pq import pq_topk_rerank
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -328,7 +339,7 @@ def q162_pq_recall(spark, sf_dir):
     )
     k = 10
 
-    pq = pq_topk(
+    pq = pq_topk_rerank(
         queries, corpus, "q_id", "q_vec", "c_id", "c_vec", dim=64, k=k, m=32
     ).select("q_id", "c_id")
 
@@ -359,7 +370,7 @@ def q162_pq_recall(spark, sf_dir):
     return per_query.agg(
         F.lit(k).alias("k"),
         F.count(F.lit(1)).alias("n_queries"),
-        (F.avg("_recall") >= F.lit(0.5)).alias("recall_ok"),
+        (F.avg("_recall") >= F.lit(0.8)).alias("recall_ok"),
     )
 
 

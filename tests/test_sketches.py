@@ -95,11 +95,12 @@ def test_rolling_hll_wau_tracks_exact(spark, sf_dir):
 
 
 def test_pq_ann_recall_vs_exact(spark, sf_dir):
-    """q157's PQ top-10 must overlap the exact L2 top-10 (recall@10
-    averaged over the 10 queries ≥ 0.5 — 4×16 codebooks on 64 dims
-    are a coarse quantizer; the contract pins 'much better than the
-    ~2% random baseline', not exactness) and top-1 must be found in
-    the PQ top-10 for most queries."""
+    """q157's reranked PQ top-10 must overlap the exact L2 top-10
+    (recall@10 averaged over the 10 queries ≥ 0.8 — the ADC shortlist
+    + exact re-rank measured 1.0 / 0.98 / 0.94 at sf0.001/0.01/0.1;
+    code distance alone was 0.62 and DEGRADED to 0.42 at sf0.1, the
+    round-6 sf0.1 sweep finding) and top-1 must be found in the PQ
+    top-10 for at least 9/10 queries."""
     import numpy as np
 
     from mindseye_dataframes_spark.sources.readers import load_table
@@ -120,5 +121,5 @@ def test_pq_ann_recall_vs_exact(spark, sf_dir):
         exact10 = [corpus_ids[j] for j in order[:10]]
         recalls.append(len(set(exact10) & set(got[qid])) / 10.0)
         top1_hits += exact10[0] in got[qid]
-    assert sum(recalls) / len(recalls) >= 0.5, recalls
-    assert top1_hits >= 7, top1_hits
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    assert top1_hits >= 9, top1_hits
