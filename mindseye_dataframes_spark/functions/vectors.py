@@ -41,6 +41,23 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def l2_sq(a: Column | str, b: Column | str) -> Column:
+    """Squared L2 distance as the canonical left fold — the shared
+    engine-parity contract (cast order, fold order) for every exact
+    distance baseline (q162's gate, PQ re-rank); round(·, 9) at the
+    call site for ranking."""
+    return F.aggregate(
+        F.zip_with(
+            _c(a),
+            _c(b),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def cosine_ranked(a: Column | str, b: Column | str, digits: int = 9) -> Column:
     """Cosine rounded for cross-engine-stable ranking (see module doc)."""
     return F.round(cosine(a, b), digits)

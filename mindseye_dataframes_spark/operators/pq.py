@@ -248,24 +248,18 @@ def pq_topk_rerank(
         n_codes,
         iters,
     ).select(query_id, corpus_id)
+    from mindseye_dataframes_spark.functions.vectors import l2_sq
+
     vecs = corpus.select(F.col(corpus_id), F.col(corpus_vec))
     qv = queries.select(F.col(query_id), F.col(query_vec))
     pairs = (
         vecs.join(F.broadcast(cand), corpus_id)
         .join(F.broadcast(qv), query_id)
     )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col(query_vec),
-            F.col(corpus_vec),
-            lambda a, b: (a.cast("double") - b.cast("double"))
-            * (a.cast("double") - b.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     scored = pairs.select(
-        query_id, corpus_id, F.round(d2, 9).alias("d2")
+        query_id,
+        corpus_id,
+        F.round(l2_sq(query_vec, corpus_vec), 9).alias("d2"),
     )
     w = Window.partitionBy(query_id).orderBy("d2", corpus_id)
     return (

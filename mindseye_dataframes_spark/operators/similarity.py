@@ -36,6 +36,50 @@ def lsh_signs(vec: F.Column | str, planes: list[list[float]]) -> F.Column:
     return bucket
 
 
+def _scored_cosine_pairs(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+    pair_filter: F.Column | None = None,
+) -> DataFrame:
+    """(query_id, corpus_id, cos_r) for every (broadcast query ×
+    corpus-scan) pair — THE shared scoring contract both top-k
+    operators rank on. Norms are precomputed per ROW before the cross
+    join (|Q| + |C| folds) instead of per PAIR inside ``cosine``
+    (2·|Q|·|C| folds) — ~3× less arithmetic per candidate with a
+    bitwise-identical result (same fold expression, same IEEE
+    multiply/divide order)."""
+    from mindseye_dataframes_spark.functions.vectors import norm
+
+    q_n = queries.withColumn("_qn", norm(query_vec))
+    c_n = corpus.withColumn("_cn", norm(corpus_vec))
+    pairs = F.broadcast(q_n).crossJoin(c_n)
+    if pair_filter is not None:
+        pairs = pairs.filter(pair_filter)
+    return pairs.select(
+        F.col(query_id),
+        F.col(corpus_id),
+        F.round(
+            dot(query_vec, corpus_vec) / (F.col("_qn") * F.col("_cn")), 9
+        ).alias("cos_r"),
+    )
+
+
+def _rank_topk(scored: DataFrame, query_id: str, corpus_id: str, k: int) -> DataFrame:
+    """The shared final ranking: (cos_r desc, corpus_id asc) per query
+    — NaN scores rank FIRST (Spark treats NaN as greater than any
+    double under desc), which the pandas prune mirrors."""
+    w = Window.partitionBy(query_id).orderBy(F.col("cos_r").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", corpus_id, "cos_r")
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -46,30 +90,13 @@ def cosine_topk(
     k: int,
 ) -> DataFrame:
     """Exact top-k by cosine; rank = (round(cos,9) desc, corpus_id) so
-    results are deterministic and engine-comparable.
-
-    Norms are precomputed per ROW before the cross join (|Q| + |C|
-    folds) instead of per PAIR inside ``cosine`` (2·|Q|·|C| folds) —
-    ~3× less arithmetic per candidate with a bitwise-identical result
-    (same fold expression, same IEEE multiply/divide order)."""
-    from mindseye_dataframes_spark.functions.vectors import norm
-
-    q_n = queries.withColumn("_qn", norm(query_vec))
-    c_n = corpus.withColumn("_cn", norm(corpus_vec))
-    pairs = F.broadcast(q_n).crossJoin(c_n)
-    scored = pairs.select(
-        F.col(query_id),
-        F.col(corpus_id),
-        F.round(
-            dot(query_vec, corpus_vec) / (F.col("_qn") * F.col("_cn")), 9
-        ).alias("cos_r"),
+    results are deterministic and engine-comparable. Scoring and
+    ranking live in ``_scored_cosine_pairs`` / ``_rank_topk``, shared
+    verbatim with ``cosine_topk_pruned``."""
+    scored = _scored_cosine_pairs(
+        queries, corpus, query_id, query_vec, corpus_id, corpus_vec
     )
-    w = Window.partitionBy(query_id).orderBy(F.col("cos_r").desc(), F.col(corpus_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, "rank", corpus_id, "cos_r")
-    )
+    return _rank_topk(scored, query_id, corpus_id, k)
 
 
 def cosine_topk_pruned(
@@ -103,20 +130,15 @@ def cosine_topk_pruned(
     mis-rank under duplicate vectors."""
     from pyspark.sql import types as T
 
-    from mindseye_dataframes_spark.functions.vectors import norm
-
-    q_n = queries.withColumn("_qn", norm(query_vec))
-    c_n = corpus.withColumn("_cn", norm(corpus_vec))
-    pairs = F.broadcast(q_n).crossJoin(c_n)
-    if pair_filter is not None:
-        pairs = pairs.filter(pair_filter)
-    scored = pairs.select(
-        F.col(query_id),
-        F.col(corpus_id),
-        F.round(
-            dot(query_vec, corpus_vec) / (F.col("_qn") * F.col("_cn")), 9
-        ).alias("cos_r"),
-    )
+    scored = _scored_cosine_pairs(
+        queries, corpus, query_id, query_vec, corpus_id, corpus_vec, pair_filter
+    ).withColumn("_cos_nan", F.isnan("cos_r"))
+    # ^ the flag must be computed JVM-SIDE: the Arrow hop folds NaN
+    # into pandas' missing-value sentinel, so after the hop NaN and
+    # NULL are indistinguishable — yet Spark ranks NaN FIRST and NULL
+    # LAST under desc, and the prune must preserve exactly that order
+    # (the round-6 NaN-divergence regression, pinned in
+    # test_cosine_topk_pruned_equals_exact)
 
     def local_topk(batches):
         import pandas as pd
@@ -124,8 +146,16 @@ def cosine_topk_pruned(
         carry = None
         for pdf in batches:
             both = pdf if carry is None else pd.concat((carry, pdf))
+            # Three stable passes = Spark's (cos_r desc, id asc)
+            # total order: finite scores desc, true-NaN rows hoisted
+            # to the front by the flag, NULL scores left at the back,
+            # corpus-id ties preserved throughout
+            both = both.sort_values(corpus_id, kind="mergesort")
             both = both.sort_values(
-                ["cos_r", corpus_id], ascending=[False, True], kind="mergesort"
+                "cos_r", ascending=False, na_position="last", kind="mergesort"
+            )
+            both = both.sort_values(
+                "_cos_nan", ascending=False, kind="mergesort"
             )
             carry = both.groupby(query_id, sort=False).head(k)
         if carry is not None and len(carry):
@@ -138,15 +168,15 @@ def cosine_topk_pruned(
                 scored.schema[query_id],
                 scored.schema[corpus_id],
                 T.StructField("cos_r", T.DoubleType()),
+                T.StructField("_cos_nan", T.BooleanType()),
             ]
         ),
     )
-    w = Window.partitionBy(query_id).orderBy(F.col("cos_r").desc(), F.col(corpus_id))
-    return (
-        pruned.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, "rank", corpus_id, "cos_r")
-    )
+    restored = pruned.withColumn(
+        "cos_r",
+        F.when(F.col("_cos_nan"), F.lit(float("nan"))).otherwise(F.col("cos_r")),
+    ).drop("_cos_nan")
+    return _rank_topk(restored, query_id, corpus_id, k)
 
 
 def ann_topk_lsh(

@@ -41,6 +41,26 @@ def hash_bucket(col, buckets: int = 100):
     return (F.conv(prefix, 16, 10).cast("long") % buckets).alias("bucket")
 
 
+# Deterministic train/test split: md5-bucket < SPLIT_TEST_BUCKETS of
+# 100 → 'test'. ONE definition for the rule (q185/q186 consume the
+# column form, their oracles the SQL twin) — the threshold and bucket
+# count must never drift between the engines.
+SPLIT_TEST_BUCKETS = 10
+
+SPLIT_LABEL_SQL = (
+    "CASE WHEN CAST(('0x' || substr(md5(CAST({id} AS VARCHAR)), 1, 8)) AS BIGINT)"
+    f" % 100 < {SPLIT_TEST_BUCKETS} THEN 'test' ELSE 'train' END"
+)
+
+
+def split_label(col):
+    """'test'/'train' from the hash-bucket rule above — a pure
+    function of the id, so split membership never needs a join."""
+    return F.when(hash_bucket(col) < SPLIT_TEST_BUCKETS, F.lit("test")).otherwise(
+        F.lit("train")
+    )
+
+
 @query(
     "q75_hash_sample",
     oracle="""
@@ -700,15 +720,16 @@ def q181_importance_resampling(spark, sf_dir):
     ppm delta is bounded by ±10⁶, so |score| ≤ 10⁶·tokens_per_doc —
     exact until a single document holds ~9.2e12 tokens.
 
-    Scale shape: ONE explode scan feeds three hash-aggregates (raw
-    buckets, target buckets, per-doc bucket counts) — all
-    map-side-combining on bounded keys; the two ppm tables are
-    O(buckets) = 4096 rows and BROADCAST to the per-doc count join
-    (no corpus shuffle on the join key, and the broadcast cannot
-    outgrow memory); ranking is a per-source window over O(docs)
-    scored rows (score + ids only, no text); totals are 1-row
-    broadcast cross-joins. Text never moves: the only full-width
-    pass is the scan itself.
+    Scale shape: the corpus text is scanned and exploded ONCE, into a
+    single (doc, source, lang, bucket) hash-aggregate; every other
+    input — raw/target bucket counts, both totals — is re-aggregated
+    from that doc_counts frame (O(docs · distinct-buckets-per-doc)
+    rows, no text), so lineage recompute never re-reads the corpus
+    more than once per branch. The two ppm tables are O(buckets) =
+    4096 rows and BROADCAST to the per-doc count join (no corpus
+    shuffle on the join key, and the broadcast cannot outgrow
+    memory); ranking is a per-source window over O(docs) scored rows;
+    totals are 1-row broadcast cross-joins.
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "lang", "text"
@@ -723,29 +744,36 @@ def q181_importance_resampling(spark, sf_dir):
         "lang",
         F.explode(F.split("text", " ")).alias("w"),
     ).select("doc_id", "source", "lang", bucket)
-    n_raw = words.agg(F.count(F.lit(1)).alias("n_r"))
-    n_tgt = words.filter(F.col("lang") == "en").agg(
-        F.count(F.lit(1)).alias("n_t")
+    # the ONE corpus-wide aggregate; everything below derives from it.
+    # localCheckpoint pins it: five consumers with different prunings
+    # would otherwise each re-derive the explode from the scan (per-
+    # branch column pruning defeats ReuseExchange — verified: 5 scans
+    # without the pin, 1 with)
+    doc_counts = (
+        words.groupBy("doc_id", "source", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    n_raw = doc_counts.agg(F.sum("c").alias("n_r"))
+    n_tgt = doc_counts.filter(F.col("lang") == "en").agg(
+        F.sum("c").alias("n_t")
     )
     p_raw = (
-        words.groupBy("b")
-        .agg(F.count(F.lit(1)).alias("c_r"))
+        doc_counts.groupBy("b")
+        .agg(F.sum("c").alias("c_r"))
         .crossJoin(F.broadcast(n_raw))
         .select("b", F.expr("c_r * 1000000 DIV n_r").alias("ppm_r"))
     )
     p_tgt = (
-        words.filter(F.col("lang") == "en")
+        doc_counts.filter(F.col("lang") == "en")
         .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("c_t"))
+        .agg(F.sum("c").alias("c_t"))
         .crossJoin(F.broadcast(n_tgt))
         .select("b", F.expr("c_t * 1000000 DIV n_t").alias("ppm_t"))
     )
     vocab = p_raw.join(p_tgt, "b", "left").select(
         "b",
         (F.coalesce("ppm_t", F.lit(0)) - F.col("ppm_r")).alias("delta"),
-    )
-    doc_counts = words.groupBy("doc_id", "source", "b").agg(
-        F.count(F.lit(1)).alias("c")
     )
     scores = (
         doc_counts.join(F.broadcast(vocab), "b")

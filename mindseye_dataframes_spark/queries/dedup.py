@@ -21,6 +21,10 @@ from mindseye_dataframes_spark.operators.dedup import (
     jaccard_verified_pairs,
     minhash_signatures,
 )
+from mindseye_dataframes_spark.queries.curation import (
+    SPLIT_LABEL_SQL as _SPLIT_SQL,
+    split_label,
+)
 from mindseye_dataframes_spark.queries.registry import query
 from mindseye_dataframes_spark.sources.readers import load_table
 
@@ -741,10 +745,7 @@ def q175_ingest_novelty(spark, sf_dir):
     )
 
 
-_SPLIT_SQL = (
-    "CASE WHEN CAST(('0x' || substr(md5(CAST({id} AS VARCHAR)), 1, 8)) AS BIGINT)"
-    " % 100 < 10 THEN 'test' ELSE 'train' END"
-)
+
 
 
 @query(
@@ -861,13 +862,7 @@ def q186_leakage_eviction(spark, sf_dir):
     keys-only aggregate over it; the residual audit is a narrow map
     over the pair frame against the BROADCAST evicted set. Nothing
     here touches document text at all."""
-    from mindseye_dataframes_spark.queries.curation import hash_bucket
-
-    def lab(c):
-        return F.when(hash_bucket(c) < 10, F.lit("test")).otherwise(
-            F.lit("train")
-        )
-
+    lab = split_label
     clusters = dup_clusters_cached(spark, sf_dir, 0.5)
     cl = clusters.withColumn("s", lab("doc_id"))
     tainted = cl.groupBy("cluster_id").agg(

@@ -343,16 +343,9 @@ def q162_pq_recall(spark, sf_dir):
         queries, corpus, "q_id", "q_vec", "c_id", "c_vec", dim=64, k=k, m=32
     ).select("q_id", "c_id")
 
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("q_vec"),
-            F.col("c_vec"),
-            lambda a, b: (a.cast("double") - b.cast("double"))
-            * (a.cast("double") - b.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    from mindseye_dataframes_spark.functions.vectors import l2_sq
+
+    d2 = l2_sq("q_vec", "c_vec")
     w = Window.partitionBy("q_id").orderBy(F.round(d2, 9).asc(), F.col("c_id"))
     exact = (
         corpus.crossJoin(F.broadcast(queries))

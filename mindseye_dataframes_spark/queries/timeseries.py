@@ -506,13 +506,20 @@ def q182_streaming_dedup_parity(spark, sf_dir):
     doubled = events.unionAll(events)
     tag = sf_dir.strip("/").replace("/", "_")
     src = os.path.join(tempfile.gettempdir(), "msdf_stream_dedup", tag)
-    doubled.repartition(4).write.mode("overwrite").parquet(src)
+    # 32 part files against maxFilesPerTrigger=8 -> four real
+    # micro-batches, so duplicates genuinely cross trigger boundaries
+    # and the dedup KEY STORE (not just in-batch distinct) is what
+    # the oracle comparison exercises
+    doubled.repartition(32).write.mode("overwrite").parquet(src)
     table = f"q182_dedup_{tag}".replace(".", "_").replace("-", "_")
     spark.catalog.dropTempView(table)
     deduped = read_event_stream(spark, src).dropDuplicates(["event_id"])
+    # decimal(18,2) accumulation, matching the oracle's CAST and the
+    # q179/tumbling_counts precedent (dsum's default scale 4 only
+    # coincides with the oracle while event values carry <= 2 dp)
     agg = deduped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        dsum(dec(F.col("value"))).alias("sum_value"),
+        dsum("value", 2).alias("sum_value"),
     )
     result = run_bounded(agg, table, output_mode="complete")
     return result.orderBy("event_type")

@@ -922,6 +922,13 @@ def test_cosine_topk_pruned_equals_exact(spark):
     # exact ties: clones of vector 0 scattered through the corpus
     for i in (30, 60, 90):
         vecs[i] = list(vecs[0])
+    # NaN-poisoned corpus vectors: cos_r is NaN, which Spark's desc
+    # window ranks FIRST — the pandas prune must keep them too, in
+    # corpus-id order (the round-6 NaN divergence regression). Note
+    # zero-NORM vectors are not the NaN path on Spark 4: ANSI mode
+    # raises DIVIDE_BY_ZERO for them in BOTH operators identically.
+    for i in (45, 75):
+        vecs[i] = [float("nan")] * 8
     corpus = spark.createDataFrame(
         [(i, v) for i, v in enumerate(vecs)], "cid long, cv array<double>"
     ).repartition(7)
@@ -930,6 +937,12 @@ def test_cosine_topk_pruned_equals_exact(spark):
     )
     exact = cosine_topk(queries, corpus, "qid", "qv", "cid", "cv", 10)
     pruned = cosine_topk_pruned(queries, corpus, "qid", "qv", "cid", "cv", 10)
-    assert sorted(map(tuple, exact.collect())) == sorted(
-        map(tuple, pruned.collect())
-    )
+
+    def rows(df):
+        # NaN != NaN under tuple equality — normalize to a sentinel
+        return sorted(
+            tuple("NaN" if isinstance(v, float) and v != v else v for v in r)
+            for r in df.collect()
+        )
+
+    assert rows(exact) == rows(pruned)
