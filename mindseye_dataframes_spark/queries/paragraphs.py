@@ -123,3 +123,119 @@ def q180_paragraph_dedup_rewrite(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_STANDING_MAX_ID = 300
+
+
+@query(
+    "q187_incremental_paragraph_dedup",
+    oracle=f"""
+    WITH parts AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(t.i AS BIGINT) AS chunk,
+             md5(array_to_string(
+               ws[CAST(t.i * {CHUNK_WORDS} + 1 AS BIGINT)
+                  :CAST((t.i + 1) * {CHUNK_WORDS} AS BIGINT)], ' ')) AS fp,
+             array_to_string(
+               ws[CAST(t.i * {CHUNK_WORDS} + 1 AS BIGINT)
+                  :CAST((t.i + 1) * {CHUNK_WORDS} AS BIGINT)], ' ') AS ctext
+      FROM parts,
+           UNNEST(range(0, (len(ws) + {CHUNK_WORDS - 1}) // {CHUNK_WORDS})) AS t(i)
+    ),
+    standing AS (
+      SELECT DISTINCT fp FROM chunks WHERE doc_id < {_STANDING_MAX_ID}
+    ),
+    fresh AS (
+      SELECT c.doc_id, c.chunk, c.ctext, c.fp,
+             ROW_NUMBER() OVER (PARTITION BY c.fp
+                                ORDER BY c.doc_id, c.chunk) AS rn,
+             s.fp IS NOT NULL AS known
+      FROM chunks c LEFT JOIN standing s ON c.fp = s.fp
+      WHERE c.doc_id >= {_STANDING_MAX_ID}
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN NOT known AND rn = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN known THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_vs_standing,
+           md5(COALESCE(string_agg(
+             CASE WHEN NOT known AND rn = 1 THEN ctext END,
+             ' ' ORDER BY chunk), '')) AS kept_md5
+    FROM fresh GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("dedup", "curation", "incremental", "parity:incremental-paragraph-dedup"),
+)
+def q187_incremental_paragraph_dedup(spark, sf_dir):
+    """The incremental twin of q180, composed with q154's
+    standing-corpus pattern: a new crawl batch (doc_id ≥ 300) is
+    rewritten against the ALREADY-INGESTED corpus's paragraph
+    fingerprint store (doc_id < 300) — a new chunk survives only if
+    its fingerprint is absent from the standing store AND it is the
+    first occurrence within the batch ((doc_id, chunk_idx) order).
+    Per new doc: chunk counts, how many chunks the standing store
+    already held (the boilerplate rate an ingest monitor tracks), and
+    the md5 of the rewritten text.
+
+    Scale shape: the standing side reduces to DISTINCT 16-byte
+    fingerprints — at 100 TB that store is what you persist between
+    crawls (q175's pattern), not the text; here it is derived in-query
+    from the same table for oracle replayability. One fp-keyed
+    left join decides known/fresh; the in-batch first-occurrence
+    window runs on the batch's (fp, ids) only; reassembly is one
+    groupBy(doc_id). Text moves twice, exactly like q180."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    chunks = (
+        words.groupBy("doc_id", F.expr(f"pos DIV {CHUNK_WORDS}").alias("chunk"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("ctext")
+        )
+        .withColumn("fp", F.md5("ctext"))
+    )
+    standing = (
+        chunks.filter(F.col("doc_id") < _STANDING_MAX_ID)
+        .select("fp")
+        .distinct()
+        .withColumn("known", F.lit(True))
+    )
+    from pyspark.sql import Window
+
+    w_first = Window.partitionBy("fp").orderBy("doc_id", "chunk")
+    fresh = (
+        chunks.filter(F.col("doc_id") >= _STANDING_MAX_ID)
+        .join(standing, "fp", "left")
+        .withColumn("known", F.coalesce("known", F.lit(False)))
+        .withColumn("rn", F.row_number().over(w_first))
+    )
+    keep = ~F.col("known") & (F.col("rn") == 1)
+    kept_struct = F.when(keep, F.struct("chunk", "ctext"))
+    return (
+        fresh.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.sum(F.col("known").cast("long")).alias("n_vs_standing"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["ctext"],
+                    ),
+                    " ",
+                )
+            ).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )
