@@ -29,26 +29,78 @@ from mindseye_dataframes_spark.sources.readers import load_table
 @query(
     "q101_trend_per_user",
     oracle="""
+    WITH s AS (
+      SELECT user_id,
+             COUNT(*) AS n,
+             CAST(SUM(day(ts)) AS BIGINT) AS sx,
+             CAST(SUM(day(ts) * day(ts)) AS BIGINT) AS sxx,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sy_c,
+             CAST(SUM(day(ts) * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sxy_c
+      FROM events GROUP BY user_id),
+    r AS (
+      SELECT user_id, n, sx, sy_c,
+             CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                  ELSE CAST(n * sxy_c - sx * sy_c AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 END
+               AS slope_raw
+      FROM s)
     SELECT user_id,
-           round(regr_slope(value, day(ts)), 6) AS slope,
-           round(regr_intercept(value, day(ts)), 6) AS intercept,
-           CAST(regr_count(value, day(ts)) AS BIGINT) AS n
-    FROM events GROUP BY user_id ORDER BY user_id
+           round(slope_raw, 6) AS slope,
+           round(CAST(sy_c AS DOUBLE) / 100.0 / CAST(n AS DOUBLE)
+                 - slope_raw * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+             AS intercept,
+           n
+    FROM r ORDER BY user_id
     """,
     tags=("agg", "regression"),
 )
 def q101_trend_per_user(spark, sf_dir):
-    x = F.dayofmonth("ts").cast("double")
-    return (
+    """Per-user least-squares trend of event value over day-of-month.
+
+    NOT the built-in ``regr_slope``/``regr_intercept``: those
+    accumulate doubles in engine- and partition-specific orders, and
+    at sf1 a user's sums drift across a round(·,6) boundary (the
+    round-6 sf1 sweep caught exactly one such row). Instead all five
+    sufficient statistics are EXACT BIGINTs (x = day ∈ [1,31], y
+    quantized to cents — the q114 integer-micros idiom), and slope/
+    intercept are derived with one shared IEEE op sequence, so both
+    engines round identical doubles. Ceiling: n·Σxy_c < 2^63 holds
+    until a single user has ~5e6 events of value ~1e3; past that,
+    shard per user-epoch. NULL slope/intercept for users whose x has
+    zero variance (n = 1 or all events the same day), matching
+    ``regr_slope``'s contract."""
+    day = F.dayofmonth("ts").cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    s = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(
-            F.round(F.regr_slope(F.col("value"), x), 6).alias("slope"),
-            F.round(F.regr_intercept(F.col("value"), x), 6).alias("intercept"),
-            F.regr_count(F.col("value"), x).alias("n"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(day).alias("sx"),
+            F.sum(day * day).alias("sxx"),
+            F.sum(cents).alias("sy_c"),
+            F.sum(day * cents).alias("sxy_c"),
         )
-        .orderBy("user_id")
     )
+    slope_raw = F.when(
+        F.expr("n * sxx - sx * sx") != 0,
+        F.expr("CAST(n * sxy_c - sx * sy_c AS DOUBLE)")
+        / F.expr("CAST(n * sxx - sx * sx AS DOUBLE)")
+        / F.lit(100.0),
+    )
+    r = s.withColumn("slope_raw", slope_raw)
+    return r.select(
+        "user_id",
+        F.round("slope_raw", 6).alias("slope"),
+        F.round(
+            F.expr("CAST(sy_c AS DOUBLE) / 100.0 / CAST(n AS DOUBLE)")
+            - F.col("slope_raw")
+            * F.expr("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)"),
+            6,
+        ).alias("intercept"),
+        "n",
+    ).orderBy("user_id")
 
 
 @query(

@@ -385,7 +385,17 @@ def q120_simhash_hamming_pairs(spark, sf_dir):
     generation is an equi-join on (band, value), NEVER an all-pairs
     XOR scan, and ``bit_count(sh_a ^ sh_b)`` verifies survivors
     exactly. The hamming-metric sibling of the PassJoin edit join
-    (operators/edit_join.py:43) and MinHash LSH (operators/dedup.py)."""
+    (operators/edit_join.py:43) and MinHash LSH (operators/dedup.py).
+
+    Data regime: a 16-bit fingerprint space holds 65,536 values, so
+    once the corpus passes ~10^4 docs unrelated documents collide by
+    pigeonhole and the qualifying-pair OUTPUT grows ~N^2/2^16 (the
+    round-6 sf1 sweep measured 6.5e8 pairs from 5e4 docs — result-
+    size, not plan cost; candidate generation stays an equi-join).
+    Production SimHash uses 64-bit fingerprints, where the same
+    banding keeps expected collisions ∝ true near-dups; 16 bits is
+    kept here because the oracle replays every bit exactly and the
+    small space exercises the verify stage hard at test SFs."""
     fp = load_table(spark, sf_dir, "documents").select(
         "doc_id", simhash16("text").alias("sh")
     )

@@ -23,10 +23,17 @@ def duckdb_oracle(sql: str, sf_dir: str):
     try:
         for t in TABLES:
             path = os.path.join(sf_dir, f"{t}.parquet")
-            if os.path.exists(path):
-                con.execute(
-                    f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
-                )
+            if os.path.isdir(path):
+                # Spark-written table = a DIRECTORY of part files
+                # (tools/make_benchdata.py output) — DuckDB needs the
+                # glob; the driver's single-file drops take the plain
+                # path below, unchanged
+                path = os.path.join(path, "*.parquet")
+            elif not os.path.exists(path):
+                continue
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
         # The driver fetches oracle results through pandas, where
         # DuckDB HUGEINT (e.g. SUM over integers without an outer
         # CAST) degrades to float64 — fetchall() would hide that by

@@ -37,6 +37,10 @@ def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     lo = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 10**9
+    # comma-separated name prefixes to skip (oracle-cost-bound at big
+    # SF: recursive closures, quadratic verifies, multi-M-row result
+    # materialization in the COMPARISON harness — not engine paths)
+    skip = tuple(s for s in (sys.argv[4] if len(sys.argv) > 4 else "").split(",") if s)
 
     spark = (
         SparkSession.builder.master("local[24]")
@@ -51,6 +55,9 @@ def main() -> None:
     qs, osql = e.queries(), e.oracle_sql()
     fails = []
     for name in sorted(qs)[lo:hi]:
+        if any(name.startswith(s) for s in skip):
+            print(f"{name} skipped", flush=True)
+            continue
         t0 = time.time()
         try:
             if name in osql:
