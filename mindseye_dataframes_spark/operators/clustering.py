@@ -7,8 +7,10 @@ iteration bit-for-bit):
   same data-derived, RNG-free coarse quantizer as IVF
   (operators/similarity.py:ivf_centroids);
 - assignment: squared-L2 as a left fold in doubles (the q90-proven
-  identical-fold pairing), rounded to 9 digits with a cell-id
-  tiebreak so argmin is total;
+  identical-fold pairing), quantized to integer nano-units
+  (floor(d·1e9 + 0.5) — pure double IEEE ops, bit-identical across
+  Spark expressions, numpy, and DuckDB, unlike decimal HALF_UP vs
+  np.round banker's) with a cell-id tiebreak so argmin is total;
 - means: inputs quantized to integer micros, accumulated as exact
   BIGINT sums (the q114 pattern), divided once in doubles — the new
   centroids are bit-identical regardless of partitioning or engine.
@@ -26,21 +28,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _l2_ranked(vec_col, centroid: list[float], digits: int = 9):
-    """round(Σ (x_i − c_i)², 9) — identical left fold on both engines."""
+def _l2_ranked(vec_col, centroid: list[float]):
+    """floor(Σ (x_i − c_i)² · 1e9 + 0.5) AS BIGINT — the identical
+    left fold on every engine, then an integer nano-unit quantization
+    that is PURE double IEEE arithmetic (multiply, add, floor), so
+    the expression path, the numpy path, and the DuckDB oracle agree
+    on every input — including distances landing exactly on a decimal
+    half-boundary, where decimal HALF_UP (Spark round) and banker's
+    (np.round) used to diverge. Above 2^53 nanos the grid coarsens
+    (double spacing > 1), but cross-engine equality still holds
+    exactly: all three quantize the SAME double."""
     c_lit = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.round(
-        F.aggregate(
-            F.zip_with(
-                vec_col,
-                c_lit,
-                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    fold = F.aggregate(
+        F.zip_with(
+            vec_col,
+            c_lit,
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
         ),
-        digits,
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
+    return F.floor(fold * F.lit(1e9) + F.lit(0.5)).cast("long")
 
 
 # Above this many k·d centroid elements the literal-expression argmin
@@ -53,18 +61,17 @@ ASSIGN_EXPR_MAX_ELEMS = 4096
 
 def _assign(df: DataFrame, vec_col: str, cents: list[tuple[int, list[float]]]) -> DataFrame:
     """Nearest-centroid cell per row: argmin over k distances
-    (rounded to 9 digits, smallest-cell tiebreak) — a narrow map
-    either way, no join, no shuffle. Small k·d uses a pure literal
-    expression (codegen); large k·d broadcasts the centroid matrix
-    and runs an Arrow-batched numpy argmin replaying the identical
-    dimension-order fold (bit-identical distances) with the same
-    smallest-cell tiebreak — property-pinned in
-    tests/test_clustering.py. Rounding caveat: the paths round the
-    (identical) distances through np.round vs Spark's decimal
-    HALF_UP, which can differ only when a distance lands exactly on a
-    1e-9 grid half-boundary — measure-zero for continuous embeddings,
-    and irrelevant to the oracle-replayed queries (q140/q163 run at
-    k·d far below the ceiling, always on the expression path)."""
+    (integer nano-unit quantization, smallest-cell tiebreak) — a
+    narrow map either way, no join, no shuffle. Small k·d uses a pure
+    literal expression (codegen); large k·d broadcasts the centroid
+    matrix and runs an Arrow-batched numpy argmin replaying the
+    identical dimension-order fold (bit-identical distances) with the
+    same smallest-cell tiebreak — property-pinned in
+    tests/test_clustering.py, INCLUDING a constructed half-boundary
+    case (test_paths_agree_on_half_boundary_distances) that the old
+    round(·,9) contract got wrong: both paths now compute
+    floor(d·1e9 + 0.5) with plain double ops, so the equivalence is
+    exact rather than measure-zero-argued."""
     dims = {len(v) for _, v in cents}
     if len(cents) * max(dims or {0}) <= ASSIGN_EXPR_MAX_ELEMS:
         scored = F.array(
@@ -98,8 +105,9 @@ def _assign_numpy(
     squared-L2 is accumulated as the SAME left fold over dimensions
     (acc += (x_j − c_j)² for j = 0..d−1, vectorized across rows and
     centroids, so each scalar sees the identical IEEE sequence),
-    rounded to 9 digits (np.round — see _assign on the half-boundary
-    caveat vs Spark's HALF_UP); ties break to the smallest cell id
+    quantized to integer nano-units (np.floor(acc·1e9 + 0.5) — the
+    same three double ops the expression path runs, so agreement is
+    exact even on half-boundaries); ties break to the smallest cell id
     (centroids sorted ascending + argmin-first-occurrence). Assumes
     fixed-length vectors (ragged inputs are undefined in the
     expression path too — zip_with nulls poison the fold)."""
@@ -169,7 +177,9 @@ def _assign_numpy(
                         np.multiply(tv, tv, out=tv)
                         np.add(av, tv, out=av)
                     acc[:, k0 : k0 + kb] = av
-                best[i0 : i0 + rb] = np.argmin(np.round(acc, 9), axis=1)
+                best[i0 : i0 + rb] = np.argmin(
+                    np.floor(acc * 1e9 + 0.5), axis=1
+                )
             out = pdf.copy()
             out["_cell"] = cells_b[best].astype(np.int32)
             yield out

@@ -234,7 +234,13 @@ def pq_topk_rerank(
     Output ranks are exact distances (round(·,9), corpus-id
     tiebreak), so downstream consumers see the same contract as the
     exact operator, restricted to PQ candidates."""
-    shortlist = shortlist or 8 * k
+    if shortlist is None:
+        shortlist = 8 * k
+    if shortlist < k:
+        raise ValueError(
+            f"shortlist ({shortlist}) must be >= k ({k}): the re-rank "
+            "can only return ids the PQ shortlist admitted"
+        )
     cand = pq_topk(
         queries,
         corpus,

@@ -153,26 +153,72 @@ PROVEN_R05 = {
     "q172_label_centroid_similarity", "q173_mixture_materialized",
 }
 
+PROVEN_R06 = {
+    # green in CORRECTNESS_r06.json (50/50)
+    "q100_scd2_intervals", "q101_trend_per_user", "q102_fuzzy_name_match",
+    "q103_unpivot_metrics", "q104_nullsafe_join", "q105_twap",
+    "q106_approx_percentiles", "q107_sketch_rollup", "q108_quality_gate",
+    "q109_debounce", "q110_ordered_funnel", "q111_incremental_agg",
+    "q112_image_phash_clusters", "q113_udtf_token_windows",
+    "q115_dedup_survivorship", "q128_pca_projection",
+    "q156_rolling_hll_wau", "q169_bpe_trainer", "q174_unimax_mixture",
+    "q175_ingest_novelty", "q176_packing_efficiency",
+    "q177_binary_png_roundtrip", "q178_schema_evolution",
+    "q179_streaming_tumbling_parity", "q180_paragraph_dedup_rewrite",
+    "q181_importance_resampling", "q182_streaming_dedup_parity",
+    "q183_bpe_encode_accounting", "q184_knn_label_eval",
+    "q185_split_leakage_audit", "q186_leakage_eviction",
+    "q187_incremental_paragraph_dedup", "q19_moving_avg",
+    "q40_featurize_pipeline", "q42_image_decode_features",
+    "q48_seeded_sample", "q49_random_split", "q50_approx_distinct",
+    "q63_stratified_sample", "q65_featurize_temporal_embedding",
+    "q75_hash_sample", "q76_profile_columns", "q78_eval_identity",
+    "q79_dup_clusters_star", "q80_ngram_jaccard_pairs",
+    "q81_pack_sequences", "q82_seeded_shuffle", "q83_mixture_sample",
+    "q84_video_frame_sample", "q85_partitioned_layout_roundtrip",
+}
+
+# Queries whose IMPLEMENTATION changed in round 6 AFTER their last
+# driver check (VERDICT r6 "What's wrong"): their green rows prove
+# superseded code, so they head the round-7 window regardless of
+# nominal staleness. q157 has never had ANY driver row (its rows-only
+# group always sorted it past slot 50), so it is force-included here —
+# the one deliberate exception to the rows-only-last rule.
+REFRESH_R07 = {
+    "q162_pq_recall",            # PQ rewritten to ADC+re-rank (22669e8)
+    "q158_dedup_pipeline_end_to_end",  # shared pair-stage refactor
+    "q167_net_token_accounting",       # shared pair-stage refactor
+    "q77_dup_clusters",                # shared pair-stage refactor
+    "q32_lsh_dup_pairs",               # stage plumbing touched
+    "q157_pq_ann_topk",                # first-ever driver slot (rows-only)
+}
+
 # Stalest-first staleness: a query's group is its LAST proven round
 # (newest membership wins), so re-verification coverage rotates.
-STALE_R02 = ((PROVEN_R02 - PROVEN_R03) - PROVEN_R04) - PROVEN_R05
-STALE_R03 = (PROVEN_R03 - PROVEN_R04) - PROVEN_R05
+STALE_R02 = (((PROVEN_R02 - PROVEN_R03) - PROVEN_R04) - PROVEN_R05) - PROVEN_R06
+STALE_R03 = ((PROVEN_R03 - PROVEN_R04) - PROVEN_R05) - PROVEN_R06
+STALE_R04 = (PROVEN_R04 - PROVEN_R05) - PROVEN_R06
+STALE_R05 = PROVEN_R05 - PROVEN_R06
 
 
 def _order_key(item: tuple[str, Query]) -> tuple[int, str]:
     name, q = item
-    if q.oracle is None:
+    if name in REFRESH_R07:
+        group = 0  # changed-after-check (or never checked): head the window
+    elif q.oracle is None:
         group = 9  # rows-only checks last — never burn a window slot
+    elif name in PROVEN_R06:
+        group = 6  # freshest evidence: verify last
     elif name in PROVEN_R05:
-        group = 5  # freshest evidence: verify last
+        group = 5
     elif name in PROVEN_R04:
         group = 4
     elif name in PROVEN_R03:
         group = 3
     elif name in PROVEN_R02:
-        group = 2  # four rounds stale: the re-verification front
+        group = 2
     else:
-        group = 0  # no green row yet (this round's new): claim a slot
+        group = 1  # no green row yet (this round's new): claim a slot
     return (group, name)
 
 

@@ -23,9 +23,14 @@ from mindseye_dataframes_spark.sources.readers import load_table
 
 _K = 8
 
+# Integer nano-unit distance rank: floor(d·1e9 + 0.5) over the same
+# left fold — plain double IEEE ops, so Spark's expression path, the
+# numpy path, and DuckDB quantize the SAME double identically (no
+# decimal-HALF_UP vs banker's divergence on half-boundaries).
 _L2 = (
-    "round(list_reduce(list_transform(range(1, len({x}) + 1),"
-    " i -> ({x}[i] - {c}[i]) * ({x}[i] - {c}[i])), (a, b) -> a + b), 9)"
+    "CAST(floor(list_reduce(list_transform(range(1, len({x}) + 1),"
+    " i -> ({x}[i] - {c}[i]) * ({x}[i] - {c}[i])), (a, b) -> a + b)"
+    " * 1000000000.0 + 0.5) AS BIGINT)"
 )
 
 
@@ -141,7 +146,8 @@ def q163_semdedup(spark, sf_dir):
     shuffle either way — centroid literals below the k·d expression
     ceiling (the plan here at k=8), a broadcast numpy centroid matrix
     + mapInPandas argmin above it (``operators/clustering.py:
-    _assign_numpy``, same round-9/tiebreak contract, property-pinned)
+    _assign_numpy``, same nano-unit-quantize/tiebreak contract,
+    property-pinned)
     — and the vector rides along instead of being re-joined. The
     quadratic pass is confined to single clusters and executed as ONE
     numpy matmul per cell inside ``applyInPandas``

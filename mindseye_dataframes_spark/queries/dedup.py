@@ -776,7 +776,8 @@ def q185_split_leakage_audit(spark, sf_dir):
     leakage that silently inflates eval scores when test documents
     have near-dups in train (the reason dedup must precede splitting,
     Lee et al. 2022 §6). The split is the deterministic md5-bucket
-    rule (q75's engine-portable idiom; bucket < 10 → 'test'), so
+    rule (``split_label``/``SPLIT_TEST_BUCKETS``, the ONE shared
+    definition whose SQL twin formats both oracles), so
     membership is a PURE FUNCTION of doc_id — the audit computes both
     sides' labels inline on the pair relation and touches neither the
     corpus nor a split table: zero joins, zero extra shuffles, one
@@ -786,14 +787,14 @@ def q185_split_leakage_audit(spark, sf_dir):
     the crossing rate in exact integer ppm, and the number of test
     docs that must be evicted (distinct test-side members of crossing
     pairs)."""
-    from mindseye_dataframes_spark.queries.curation import hash_bucket
+    from mindseye_dataframes_spark.queries.curation import split_label
 
     pairs = verified_pairs_cached(spark, sf_dir, threshold=0.5)
-    lab = lambda c: F.when(hash_bucket(c) < 10, F.lit("test")).otherwise(  # noqa: E731
-        F.lit("train")
-    )
     p = pairs.select(
-        "id_a", "id_b", lab("id_a").alias("s_a"), lab("id_b").alias("s_b")
+        "id_a",
+        "id_b",
+        split_label("id_a").alias("s_a"),
+        split_label("id_b").alias("s_b"),
     )
     cross = F.col("s_a") != F.col("s_b")
     return p.agg(

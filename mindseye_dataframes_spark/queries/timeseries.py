@@ -494,8 +494,9 @@ def q182_streaming_dedup_parity(spark, sf_dir):
     by hash across executors; each trigger touches only its batch's
     keys; the aggregate holds O(types) rows in complete mode.
     """
-    import os
+    import shutil
     import tempfile
+    import uuid
 
     from mindseye_dataframes_spark.streaming.events import (
         read_event_stream,
@@ -504,22 +505,34 @@ def q182_streaming_dedup_parity(spark, sf_dir):
 
     events = load_table(spark, sf_dir, "events")
     doubled = events.unionAll(events)
-    tag = sf_dir.strip("/").replace("/", "_")
-    src = os.path.join(tempfile.gettempdir(), "msdf_stream_dedup", tag)
-    # 32 part files against maxFilesPerTrigger=8 -> four real
-    # micro-batches, so duplicates genuinely cross trigger boundaries
-    # and the dedup KEY STORE (not just in-batch distinct) is what
-    # the oracle comparison exercises
-    doubled.repartition(32).write.mode("overwrite").parquet(src)
-    table = f"q182_dedup_{tag}".replace(".", "_").replace("-", "_")
-    spark.catalog.dropTempView(table)
-    deduped = read_event_stream(spark, src).dropDuplicates(["event_id"])
-    # decimal(18,2) accumulation, matching the oracle's CAST and the
-    # q179/tumbling_counts precedent (dsum's default scale 4 only
-    # coincides with the oracle while event values carry <= 2 dp)
-    agg = deduped.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        dsum("value", 2).alias("sum_value"),
-    )
-    result = run_bounded(agg, table, output_mode="complete")
-    return result.orderBy("event_type")
+    # per-run unique staging dir + sink table: concurrent runs over
+    # the same sf_dir (parallel parity-sweep chunks) must never
+    # overwrite each other's source while the other's stream is
+    # still draining
+    run_id = uuid.uuid4().hex[:12]
+    src = tempfile.mkdtemp(prefix=f"msdf_stream_dedup_{run_id}_")
+    try:
+        # 32 part files against maxFilesPerTrigger=8 -> four real
+        # micro-batches, so duplicates genuinely cross trigger
+        # boundaries and the dedup KEY STORE (not just in-batch
+        # distinct) is what the oracle comparison exercises
+        doubled.repartition(32).write.mode("overwrite").parquet(src)
+        table = f"q182_dedup_{run_id}"
+        deduped = read_event_stream(spark, src).dropDuplicates(["event_id"])
+        # decimal(18,2) accumulation, matching the oracle's CAST and
+        # the q179/tumbling_counts precedent (dsum's default scale 4
+        # only coincides with the oracle while values carry <= 2 dp)
+        agg = deduped.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", 2).alias("sum_value"),
+        )
+        result = run_bounded(agg, table, output_mode="complete")
+        # pin the drained snapshot before the staging files vanish —
+        # the memory-sink table is lazy over the (stopped) query's
+        # state, but the returned frame must survive src removal
+        rows = result.orderBy("event_type")
+        out = spark.createDataFrame(rows.collect(), schema=rows.schema)
+        spark.catalog.dropTempView(table)
+        return out
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

@@ -2,7 +2,11 @@
 interchangeable: the literal-expression path (small k·d, pure
 codegen) and the broadcast-numpy mapInPandas path (large k·d — the
 100 TB SemDeDup growth path, VERDICT r5 item 2) share one
-round(·,9)+smallest-cell-tiebreak contract."""
+floor(d·1e9 + 0.5) integer-nano-unit + smallest-cell-tiebreak
+contract — pure double IEEE ops in both, so the equivalence is exact
+(the old round(·,9) contract diverged on decimal half-boundaries:
+Spark decimal HALF_UP vs np.round banker's — see
+test_paths_agree_on_half_boundary_distances)."""
 
 from __future__ import annotations
 
@@ -105,7 +109,7 @@ def test_expression_path_still_used_at_small_k(spark):
 @pytest.mark.parametrize("k", [8, 64])
 def test_numpy_assignment_matches_pure_numpy_reference(spark, k):
     """The distributed numpy path must agree with a from-scratch
-    reference argmin (round-9 grid, min-cell tiebreak) on seeded
+    reference argmin (nano-unit grid, min-cell tiebreak) on seeded
     data."""
     n, d = 200, 8
     df = _seeded_frame(spark, n=n, d=d, seed=3)
@@ -121,8 +125,36 @@ def test_numpy_assignment_matches_pure_numpy_reference(spark, k):
     for j in range(d):
         diff = x[:, j : j + 1] - mat[None, :, j]
         acc += diff * diff
-    want = cells[np.argmin(np.round(acc, 9), axis=1)]
+    want = cells[np.argmin(np.floor(acc * 1e9 + 0.5), axis=1)]
     assert [got[i] for i in range(n)] == list(want)
+
+
+def test_paths_agree_on_half_boundary_distances(spark):
+    """A CONSTRUCTED decimal-half-boundary case (VERDICT r6 item 8):
+    vec [5e-5] is exactly 2.5e-9 (squared L2) from centroid 0 — a
+    distance the old round(·,9) contract quantized differently per
+    path (np.round banker's → 2e-9, Spark decimal HALF_UP → 3e-9),
+    which flipped the argmin against centroid 1 at ~2.025e-9. The
+    nano-unit contract (floor(d·1e9 + 0.5), plain double ops) makes
+    both paths — and the DuckDB oracle — compute the identical
+    integer, so they MUST agree here, not just almost-everywhere."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    x, c1 = np.float64(5e-5), np.float64(5e-6)
+    d0, d1 = float(x * x), float((x - c1) * (x - c1))
+    # guard: this case genuinely sits on the half-boundary where the
+    # OLD per-path rules diverge (else the test proves nothing)
+    hu = float(Decimal(d0).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP))
+    assert float(np.round(d0, 9)) != hu
+    assert np.floor(d0 * 1e9 + 0.5) > np.floor(d1 * 1e9 + 0.5)
+
+    df = spark.createDataFrame(
+        [(0, [float(x)])], "vec_id long, embedding array<double>"
+    )
+    cents = [(0, [0.0]), (1, [float(c1)])]
+    expr = _assign(df, "embedding", cents).collect()[0]["_cell"]
+    via_numpy = _assign_numpy(df, "embedding", cents).collect()[0]["_cell"]
+    assert expr == via_numpy == 1
 
 
 def test_blocked_fold_matches_unblocked(spark):
@@ -144,5 +176,5 @@ def test_blocked_fold_matches_unblocked(spark):
     for j in range(d):
         diff = x[:, j : j + 1] - mat[None, :, j]
         acc += diff * diff
-    want = cells[np.argmin(np.round(acc, 9), axis=1)]
+    want = cells[np.argmin(np.floor(acc * 1e9 + 0.5), axis=1)]
     assert [got[i] for i in range(n)] == list(want)
