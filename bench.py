@@ -35,7 +35,8 @@ def main() -> None:
     extended_names = [
         n
         for n in ("q87_contamination_screen", "q102_fuzzy_name_match",
-                  "q114_embedding_normalize", "q163_semdedup")
+                  "q114_embedding_normalize", "q163_semdedup",
+                  "q188_packed_png_decode")
         if n in registry
     ]
 

@@ -331,3 +331,78 @@ def q177_binary_png_roundtrip(spark, sf_dir):
         "channels",
         *[F.element_at("features", i + 1).alias(f"f{i}") for i in range(4)],
     ).orderBy("doc_id")
+
+
+@query(
+    "q188_packed_png_decode",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
+    SELECT doc_id,
+           CAST(2 AS INT) AS width, CAST(2 AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST({_HEXBYTE.format(hi=1, lo=2)} AS DOUBLE) / 255.0 AS f0,
+           CAST({_HEXBYTE.format(hi=3, lo=4)} AS DOUBLE) / 255.0 AS f1,
+           CAST({_HEXBYTE.format(hi=5, lo=6)} AS DOUBLE) / 255.0 AS f2,
+           CAST({_HEXBYTE.format(hi=7, lo=8)} AS DOUBLE) / 255.0 AS f3
+    FROM h ORDER BY doc_id
+    """,
+    tags=("multimodal", "sources", "parity:binary-ingest"),
+)
+def q188_packed_png_decode(spark, sf_dir):
+    """q177's ingestion loop on the CONTAINER path (VERDICT r6 item
+    6): the same real zlib PNG encode per doc, but instead of one
+    .png file per row the blobs are batched into a handful of parquet
+    container shards (``pack_binary_objects``) and scanned back as a
+    splittable columnar read (``read_packed_binary``) before the same
+    real stdlib PNG decode + feature extraction. Identical oracle to
+    q177 — the driver proves the container layout is byte-lossless
+    through a genuine codec + filesystem + format boundary. Scale:
+    this is THE production layout for small-object corpora — q177's
+    per-file cost is file-count-bound (sf1 probe 33 s), this path
+    pays one open per ~128 MB shard (sf1 probe in README)."""
+    import hashlib
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from mindseye_dataframes_spark.operators.multimodal import encode_png_gray
+    from mindseye_dataframes_spark.sources.readers import read_packed_binary
+    from mindseye_dataframes_spark.sources.sinks import pack_binary_objects
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # per-run unique staging (the q182 lesson: fixed paths race under
+    # concurrent sweeps); NOT deleted here — the returned frame scans
+    # the shards lazily, so cleanup belongs to the caller/OS temp
+    # reaper, exactly as with q177's per-file staging dir
+    out_dir = tempfile.mkdtemp(prefix="msdf_png_packed_")
+
+    def enc(batches):
+        for pdf in batches:
+            names, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                px = np.frombuffer(
+                    hashlib.md5(text.encode("utf-8")).digest()[:4], np.uint8
+                ).reshape(2, 2)
+                names.append(f"{int(doc_id)}.png")
+                blobs.append(encode_png_gray(px))
+            yield pd.DataFrame({"name": names, "png": blobs})
+
+    pack_binary_objects(
+        docs.mapInPandas(enc, "name string, png binary"),
+        out_dir,
+        "name",
+        "png",
+    )
+    scanned = read_packed_binary(spark, out_dir).select(
+        F.regexp_extract("name", r"(\d+)\.png$", 1).cast("long").alias("doc_id"),
+        F.col("content").alias("blob"),
+    )
+    decoded = decode_image(scanned, "blob")
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        *[F.element_at("features", i + 1).alias(f"f{i}") for i in range(4)],
+    ).orderBy("doc_id")

@@ -191,3 +191,15 @@ def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def read_packed_binary(spark: SparkSession, path: str) -> DataFrame:
+    """Read container shards written by ``sinks.pack_binary_objects``:
+    ``(name, *meta, content)`` — the same logical surface as the
+    ``binaryFile`` source (an id and opaque bytes per object) but with
+    per-SHARD listing/open cost instead of per-object, so a 100 TB
+    image corpus scans as tens of thousands of splittable parquet
+    shards rather than billions of file opens. Existing decode kernels
+    (operators/multimodal.py) consume the ``content`` column
+    unchanged."""
+    return spark.read.parquet(path)

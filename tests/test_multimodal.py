@@ -330,3 +330,47 @@ def test_binary_file_sink_and_source_roundtrip(spark, tmp_path_factory):
     assert got == {n: p for n, p in rows if n.endswith(".bin")}
     lengths = {r["name"]: r["length"] for r in back.collect()}
     assert lengths == {f"obj{i}.bin": i + 1 for i in range(10)}
+
+
+def test_pack_binary_objects_roundtrip_and_shard_count(spark, tmp_path_factory):
+    """pack_binary_objects → read_packed_binary: every blob comes back
+    byte-identical under its name, metadata columns ride along, and
+    the shard count is sized from the REAL payload volume (ceil of
+    total/target), so a small-object corpus lands in few container
+    files instead of one file per object."""
+    import glob as globmod
+
+    from mindseye_dataframes_spark.sources.readers import read_packed_binary
+    from mindseye_dataframes_spark.sources.sinks import pack_binary_objects
+
+    out = str(tmp_path_factory.mktemp("packed") / "shards")
+    rows = [
+        (f"obj{i}.bin", f"mime/{i % 3}", bytes([i % 251] * (100 + i)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "name string, mime string, payload binary")
+    total = sum(len(p) for _, _, p in rows)
+    target = 4096
+    shards = pack_binary_objects(
+        df, out, "name", "payload", target_shard_bytes=target, meta_cols=("mime",)
+    )
+    assert shards == -(-total // target)  # ceil from real volume
+    # few container files, not one per object
+    part_files = globmod.glob(out + "/part-*.parquet")
+    assert 0 < len(part_files) <= shards
+    back = read_packed_binary(spark, out)
+    assert set(back.columns) == {"name", "mime", "content"}
+    got = {r["name"]: (r["mime"], bytes(r["content"])) for r in back.collect()}
+    assert got == {n: (m, p) for n, m, p in rows}
+
+
+def test_pack_binary_objects_min_one_shard(spark, tmp_path_factory):
+    """An empty/tiny frame still produces exactly one shard — the
+    ceil sizing never divides by zero or emits zero partitions."""
+    from mindseye_dataframes_spark.sources.readers import read_packed_binary
+    from mindseye_dataframes_spark.sources.sinks import pack_binary_objects
+
+    out = str(tmp_path_factory.mktemp("packed1") / "shards")
+    df = spark.createDataFrame([("a.bin", b"x")], "name string, payload binary")
+    assert pack_binary_objects(df, out, "name", "payload") == 1
+    assert read_packed_binary(spark, out).count() == 1
