@@ -49,3 +49,159 @@ def read_table(spark: SparkSession, table_name: str) -> DataFrame:
     catalog (``spark.table``), never through ``read.parquet`` on the
     same files."""
     return spark.table(table_name)
+
+
+def dataset_fingerprint(path: str) -> str:
+    """Content-fingerprint of a dataset path for standing-index
+    invalidation: md5 over the sorted (relative name, size, mtime_ns)
+    listing — O(files) metadata only, no data scan, the same
+    freshness contract object stores give via ETags/generation
+    numbers. Any rewrite of any file (or an add/remove) changes the
+    fingerprint; a byte-identical re-listing does not."""
+    import hashlib
+    import os
+
+    entries = []
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for fn in sorted(files):
+                fp = os.path.join(root, fn)
+                st = os.stat(fp)
+                entries.append(
+                    (os.path.relpath(fp, path), st.st_size, st.st_mtime_ns)
+                )
+    else:
+        st = os.stat(path)
+        entries.append((os.path.basename(path), st.st_size, st.st_mtime_ns))
+    blob = "\n".join(f"{n}\t{s}\t{m}" for n, s, m in sorted(entries))
+    return hashlib.md5(blob.encode("utf-8")).hexdigest()[:16]
+
+
+def standing_table(
+    spark: SparkSession,
+    base_name: str,
+    fingerprint: str,
+    build,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """A cross-session STANDING INDEX: serve ``<base_name>_<fp>`` from
+    the warehouse when its bucketed files exist (warm start — a new
+    session skips the build entirely), else run ``build()`` once,
+    persist it as a bucketed table, and garbage-collect stale
+    fingerprints of the same base. The fingerprint in the NAME is the
+    invalidation key: when the source dataset changes, the name no
+    longer matches, the stale files are removed and the stage rebuilt
+    — the standing-index story q154/q187 tell for dedup fingerprints,
+    extended to whole derived stages (VERDICT r6 item 7).
+
+    Plain (non-Hive) sessions keep catalog METADATA in memory only,
+    so persistence is file-level: the bucketed files live under the
+    session warehouse with a ``_msdf_stage_meta.json`` sidecar
+    recording the schema + bucket spec, and each new session
+    re-registers the table with one metadata-only ``CREATE TABLE …
+    CLUSTERED BY … LOCATION`` DDL — after which reads get the full
+    bucketed contract (groupBy/join on the bucket key with NO
+    exchange, verified in tests/test_plans.py and
+    tests/test_standing_stage.py).
+
+    Concurrency/failure safety: the build writes to a unique __tmp
+    table first and publishes via one atomic directory rename; a lost
+    race (target appeared meanwhile) or a read-only warehouse degrades
+    to serving the freshly built session-local frame — never a
+    half-written table.
+
+    Scale: ``num_buckets`` is the workload's join parallelism
+    (thousands at 100 TB); in-bucket sort feeds sort-merge consumers
+    without a sort."""
+    import json
+    import os
+    import shutil
+    import uuid
+    from urllib.parse import urlparse
+
+    table = f"{base_name}_{fingerprint}".lower()
+    wh_uri = spark.conf.get("spark.sql.warehouse.dir")
+    wh = urlparse(wh_uri).path or wh_uri
+    table_dir = os.path.join(wh, table)
+    meta_path = os.path.join(table_dir, "_msdf_stage_meta.json")
+
+    def _register() -> DataFrame:
+        if not spark.catalog.tableExists(table):
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+            spark.sql(
+                f"CREATE TABLE `{table}` ({meta['schema_ddl']}) USING PARQUET "
+                f"CLUSTERED BY ({meta['bucket_cols']}) "
+                f"SORTED BY ({meta['sort_cols']}) "
+                f"INTO {meta['num_buckets']} BUCKETS "
+                f"LOCATION '{table_dir}'"
+            )
+        return spark.table(table)
+
+    try:
+        if os.path.exists(meta_path):
+            return _register()
+    except Exception:
+        pass
+
+    df = build()
+    tmp = f"{table}__tmp{uuid.uuid4().hex[:8]}"
+    try:
+        writer = df.write.mode("errorifexists").bucketBy(num_buckets, *bucket_cols)
+        writer = writer.sortBy(*(sort_cols or bucket_cols))
+        writer.format("parquet").saveAsTable(tmp)
+        tmp_dir = os.path.join(wh, tmp)
+        with open(os.path.join(tmp_dir, "_msdf_stage_meta.json"), "w") as fh:
+            json.dump(
+                {
+                    "schema_ddl": ", ".join(
+                        f"`{f.name}` {f.dataType.simpleString()}"
+                        for f in df.schema.fields
+                    ),
+                    "bucket_cols": ", ".join(f"`{c}`" for c in bucket_cols),
+                    "sort_cols": ", ".join(
+                        f"`{c}`" for c in (sort_cols or bucket_cols)
+                    ),
+                    "num_buckets": num_buckets,
+                },
+                fh,
+            )
+        os.rename(tmp_dir, table_dir)  # atomic publish
+        # the tmp catalog entry now points at a moved dir; drop the
+        # metadata (its best-effort data delete finds nothing)
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")
+        except Exception:
+            pass
+    except Exception:
+        # lost a publish race, or the warehouse is not writable:
+        # clean our tmp and serve the session-local frame (a winner's
+        # table, if one appeared, is byte-equivalent)
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")
+        except Exception:
+            pass
+        try:
+            if os.path.exists(meta_path):
+                return _register()
+        except Exception:
+            pass
+        return df
+    # stale-fingerprint GC, file-level so it works across sessions
+    try:
+        for d in os.listdir(wh):
+            if (
+                d.startswith(base_name.lower() + "_")
+                and d != table
+                and "__tmp" not in d
+            ):
+                shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
+                try:
+                    spark.sql(f"DROP TABLE IF EXISTS `{d}`")
+                except Exception:
+                    pass
+    except Exception:
+        pass
+    return _register()
