@@ -290,3 +290,62 @@ def semdedup_dropped(
     return assigned.groupBy(cell_col).applyInPandas(
         drop_in_cell, schema=out_schema
     )
+
+
+def semdedup_tau_curve(
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str = "_cell",
+    taus: tuple[float, ...] = (0.3, 0.4, 0.5, 0.6, 0.7),
+) -> DataFrame:
+    """The SemDeDup THRESHOLD KNOB, measured in one pass: for every
+    candidate τ, how many within-cluster pairs are ≥ τ similar and how
+    many rows the greedy keep-lowest rule would drop. Curation teams
+    pick τ from exactly this curve (Abbas et al. 2023 §4 sweep τ for
+    the dedup-fraction/quality tradeoff); computing it naively means
+    re-running the in-cluster pass per τ — here the per-cell pairwise
+    similarity matrix (the expensive part) is computed ONCE and every
+    τ is evaluated against it inside the same Arrow batch.
+
+    Same exactness contract as ``semdedup_dropped`` (round(·,9) sims,
+    1-ulp argument vs the fold-based oracle); same scale shape — ONE
+    hash exchange of (id, vec) by cell, Σ|cluster|² matmul work, and
+    an O(k·|taus|)-row aggregate after.
+
+    Output: ``(tau double, n_pairs bigint, n_dropped bigint)``, one
+    row per τ, globally aggregated."""
+    import pandas as pd  # local: Arrow path only
+
+    from pyspark.sql import functions as F
+
+    tau_list = [float(t) for t in taus]
+
+    def curve_in_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        x = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        n = np.linalg.norm(x, axis=1)
+        n[n == 0.0] = 1.0
+        sims = np.round((x / n[:, None]) @ (x / n[:, None]).T, 9)
+        upper = np.triu(np.ones(sims.shape, dtype=bool), k=1)
+        rows = []
+        for t in tau_list:
+            hit = upper & (sims >= t)
+            rows.append((t, int(hit.sum()), int(hit.any(axis=0).sum())))
+        return pd.DataFrame(rows, columns=["tau", "n_pairs", "n_dropped"])
+
+    per_cell = assigned.groupBy(cell_col).applyInPandas(
+        curve_in_cell, schema="tau double, n_pairs long, n_dropped long"
+    )
+    return (
+        per_cell.groupBy("tau")
+        .agg(
+            F.sum("n_pairs").alias("n_pairs"),
+            F.sum("n_dropped").alias("n_dropped"),
+        )
+        .orderBy("tau")
+    )

@@ -186,3 +186,58 @@ def q163_semdedup(spark, sf_dir):
         )
         .orderBy("cluster_id")
     )
+
+
+_TAUS = (0.3, 0.4, 0.5, 0.6, 0.7)
+
+
+def _tau_curve_oracle() -> str:
+    taus_values = ", ".join(f"({t!r})" for t in _TAUS)
+    return (
+        _kmeans_ctes()
+        + f""",
+    prs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             round(list_cosine_similarity(a.v, b.v), 9) AS sim
+      FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+    taus(tau) AS (VALUES {taus_values})
+    SELECT CAST(tau AS DOUBLE) AS tau,
+           CAST((SELECT COUNT(*) FROM prs WHERE sim >= tau) AS BIGINT)
+             AS n_pairs,
+           CAST((SELECT COUNT(DISTINCT ib) FROM prs WHERE sim >= tau) AS BIGINT)
+             AS n_dropped
+    FROM taus ORDER BY tau
+    """
+    )
+
+
+@query(
+    "q189_semdedup_tau_curve",
+    oracle=_tau_curve_oracle(),
+    tags=("dedup", "vector", "clustering", "curation"),
+)
+def q189_semdedup_tau_curve(spark, sf_dir):
+    """The SemDeDup threshold knob as data: for every candidate τ,
+    the within-cluster pair count ≥ τ and the rows the greedy
+    keep-lowest rule would drop — the dedup-fraction curve curation
+    teams sweep to pick τ (Abbas et al. 2023 §4) before committing to
+    a corpus-wide pass. The expensive part (per-cell pairwise cosine)
+    is computed ONCE and every τ is evaluated against the same
+    in-batch similarity matrix (``operators/clustering.py:
+    semdedup_tau_curve``); the oracle replays the full two-iteration
+    Lloyd assignment AND the per-τ pair/drop counts from scratch.
+
+    Scale: identical movement to q163 — one hash exchange of
+    (id, vec) by cell, Σ|cluster|² matmul bounded by k growing with
+    the corpus — but |taus|× cheaper than re-running the pass per τ;
+    the post-pass aggregate is O(k·|taus|) rows."""
+    from mindseye_dataframes_spark.operators.clustering import (
+        kmeans_fit_assign,
+        semdedup_tau_curve,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = kmeans_fit_assign(
+        emb, "vec_id", "embedding", k=_K, iters=2, keep=("embedding",)
+    )
+    return semdedup_tau_curve(m, "vec_id", "embedding", "_cell", _TAUS)

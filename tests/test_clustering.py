@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from mindseye_dataframes_spark.operators import clustering
 from mindseye_dataframes_spark.operators.clustering import (
@@ -178,3 +179,32 @@ def test_blocked_fold_matches_unblocked(spark):
         acc += diff * diff
     want = cells[np.argmin(np.floor(acc * 1e9 + 0.5), axis=1)]
     assert [got[i] for i in range(n)] == list(want)
+
+
+def test_tau_curve_matches_single_tau_operator(spark):
+    """The one-pass τ-curve must agree with the single-τ operator at
+    every swept threshold (same sims matrix, same greedy rule), and
+    be monotone non-increasing in τ."""
+    from mindseye_dataframes_spark.operators.clustering import (
+        semdedup_dropped,
+        semdedup_tau_curve,
+    )
+
+    df = _seeded_frame(spark, n=120, d=8, seed=7).withColumn(
+        "_cell", (F.col("vec_id") % 4).cast("int")
+    )
+    taus = (0.1, 0.3, 0.5)
+    curve = {
+        r["tau"]: (r["n_pairs"], r["n_dropped"])
+        for r in semdedup_tau_curve(df, "vec_id", "embedding", "_cell", taus).collect()
+    }
+    assert list(curve) == sorted(curve)
+    for t in taus:
+        n_single = semdedup_dropped(
+            df, "vec_id", "embedding", "_cell", tau=t
+        ).count()
+        assert curve[t][1] == n_single, t
+    pairs = [curve[t][0] for t in taus]
+    drops = [curve[t][1] for t in taus]
+    assert pairs == sorted(pairs, reverse=True)
+    assert drops == sorted(drops, reverse=True)

@@ -1,0 +1,161 @@
+"""Covtype-scale training probe (VERDICT r6 item 5): exercise the
+fit() loop (M3/M4) at the reference's ACTUAL workload size — 581,012
+rows x 55 columns (`CovType_Trainer.scala:24`) — with the reference's
+epoch schedule, fractions 0.005, 0.01, 0.01, 0.05, 0.05, 0.1
+(`Trainer.scala:71`), and record the loss curve + wall time per epoch.
+
+The data is the same hash-derived synthetic covtype the pytest
+fixture uses (tests/test_covtype_pipeline.py — deterministic,
+partitioning-proof, label correlated with elevation so training has
+signal), at full scale with all 40 Soil_Type columns so the staging
+schema walk drops exactly what the reference drops
+(`Trainer.scala:100-116`).
+
+Run from the repo root:  python tools/covtype_probe.py
+Writes docs/probes/covtype_probe.json and exits non-zero unless the
+epoch-end loss strictly decreases over at least 3 epoch transitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+N_ROWS = 581_012  # CovType_Trainer.scala:24
+N_SOIL = 40
+LABELS = 7
+FRACTIONS = [0.005, 0.01, 0.01, 0.05, 0.05, 0.1]  # Trainer.scala:71
+
+
+def build_raw(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(N_ROWS)
+    h = lambda i: F.abs(F.xxhash64("id", F.lit(i)))  # noqa: E731
+    cols = [
+        (h(1) % 2000 + 1000).cast("int").alias("Elevation"),
+        (h(2) % 360).cast("int").alias("Aspect"),
+        (h(3) % 60).cast("int").alias("Slope"),
+        (h(4) % 1000).cast("int").alias("Horizontal_Distance_To_Hydrology"),
+        (h(5) % 500).cast("int").alias("Vertical_Distance_To_Hydrology"),
+        (h(6) % 4000).cast("int").alias("Horizontal_Distance_To_Roadways"),
+        (h(7) % 255).cast("int").alias("Hillshade_9am"),
+        (h(8) % 255).cast("int").alias("Hillshade_Noon"),
+        (h(9) % 255).cast("int").alias("Hillshade_3pm"),
+        (h(10) % 5000).cast("int").alias("Horizontal_Distance_To_Fire_Points"),
+        *[
+            (h(20 + i) % 2).cast("int").alias(f"Wilderness_Area{i}")
+            for i in range(1, 5)
+        ],
+        *[
+            (h(30 + i) % 2).cast("int").alias(f"Soil_Type{i}")
+            for i in range(1, N_SOIL + 1)
+        ],
+        F.least(
+            F.greatest(((h(1) % 2000) * 7 / 2000 + 1).cast("int"), F.lit(1)),
+            F.lit(LABELS),
+        ).alias("Cover_Type"),
+    ]
+    return df.select(*cols)
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.shuffle.partitions", "32")
+        .appName("covtype-probe")
+        .getOrCreate()
+    )
+    from mindseye_dataframes_spark.featurize import (
+        CategorizingStrategy,
+        DataframeModeler,
+    )
+    from mindseye_dataframes_spark.featurize.layers import mlp
+    from mindseye_dataframes_spark.repl import SqlRepl
+    from mindseye_dataframes_spark.sources.staging import stage
+
+    raw = build_raw(spark)
+    assert len(raw.columns) == 55, len(raw.columns)
+    raw.createOrReplaceTempView("covtype_raw")
+
+    # generated staging view, exactly like Trainer.scala:100-116
+    select_list = []
+    for field in raw.schema.fields:
+        if field.name.startswith("Soil_Type"):
+            continue
+        if field.name == "Cover_Type":
+            select_list.append(f"`{field.name}`")
+        else:
+            select_list.append(f"CAST(`{field.name}` AS DOUBLE) AS `{field.name}`")
+    SqlRepl(spark).run(
+        "%sql CREATE OR REPLACE TEMPORARY VIEW covtype AS SELECT "
+        + ", ".join(select_list)
+        + " FROM covtype_raw"
+    )
+    staged = stage(spark.table("covtype"), "raw")  # DISK_ONLY, Trainer.scala:94
+    n = staged.count()
+    print(f"staged {n} rows x {len(staged.columns)} cols", flush=True)
+
+    strategy = CategorizingStrategy(
+        "Cover_Type", categories=LABELS, base=1, default_size=10
+    )
+    modeler = DataframeModeler(strategy)
+    net = mlp("covtype", 10, [20], LABELS)
+
+    epochs = []
+    t_total = time.time()
+    for i, frac in enumerate(FRACTIONS):
+        t0 = time.time()
+        losses = modeler.fit(
+            staged,
+            net,
+            "Cover_Type",
+            fractions=[frac],
+            max_iters=10,
+            lr=0.3,
+            seed=5 + i,
+        )
+        epochs.append(
+            {
+                "epoch": i,
+                "fraction": frac,
+                "rows_sampled_approx": int(n * frac),
+                "iters": len(losses),
+                "loss_first": round(losses[0], 5),
+                "loss_last": round(losses[-1], 5),
+                "probes": list(modeler.probe_history),
+                "wall_sec": round(time.time() - t0, 1),
+            }
+        )
+        print(json.dumps(epochs[-1]), flush=True)
+    staged.unpersist()
+
+    ends = [e["loss_last"] for e in epochs]
+    decreases = sum(1 for a, b in zip(ends, ends[1:]) if b < a)
+    out = {
+        "n_rows": n,
+        "n_cols_raw": 55,
+        "fractions": FRACTIONS,
+        "epochs": epochs,
+        "epoch_end_losses": ends,
+        "strict_decreases": decreases,
+        "total_wall_sec": round(time.time() - t_total, 1),
+    }
+    path = os.path.join(repo, "docs", "probes", "covtype_probe.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print("WROTE", path, flush=True)
+    ok = decreases >= 3 and ends[-1] < ends[0]
+    print("DECREASING" if ok else "NOT-DECREASING", ends, flush=True)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,8 @@ def main() -> None:
             "q180_paragraph_dedup_rewrite",
             "q181_importance_resampling",
             "q183_bpe_encode_accounting",
+            "q188_packed_png_decode",
+            "q189_semdedup_tau_curve",
         )
         if n in registry
     ]

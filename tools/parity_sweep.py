@@ -12,7 +12,7 @@ path (operators/pq.py:pq_topk_rerank). Round 6's sf1 probe of q101
 caught regr_slope accumulation-order drift (fixed b04fb97).
 
 Every run writes an AUDITABLE JSON log (--log, default
-benchdata/sweep_logs/sweep_<sfname>_<lo>_<hi>.json) recording the
+docs/probes/sweep_<sfname>_<lo>_<hi>.json) recording the
 sf dir, the chunk bounds, the EXACT skip set and which queries it
 suppressed, per-query status + wall seconds, and the final fail
 list — so "all pass at sfX" is checkable after the fact, including
@@ -72,7 +72,7 @@ def main() -> None:
     ap.add_argument(
         "--log",
         default="",
-        help="JSON log path (default benchdata/sweep_logs/"
+        help="JSON log path (default docs/probes/"
         "sweep_<sfname>_<lo>_<hi>.json under the repo root)",
     )
     args = ap.parse_args()
@@ -131,8 +131,8 @@ def main() -> None:
         only_tag = ("_only-" + "-".join(only)) if only else ""
         log_path = os.path.join(
             repo,
-            "benchdata",
-            "sweep_logs",
+            "docs",
+            "probes",
             f"sweep_{sfname}_{args.lo}_{hi_tag}{only_tag}.json",
         )
     os.makedirs(os.path.dirname(log_path), exist_ok=True)
