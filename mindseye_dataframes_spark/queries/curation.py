@@ -804,3 +804,111 @@ def q181_importance_resampling(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q190_token_budget_selection",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(toks)) * 1000 AS BIGINT) // CAST(len(toks) AS BIGINT)
+               AS score
+      FROM t),
+    b AS (SELECT CAST(CAST(sum(n_tok) AS BIGINT) * 2 // 5 AS BIGINT) AS budget FROM s),
+    c AS (
+      SELECT s.*, b.budget,
+             SUM(n_tok) OVER (ORDER BY score DESC, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM s, b)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(CAST(SUM(n_tok) AS BIGINT) AS BIGINT) AS tokens_total,
+           CAST(COUNT(*) FILTER (WHERE cum <= budget) AS BIGINT) AS n_admitted,
+           CAST(COALESCE(CAST(SUM(n_tok) FILTER (WHERE cum <= budget) AS BIGINT), 0)
+                AS BIGINT) AS tokens_admitted
+    FROM c GROUP BY lang ORDER BY lang
+    """,
+    tags=("curation", "llm-prep", "parity:token-budget"),
+)
+def q190_token_budget_selection(spark, sf_dir):
+    """Token-budget-constrained corpus selection: fill a fixed token
+    budget (40% of corpus tokens, exact integer) with the
+    highest-quality documents under a total order (quality score
+    DESC, doc_id ASC), the greedy knapsack every pretraining data
+    plan runs ("pick the best B tokens"). Score is an exact-integer
+    lexical-diversity proxy (distinct·1000 DIV total tokens — swap in
+    any deterministic scorer).
+
+    The oracle states the semantics as ONE global window cumsum; the
+    Spark plan computes the SAME admitted set scalably in two phases,
+    because a corpus-wide single-partition running sum is exactly the
+    plan that dies at 100 TB:
+    1. aggregate (score → tokens) — a ≤1001-row frame (score is
+       bounded 0..1000 by construction), collected to the driver
+       (O(score-cardinality) parameters, not data) to find the
+       threshold bucket t* where the bucket-level cumulative crosses
+       the budget and the remaining in-bucket budget;
+    2. one corpus scan admits score > t* outright (their cumulative
+       is ≤ budget by construction of t*), plus a doc_id-ordered
+       running sum INSIDE the single boundary bucket — the only
+       window in the plan, bounded by one bucket's membership, never
+       the corpus.
+    Per-lang admitted/total accounting hash-checks the selection."""
+    from mindseye_dataframes_spark.functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    s = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.expr(
+            "CAST(size(array_distinct(split(text, ' '))) * 1000 AS BIGINT)"
+            " DIV CAST(size(split(text, ' ')) AS BIGINT)"
+        ).alias("score"),
+    )
+    # phase 1: bounded bucket histogram -> threshold + in-bucket budget
+    buckets = {
+        int(r["score"]): int(r["btoks"])
+        for r in s.groupBy("score").agg(F.sum("n_tok").alias("btoks")).collect()
+    }
+    budget = sum(buckets.values()) * 2 // 5
+    cum, t_star, rem = 0, None, 0
+    for sc in sorted(buckets, reverse=True):
+        if cum + buckets[sc] > budget:
+            t_star, rem = sc, budget - cum
+            break
+        cum += buckets[sc]
+    if t_star is None:
+        flagged = s.withColumn("_adm", F.lit(1))
+    else:
+        # the ONLY window in the plan runs inside the single boundary
+        # bucket (its membership, never the corpus); admitted boundary
+        # ids come back as a broadcast flag join — no driver row data
+        w_bucket = Window.orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        boundary = (
+            s.filter(F.col("score") == t_star)
+            .withColumn("bcum", F.sum("n_tok").over(w_bucket))
+            .filter(F.col("bcum") <= rem)
+            .select("doc_id", F.lit(1).alias("_b"))
+        )
+        flagged = s.join(F.broadcast(boundary), "doc_id", "left").withColumn(
+            "_adm",
+            ((F.col("score") > t_star) | F.col("_b").isNotNull()).cast("int"),
+        )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tokens_total"),
+            F.sum("_adm").cast("long").alias("n_admitted"),
+            F.coalesce(
+                F.sum(F.col("n_tok") * F.col("_adm")), F.lit(0)
+            ).alias("tokens_admitted"),
+        )
+        .orderBy("lang")
+    )

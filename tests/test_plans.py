@@ -731,3 +731,14 @@ def test_bpe_encode_broadcasts_vocab(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q183_bpe_encode_accounting")
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_token_budget_selection_window_is_bucket_bounded(spark, sf_dir):
+    """q190: the semantics are a corpus-wide running sum, but the PLAN
+    must never contain one — the only Window sits above the boundary-
+    bucket filter (score = t*), the full-bucket admissions are a plain
+    comparison, and the boundary ids come back via broadcast join."""
+    plan = plan_of(spark, sf_dir, "q190_token_budget_selection")
+    assert plan.count("Window") <= 1
+    assert "BroadcastHashJoin" in plan or "Window" not in plan, plan
+    assert "CartesianProduct" not in plan
