@@ -341,3 +341,44 @@ def ann_topk_ivf(
         .filter(F.col("rank") <= k)
         .select(query_id, "rank", corpus_id, "cos_r")
     )
+
+
+def ann_topk_ivf_postings(
+    queries: DataFrame,
+    postings: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+    k: int,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF probe against a PRE-BUILT posting list — the query half of
+    ``ann_topk_ivf`` split out so the corpus-side work (centroid
+    selection + cell assignment, the only corpus passes in the whole
+    scheme) can be amortized into a standing index
+    (``sources/bucketing.py:standing_table``): a warm session reads
+    ``postings(_cell, corpus_id, corpus_vec)`` straight from its
+    bucketed files and never scans the raw corpus at all. Same
+    contract as ``ann_topk_ivf`` given the same centroids."""
+    q = queries.select(
+        F.col(query_id),
+        F.col(query_vec),
+        F.explode(_nearest_cells(query_vec, cents, n_probe)).alias("_cell"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(postings, "_cell")
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            cosine_ranked(query_vec, corpus_vec).alias("cos_r"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos_r").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", corpus_id, "cos_r")
+    )

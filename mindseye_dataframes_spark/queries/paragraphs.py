@@ -239,3 +239,108 @@ def q187_incremental_paragraph_dedup(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q191_intra_doc_dedup",
+    oracle=f"""
+    WITH parts AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(t.i AS BIGINT) AS chunk,
+             array_to_string(
+               ws[CAST(t.i * {CHUNK_WORDS} + 1 AS BIGINT)
+                  :CAST((t.i + 1) * {CHUNK_WORDS} AS BIGINT)], ' ') AS ctext
+      FROM parts,
+           UNNEST(range(0, (len(ws) + {CHUNK_WORDS - 1}) // {CHUNK_WORDS})) AS t(i)
+    ),
+    keep AS (
+      SELECT doc_id, chunk, ctext,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id, md5(ctext) ORDER BY chunk) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST((COUNT(*) - SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END))
+                * 1000000 // COUNT(*) AS BIGINT) AS rep_ppm,
+           md5(COALESCE(
+             string_agg(CASE WHEN rn = 1 THEN ctext END, ' ' ORDER BY chunk),
+             '')) AS kept_md5
+    FROM keep GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("dedup", "curation", "parity:intra-doc-dedup"),
+)
+def q191_intra_doc_dedup(spark, sf_dir):
+    """WITHIN-document repetition removal — the complement of q180's
+    corpus-wide pass: a page that repeats its own boilerplate (nav
+    blocks, templated headers, decoding glitches that loop a
+    paragraph) keeps only the FIRST occurrence of each distinct
+    16-word chunk WITHIN that document; other documents are
+    irrelevant to the decision. This is the doc-local half of C4's
+    "discard repeated lines" rule and the remedy for the q117
+    repetition signal — q117 measures it, this rewrites it. Output
+    per doc: chunk/keep counts, the repeated fraction in exact ppm,
+    and the md5 of the rewritten text (full-value evidence, no text
+    to the driver).
+
+    Scale shape — strictly cheaper than q180: chunking is a narrow
+    map; the first-occurrence decision and the reassembly are windows
+    and aggregates PARTITIONED BY doc_id (+ chunk fingerprint), so
+    the ONLY exchange is the one (doc_id)-keyed text shuffle the
+    reassembly needs — no corpus-wide fingerprint exchange, no
+    standing state, nothing cross-document at all. At 100 TB this is
+    embarrassingly parallel over documents."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.split("text", " ")
+    n_chunks = F.ceil(F.size(ws) / F.lit(CHUNK_WORDS)).cast("long")
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(ws, i * CHUNK_WORDS + 1, CHUNK_WORDS), " "
+                ),
+            )
+        ).alias("chunk", "ctext"),
+    ).select("doc_id", F.col("chunk").cast("long").alias("chunk"), "ctext")
+    w_first = Window.partitionBy("doc_id", F.md5("ctext")).orderBy("chunk")
+    kept = chunks.withColumn("rn", F.row_number().over(w_first))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.expr(
+                "CAST((count(1) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END))"
+                " * 1000000 DIV count(1) AS BIGINT)"
+            ).alias("rep_ppm"),
+            F.md5(
+                F.coalesce(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.when(
+                                        F.col("rn") == 1,
+                                        F.struct("chunk", "ctext"),
+                                    )
+                                )
+                            ),
+                            lambda s: s["ctext"],
+                        ),
+                        " ",
+                    ),
+                    F.lit(""),
+                )
+            ).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -556,3 +556,79 @@ def q184_knn_label_eval(spark, sf_dir):
         .withColumn("accuracy_ppm", F.expr("n_correct * 1000000 DIV n_eval"))
         .orderBy("true_label")
     )
+
+
+@query(
+    "q192_standing_ann_topk",
+    oracle=_ivf_oracle(),
+    tags=("similarity", "lakehouse", "parity:ann-standing"),
+)
+def q192_standing_ann_topk(spark, sf_dir):
+    """q60's IVF-Flat top-k answered from a CROSS-SESSION STANDING
+    INDEX: the corpus-side work — centroid selection and the
+    per-vector cell assignment, the only passes that touch every
+    corpus row — is published once as two standing tables (a k-row
+    centroid table and the posting list bucketed by cell,
+    ``sources/bucketing.py:standing_table``, corpus-fingerprint
+    invalidation), and every later session answers top-k queries by
+    reading the postings straight from their bucketed files: zero raw
+    corpus scans, zero assignment recompute, and the probe equi-join
+    lands on a table already hash-clustered by its join key. The
+    oracle is IDENTICAL to q60's — storage must never change the
+    answer. This is how a 100 TB embedding corpus actually serves
+    ANN: build the index once, refresh on ingest (fingerprint), probe
+    forever."""
+    import hashlib
+    import os
+
+    from mindseye_dataframes_spark.operators.similarity import (
+        ann_topk_ivf_postings,
+        ivf_centroids,
+        _nearest_cells,
+    )
+    from mindseye_dataframes_spark.sources.bucketing import (
+        dataset_fingerprint,
+        standing_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    real = os.path.realpath(sf_dir)
+    loc = hashlib.md5(real.encode()).hexdigest()[:8]
+    fp = dataset_fingerprint(os.path.join(real, "embeddings.parquet"))
+
+    def build_cents():
+        cents = ivf_centroids(emb, "vec_id", "embedding", _IVF_CELLS)
+        return spark.createDataFrame(
+            [(c, v) for c, v in cents], "cell int, v array<double>"
+        )
+
+    cents_tbl = standing_table(
+        spark, f"msdf_stage_ivfcents_{loc}", fp, build_cents, ["cell"], 1
+    )
+    cents = sorted(
+        (int(r["cell"]), [float(x) for x in r["v"]]) for r in cents_tbl.collect()
+    )
+
+    def build_postings():
+        return emb.select(
+            _nearest_cells("embedding", cents, 1)[0].alias("_cell"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+        )
+
+    postings = standing_table(
+        spark,
+        f"msdf_stage_ivfpost_{loc}",
+        fp,
+        build_postings,
+        ["_cell"],
+        16,
+        ["_cell", "neighbor_id"],
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return ann_topk_ivf_postings(
+        queries, postings, cents, "query_id", "qv", "neighbor_id", "cv",
+        k=_K, n_probe=_IVF_PROBE,
+    ).orderBy("query_id", "rank")

@@ -742,3 +742,17 @@ def test_token_budget_selection_window_is_bucket_bounded(spark, sf_dir):
     assert plan.count("Window") <= 1
     assert "BroadcastHashJoin" in plan or "Window" not in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_standing_ann_warm_plan_reads_postings_not_corpus(spark, sf_dir):
+    """q192: a warm session answers ANN probes from the STANDING
+    postings table — the probe (queries x probed cells) side
+    broadcasts, and the raw embeddings parquet is scanned exactly
+    once (for the query vectors); the corpus side of the join comes
+    from the bucketed postings files, so at 100 TB a warm lookup
+    never re-touches the corpus."""
+    REGISTRY["q192_standing_ann_topk"].fn(spark, sf_dir).count()  # cold build
+    plan = plan_of(spark, sf_dir, "q192_standing_ann_topk")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "msdf_stage_ivfpost" in plan, plan
+    assert plan.count("embeddings.parquet") == 1, plan
