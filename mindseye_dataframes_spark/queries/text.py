@@ -299,3 +299,141 @@ def q62_winnow_fingerprints(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --- q193: BM25-style retrieval from a standing inverted index -------
+#
+# Fixed benchmark query set (term must be drawn from the synthetic
+# vocabulary so every query matches); all (query_id, token) pairs
+# distinct so per-doc scores sum over distinct terms.
+_BM25_QUERIES = (
+    (0, "spark"), (0, "join"),
+    (1, "window"), (1, "agg"),
+    (2, "hash"), (2, "merge"), (2, "scan"),
+)
+_BM25_K = 5
+# Integer-exact BM25 (k1=1.2, b=0.75), derived so BOTH engines replay
+# the identical BIGINT arithmetic (no log, no doubles — the repo's
+# ppm discipline):
+#   idf_ppm   = least(1e9, ((N-df)*2e6 + 1e6) // (2*df+1))
+#               -- the BM25+ idf argument (N-df+0.5)/(df+0.5) in ppm,
+#                  saturated at ratio 1000 (binds only for df < N/1000)
+#   norm_micro= 250000 + 750000*dl*1000 // avgdl_milli   (1 - b + b*dl/avgdl)
+#   term_ppm  = idf_ppm * 2200000 * tfc // (1000000*tfc + 1200*norm_micro)
+# with tfc = least(tf, 4000): the tf saturation cap also bounds the
+# widest product at 1e9 * 2.2e6 * 4000 = 8.8e18 < 2^63 (load-bearing
+# ceiling, enforced on both sides).
+_BM25_TERM = """
+least(1000000000, ((n_docs - df) * 2000000 + 1000000) DIV (2 * df + 1))
+* 2200000 * least(tf, 4000)
+DIV (1000000 * least(tf, 4000)
+     + 1200 * (250000 + (750000 * dl * 1000)
+                        DIV ((1000 * total_len) DIV n_docs)))
+"""
+
+
+@query(
+    "q193_standing_bm25_topk",
+    oracle=f"""
+    WITH q(query_id, token) AS (VALUES {', '.join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)}),
+    d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM d),
+    tf AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY token, doc_id),
+    dfs AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(sum({_BM25_TERM.replace("DIV", "//")}) AS BIGINT) AS score_ppm
+      FROM q JOIN tf USING (token) JOIN dfs USING (token)
+             JOIN dl ON tf.doc_id = dl.doc_id, st
+      GROUP BY q.query_id, tf.doc_id)
+    SELECT query_id, rank, doc_id, score_ppm FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score_ppm DESC, doc_id) AS rank
+      FROM scored) WHERE rank <= {_BM25_K}
+    ORDER BY query_id, rank
+    """,
+    tags=("text", "retrieval", "lakehouse", "parity:bm25-standing"),
+)
+def q193_standing_bm25_topk(spark, sf_dir):
+    """BM25 top-k text retrieval answered from a STANDING INVERTED
+    INDEX — the text-side twin of q192's standing ANN index. The
+    corpus pass (tokenize -> per-(term,doc) tf -> per-term df ->
+    corpus length stats) is published once as ONE bucketed standing
+    table ``postings(token, doc_id, dl, tf, df, n_docs, total_len)``
+    (``sources/bucketing.py:standing_table``, corpus-fingerprint
+    invalidation, df/stats denormalized so the probe needs zero side
+    lookups and zero driver collects); every later session scores a
+    query by (1) an `isin` filter on the probed terms — pushed to the
+    parquet scan, so only the matching postings row groups are READ —
+    (2) a broadcast join of the O(|query terms|) probe table, (3) one
+    (query_id, doc_id) partial+final aggregate, (4) a per-query top-k
+    window over candidates only. The raw corpus is never re-scanned
+    warm, and nothing scales with |corpus| except the pruned postings
+    read. Scoring is integer-exact BM25 (see _BM25_TERM) so the
+    oracle replays the identical BIGINT arithmetic from the raw
+    documents table — storage must never change the answer."""
+    import hashlib
+    import os
+
+    from pyspark.sql import Window
+
+    from mindseye_dataframes_spark.sources.bucketing import (
+        dataset_fingerprint,
+        standing_table,
+    )
+
+    real = os.path.realpath(sf_dir)
+    loc = hashlib.md5(real.encode()).hexdigest()[:8]
+    fp = dataset_fingerprint(os.path.join(real, "documents.parquet"))
+
+    def build_postings():
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.split("text", " ").alias("toks")
+        )
+        toks = d.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            F.explode("toks").alias("token"),
+        )
+        tf = toks.groupBy("token", "doc_id", "dl").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+        dfs = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        stats = d.select(F.size("toks").cast("long").alias("dl")).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_len"),
+        )
+        return (
+            tf.join(F.broadcast(dfs), "token")
+            .crossJoin(F.broadcast(stats))
+            .select("token", "doc_id", "dl", "tf", "df", "n_docs", "total_len")
+        )
+
+    postings = standing_table(
+        spark,
+        f"msdf_stage_bm25post_{loc}",
+        fp,
+        build_postings,
+        ["token"],
+        16,
+        ["token", "doc_id"],
+    )
+    probe_tokens = sorted({t for _, t in _BM25_QUERIES})
+    q = spark.createDataFrame(list(_BM25_QUERIES), "query_id int, token string")
+    cand = F.broadcast(q).join(
+        postings.filter(F.col("token").isin(probe_tokens)), "token"
+    )
+    scored = cand.groupBy("query_id", "doc_id").agg(
+        F.sum(F.expr(_BM25_TERM)).cast("long").alias("score_ppm")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_ppm"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BM25_K)
+        .select("query_id", "rank", "doc_id", "score_ppm")
+        .orderBy("query_id", "rank")
+    )

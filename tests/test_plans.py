@@ -756,3 +756,17 @@ def test_standing_ann_warm_plan_reads_postings_not_corpus(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "msdf_stage_ivfpost" in plan, plan
     assert plan.count("embeddings.parquet") == 1, plan
+
+
+def test_standing_bm25_warm_plan_prunes_postings_no_corpus_scan(spark, sf_dir):
+    """q193: a warm session answers BM25 probes entirely from the
+    standing inverted index — the plan never scans documents.parquet,
+    the probed terms reach the postings scan as a pushed In-filter
+    (only matching row groups are read), and the probe table
+    broadcasts."""
+    REGISTRY["q193_standing_bm25_topk"].fn(spark, sf_dir).count()  # cold build
+    plan = plan_of(spark, sf_dir, "q193_standing_bm25_topk")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "msdf_stage_bm25post" in plan, plan
+    assert "documents.parquet" not in plan, plan
+    assert "In(token" in plan or "token IN" in plan, plan
