@@ -632,3 +632,89 @@ def q192_standing_ann_topk(spark, sf_dir):
         queries, postings, cents, "query_id", "qv", "neighbor_id", "cv",
         k=_K, n_probe=_IVF_PROBE,
     ).orderBy("query_id", "rank")
+
+
+_HN_N_ANCHORS = 200
+_HN_K = 10
+
+
+@query(
+    "q194_hard_negative_mining",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings),
+    a AS (SELECT vec_id, v, label FROM e WHERE vec_id < {_HN_N_ANCHORS}),
+    scored AS (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+             c.vec_id AS neighbor_id, c.label AS neg_label,
+             round(list_cosine_similarity(a.v, c.v), 9) AS cos_r,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY round(list_cosine_similarity(a.v, c.v), 9) DESC,
+                                         c.vec_id) AS rank
+      FROM a JOIN e c ON c.label <> a.label
+    )
+    SELECT anchor_id, anchor_label, rank, neighbor_id, neg_label, cos_r
+    FROM scored WHERE rank <= {_HN_K}
+    ORDER BY anchor_id, rank
+    """,
+    tags=("similarity", "ml-train", "parity:hard-negatives"),
+)
+def q194_hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining for contrastive training — for each
+    anchor in a bounded anchor set, the k corpus vectors MOST cosine-
+    similar to it that carry a DIFFERENT label: exactly the negatives
+    a contrastive/embedding fine-tune wants in its batches (easy
+    negatives teach nothing; these sit right at the decision
+    boundary). The label-mismatch predicate is applied BEFORE ranking
+    (``pair_filter``) — filtering a top-(k+m) afterwards would
+    under-fill anchors whose neighborhoods are positive-dense.
+
+    Scale shape: identical to q184 — anchors broadcast with their
+    labels riding along, the corpus is scanned once and scored in
+    codegen, the label predicate drops pairs pre-rank, and the
+    Arrow-batched partition-local prune (``cosine_topk_pruned``)
+    bounds the rank window's shuffle to ≤ |anchors|·k rows per
+    partition. Anchor/negative labels re-attach AFTER top-k as
+    broadcast joins of the O(|anchors|·k) result — the corpus never
+    shuffles and nothing driver-side scales with |corpus|."""
+    from mindseye_dataframes_spark.operators.similarity import (
+        cosine_topk_pruned,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < _HN_N_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("av"),
+        F.col("label").alias("a_label"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("c_label"),
+    )
+    top = cosine_topk_pruned(
+        anchors,
+        corpus,
+        "anchor_id",
+        "av",
+        "neighbor_id",
+        "cv",
+        _HN_K,
+        pair_filter=F.col("c_label") != F.col("a_label"),
+    )
+    neg_l = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("neg_label")
+    )
+    anchor_l = emb.filter(F.col("vec_id") < _HN_N_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+    )
+    return (
+        neg_l.join(F.broadcast(top), "neighbor_id")
+        .join(F.broadcast(anchor_l), "anchor_id")
+        .select(
+            "anchor_id", "anchor_label", "rank", "neighbor_id",
+            "neg_label", "cos_r",
+        )
+        .orderBy("anchor_id", "rank")
+    )
