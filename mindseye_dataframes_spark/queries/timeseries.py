@@ -536,3 +536,90 @@ def q182_streaming_dedup_parity(spark, sf_dir):
         return out
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+@query(
+    "q195_streaming_interval_join_parity",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    t AS (SELECT user_id AS t_user, ts AS touch_ts,
+                 event_type AS touch_type, event_id AS touch_id
+          FROM events WHERE event_type <> 'purchase')
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_purchases,
+           CAST(COUNT(DISTINCT touch_id) AS BIGINT) AS n_touches
+    FROM p JOIN t ON t_user = user_id
+                 AND touch_ts <= ts
+                 AND touch_ts >= ts - INTERVAL 3600 SECOND
+    GROUP BY touch_type ORDER BY touch_type
+    """,
+    tags=("streaming", "join", "parity:stream-interval-join"),
+)
+def q195_streaming_interval_join_parity(spark, sf_dir):
+    """Watermarked STREAM-STREAM interval join under the driver's
+    hash check — the q122-attribution shape run by the streaming
+    engine: events are re-staged as a 32-file parquet drop and read
+    back as TWO branches of one bounded file-source stream (purchases
+    / non-purchase touches, maxFilesPerTrigger=8 so four real
+    micro-batches and pairs genuinely span trigger boundaries), joined
+    by ``streaming/events.py:interval_join_streams`` (same-user,
+    touch_ts within the hour before the purchase), drained in append
+    mode, and rolled up per touch type. The oracle is the identical
+    batch interval join over the raw events table — the driver hashes
+    that the streaming join's cross-trigger state produced EXACTLY
+    the batch answer, pair-for-pair.
+
+    The drain watermark is set wider than the data's time span so the
+    parity claim is exact (no late-drop ambiguity); the PRODUCTION
+    contract — state stores bounded to watermark+tolerance, late rows
+    evicted — is the operator's default and is pinned separately in
+    tests/test_streaming.py where arrival order is controlled. Scale:
+    join state holds one horizon of each side sharded by user across
+    executors; the rollup is O(touch types); nothing driver-side
+    scales with the stream."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from mindseye_dataframes_spark.streaming.events import (
+        interval_join_streams,
+        read_event_stream,
+        run_bounded,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    run_id = uuid.uuid4().hex[:12]
+    src = tempfile.mkdtemp(prefix=f"msdf_stream_ivj_{run_id}_")
+    try:
+        events.repartition(32).write.mode("overwrite").parquet(src)
+        stream = read_event_stream(spark, src)
+        purchases = stream.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        touches = stream.filter(F.col("event_type") != "purchase").select(
+            F.col("user_id").alias("t_user"),
+            F.col("ts").alias("touch_ts"),
+            F.col("event_type").alias("touch_type"),
+            F.col("event_id").alias("touch_id"),
+        )
+        joined = interval_join_streams(
+            purchases, touches, tolerance_seconds=3600, watermark="365 days"
+        )
+        table = f"q195_ivj_{run_id}"
+        pairs = run_bounded(joined, table, output_mode="append")
+        # pin the drained pairs before the staging files vanish
+        snap = spark.createDataFrame(pairs.collect(), schema=pairs.schema)
+        spark.catalog.dropTempView(table)
+        return (
+            snap.groupBy("touch_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.countDistinct("event_id").alias("n_purchases"),
+                F.countDistinct("touch_id").alias("n_touches"),
+            )
+            .orderBy("touch_type")
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
