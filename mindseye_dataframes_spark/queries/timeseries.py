@@ -623,3 +623,66 @@ def q195_streaming_interval_join_parity(spark, sf_dir):
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+@query(
+    "q196_streaming_stateful_totals_parity",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("streaming", "state", "parity:stateful-totals"),
+)
+def q196_streaming_stateful_totals_parity(spark, sf_dir):
+    """The CUSTOM STATEFUL operator (``applyInPandasWithState``)
+    under the driver's hash check: events re-staged as a 32-file
+    parquet drop stream in over four real micro-batches through
+    ``streaming/events.py:user_running_totals(exact_cents=True)`` —
+    per-user (count, integer-cents sum) state that must survive and
+    accumulate across trigger boundaries — drained in update mode,
+    and reduced to each user's LAST update (argmax n_events, which is
+    strictly increasing per key). The oracle is the batch per-user
+    decimal aggregate, so the driver verifies the state store's
+    cross-batch fold reproduced the batch answer exactly — the
+    integer-cents state makes the fold associative, so the parity is
+    exact no matter how the file source slices triggers.
+
+    Scale: state is one (long, long) pair per user sharded by the
+    grouping key; each trigger's Arrow batches touch only that
+    batch's users; the drain table holds O(users · triggers) compact
+    rows. Nothing driver-side scales with the event count."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from mindseye_dataframes_spark.streaming.events import (
+        read_event_stream,
+        run_bounded,
+        user_running_totals,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    run_id = uuid.uuid4().hex[:12]
+    src = tempfile.mkdtemp(prefix=f"msdf_stream_state_{run_id}_")
+    try:
+        events.repartition(32).write.mode("overwrite").parquet(src)
+        totals = user_running_totals(
+            read_event_stream(spark, src), exact_cents=True
+        )
+        table = f"q196_state_{run_id}"
+        updates = run_bounded(totals, table, output_mode="update")
+        snap = spark.createDataFrame(updates.collect(), schema=updates.schema)
+        spark.catalog.dropTempView(table)
+        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        return (
+            snap.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("user_id", "n_events", "sum_value")
+            .orderBy("user_id")
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

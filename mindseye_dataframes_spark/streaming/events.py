@@ -127,17 +127,26 @@ def run_bounded(
     return stream_df.sparkSession.table(table_name)
 
 
-def user_running_totals(stream: DataFrame) -> DataFrame:
+def user_running_totals(stream: DataFrame, exact_cents: bool = False) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: a
     per-user running (count, sum) accumulated across micro-batches —
     the §2B streaming-state row the built-in windowed aggregates can't
     express (state is keyed by user, not by time window, and survives
     every trigger).
 
-    Scale: state is one (long, double) pair per user partitioned by the
-    grouping key across executors; each trigger touches only the keys
-    present in that micro-batch. Arrow moves batches, the state store
-    handles persistence/recovery.
+    ``exact_cents=True`` accumulates the sum as integer cents (int64)
+    instead of a float, so the cross-batch fold is associative and the
+    final ``sum_value = cents / 100.0`` is bit-identical to a decimal
+    batch aggregate regardless of which trigger each event landed in —
+    the state-store variant of the `functions/exact.py` discipline
+    (q196 drains this path against a DuckDB decimal oracle). Values
+    must carry <= 2 decimal places (the events contract, same as
+    q179/q182's decimal(18,2) casts).
+
+    Scale: state is one (long, long|double) pair per user partitioned
+    by the grouping key across executors; each trigger touches only the
+    keys present in that micro-batch. Arrow moves batches, the state
+    store handles persistence/recovery.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -153,10 +162,28 @@ def user_running_totals(stream: DataFrame) -> DataFrame:
             {"user_id": [key[0]], "n_events": [n], "sum_value": [total]}
         )
 
+    def update_cents(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [cents / 100.0],
+            }
+        )
+
     return stream.groupBy("user_id").applyInPandasWithState(
-        update,
+        update_cents if exact_cents else update,
         outputStructType="user_id long, n_events long, sum_value double",
-        stateStructType="n long, total double",
+        stateStructType=(
+            "n long, cents long" if exact_cents else "n long, total double"
+        ),
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
