@@ -686,3 +686,73 @@ def q196_streaming_stateful_totals_parity(spark, sf_dir):
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+@query(
+    "q197_streaming_session_window_parity",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS v,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (SELECT user_id, ts, v,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o)
+    SELECT user_id, min(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "session", "parity:stream-session-window"),
+)
+def q197_streaming_session_window_parity(spark, sf_dir):
+    """Native streaming SESSION WINDOWS (``F.session_window``, the
+    engine-managed gap-merge state store) under the driver's hash
+    check: events stream in over four real micro-batches — so
+    sessions genuinely split across triggers and the state store must
+    MERGE partial sessions, not just accumulate counters — through
+    ``streaming/events.py:session_counts`` (30-minute gap), drained
+    complete-mode. The oracle derives the identical sessions
+    relationally: a lag/new-session flag + running session id per
+    user, grouped to (start, count, decimal sum). Boundary semantics
+    pinned on both sides: a gap of EXACTLY 30:00 starts a new session
+    (Spark's window is [ts, ts+gap)).
+
+    Scale: session state is per (user, open session) sharded by key;
+    merges touch only keys present in the trigger; the complete-mode
+    sink holds O(sessions) compact rows. The oracle's corpus-wide
+    window is the relational REPLAY, not the plan — the engine side
+    never runs a corpus-wide window."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from mindseye_dataframes_spark.streaming.events import (
+        read_event_stream,
+        run_bounded,
+        session_counts,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    run_id = uuid.uuid4().hex[:12]
+    src = tempfile.mkdtemp(prefix=f"msdf_stream_sess_{run_id}_")
+    try:
+        events.repartition(32).write.mode("overwrite").parquet(src)
+        sess = session_counts(
+            read_event_stream(spark, src), gap="30 minutes", watermark="365 days"
+        )
+        table = f"q197_sess_{run_id}"
+        out = run_bounded(sess, table, output_mode="complete")
+        snap = spark.createDataFrame(out.collect(), schema=out.schema)
+        spark.catalog.dropTempView(table)
+        return snap.select(
+            "user_id", "session_start", "n_events", "sum_value"
+        ).orderBy("user_id", "session_start")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
