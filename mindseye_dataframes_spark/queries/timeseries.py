@@ -756,3 +756,67 @@ def q197_streaming_session_window_parity(spark, sf_dir):
         ).orderBy("user_id", "session_start")
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+@query(
+    "q198_streaming_cdc_upsert_parity",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1 ORDER BY user_id
+    """,
+    tags=("streaming", "cdc", "parity:stream-upsert-sink"),
+)
+def q198_streaming_cdc_upsert_parity(spark, sf_dir):
+    """The CDC UPSERT SINK (``streaming/sinks.py:upsert_stream`` —
+    foreachBatch, order-aware merge, atomic rename commit) under the
+    driver's hash check: events re-staged as a 32-file drop with NO
+    time ordering across files, streamed in over four micro-batches
+    — so newer rows routinely arrive BEFORE older rows for the same
+    user and the order-aware merge (not arrival order) must decide
+    every winner — continuously compacted into a latest-per-user
+    snapshot keyed (ts DESC, event_id DESC), then the committed
+    snapshot is read back from storage. The oracle is the batch
+    latest-per-user query (q96's shape) over raw events: the driver
+    hashes that four incremental commits converge to exactly the
+    one-shot batch answer, carried value bytes included.
+
+    Scale: per batch ONE bounded in-batch window + one keyed merge
+    join against the snapshot; no executor state grows with the
+    stream (the snapshot lives in storage) — the pattern for
+    unbounded key universes where stateful operators would hold
+    every key forever."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from mindseye_dataframes_spark.streaming.events import read_event_stream
+    from mindseye_dataframes_spark.streaming.sinks import upsert_stream
+
+    events = load_table(spark, sf_dir, "events")
+    run_id = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"msdf_stream_cdc_{run_id}_")
+    src = f"{base}/src"
+    target = f"{base}/snapshot"
+    ckpt = f"{base}/ckpt"
+    try:
+        events.repartition(32).write.mode("overwrite").parquet(src)
+        q = upsert_stream(
+            read_event_stream(spark, src),
+            target,
+            keys=["user_id"],
+            order_cols=["ts", "event_id"],
+            checkpoint_dir=ckpt,
+        ).start()
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q198 upsert stream did not drain")
+        snap_df = spark.read.parquet(target).select(
+            "user_id", "event_id", "ts", "event_type", "value"
+        )
+        out = spark.createDataFrame(snap_df.collect(), schema=snap_df.schema)
+        return out.orderBy("user_id")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
