@@ -38,6 +38,11 @@ def main() -> None:
             "q183_bpe_encode_accounting",
             "q188_packed_png_decode",
             "q189_semdedup_tau_curve",
+            "q190_token_budget_selection",
+            "q191_intra_doc_dedup",
+            "q192_standing_ann_topk",
+            "q193_standing_bm25_topk",
+            "q194_hard_negative_mining",
         )
         if n in registry
     ]
