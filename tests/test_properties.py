@@ -946,3 +946,37 @@ def test_cosine_topk_pruned_equals_exact(spark):
         )
 
     assert rows(exact) == rows(pruned)
+
+
+def test_ivf_postings_path_matches_direct_ivf(spark):
+    """Storage independence of the standing ANN index: given the same
+    centroids, ``ann_topk_ivf_postings`` over an explicitly built
+    posting list must return EXACTLY what ``ann_topk_ivf`` computes
+    end-to-end — splitting the corpus pass out into a standing table
+    may never change a single (rank, id, score)."""
+    from pyspark.sql import functions as F
+
+    from mindseye_dataframes_spark.operators.similarity import (
+        _nearest_cells,
+        ann_topk_ivf,
+        ann_topk_ivf_postings,
+        ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("cv"))
+    cents = ivf_centroids(corpus, "nid", "cv", 16)
+    direct = ann_topk_ivf(
+        queries, corpus, "qid", "qv", "nid", "cv", 5, n_centroids=16, n_probe=4
+    ).collect()
+    postings = corpus.select(
+        _nearest_cells("cv", cents, 1)[0].alias("_cell"), "nid", "cv"
+    )
+    via_postings = ann_topk_ivf_postings(
+        queries, postings, cents, "qid", "qv", "nid", "cv", 5, n_probe=4
+    ).collect()
+    as_set = lambda rows: {(r["qid"], r["rank"], r["nid"], r["cos_r"]) for r in rows}
+    assert as_set(direct) == as_set(via_postings)
