@@ -558,31 +558,17 @@ def q184_knn_label_eval(spark, sf_dir):
     )
 
 
-@query(
-    "q192_standing_ann_topk",
-    oracle=_ivf_oracle(),
-    tags=("similarity", "lakehouse", "parity:ann-standing"),
-)
-def q192_standing_ann_topk(spark, sf_dir):
-    """q60's IVF-Flat top-k answered from a CROSS-SESSION STANDING
-    INDEX: the corpus-side work — centroid selection and the
-    per-vector cell assignment, the only passes that touch every
-    corpus row — is published once as two standing tables (a k-row
-    centroid table and the posting list bucketed by cell,
-    ``sources/bucketing.py:standing_table``, corpus-fingerprint
-    invalidation), and every later session answers top-k queries by
-    reading the postings straight from their bucketed files: zero raw
-    corpus scans, zero assignment recompute, and the probe equi-join
-    lands on a table already hash-clustered by its join key. The
-    oracle is IDENTICAL to q60's — storage must never change the
-    answer. This is how a 100 TB embedding corpus actually serves
-    ANN: build the index once, refresh on ingest (fingerprint), probe
-    forever."""
+def ann_standing_index(spark, sf_dir):
+    """The one-time corpus pass of the standing ANN index (see q192's
+    docstring): centroid selection + per-vector cell assignment,
+    published/looked-up as two standing tables. Returns ``(cents,
+    postings)`` where cents is the O(cells) driver-side centroid list
+    and postings is the cell-bucketed DataFrame ``(_cell, neighbor_id,
+    cv)``; shared by q192 and the q199 hybrid fusion."""
     import hashlib
     import os
 
     from mindseye_dataframes_spark.operators.similarity import (
-        ann_topk_ivf_postings,
         ivf_centroids,
         _nearest_cells,
     )
@@ -625,6 +611,35 @@ def q192_standing_ann_topk(spark, sf_dir):
         16,
         ["_cell", "neighbor_id"],
     )
+    return cents, postings
+
+
+@query(
+    "q192_standing_ann_topk",
+    oracle=_ivf_oracle(),
+    tags=("similarity", "lakehouse", "parity:ann-standing"),
+)
+def q192_standing_ann_topk(spark, sf_dir):
+    """q60's IVF-Flat top-k answered from a CROSS-SESSION STANDING
+    INDEX: the corpus-side work — centroid selection and the
+    per-vector cell assignment, the only passes that touch every
+    corpus row — is published once as two standing tables (a k-row
+    centroid table and the posting list bucketed by cell,
+    ``sources/bucketing.py:standing_table``, corpus-fingerprint
+    invalidation), and every later session answers top-k queries by
+    reading the postings straight from their bucketed files: zero raw
+    corpus scans, zero assignment recompute, and the probe equi-join
+    lands on a table already hash-clustered by its join key. The
+    oracle is IDENTICAL to q60's — storage must never change the
+    answer. This is how a 100 TB embedding corpus actually serves
+    ANN: build the index once, refresh on ingest (fingerprint), probe
+    forever."""
+    from mindseye_dataframes_spark.operators.similarity import (
+        ann_topk_ivf_postings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, postings = ann_standing_index(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -717,4 +732,137 @@ def q194_hard_negative_mining(spark, sf_dir):
             "neg_label", "cos_r",
         )
         .orderBy("anchor_id", "rank")
+    )
+
+
+_RRF_NQ = 3      # fused query ids 0..2 — the q193 BM25 query set's ids
+_RRF_DEPTH = 10  # per-system retrieve depth feeding the fusion
+_RRF_K = 5
+_RRF_C = 60      # the standard RRF constant
+
+
+def _rrf_oracle() -> str:
+    from mindseye_dataframes_spark.queries.text import _BM25_CORE_SQL
+
+    sim = "round(list_cosine_similarity({a}, {b}), 9)"
+    return f"""
+    WITH {_BM25_CORE_SQL},
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cells AS (
+      SELECT CAST(vec_id % {_IVF_CELLS} AS INT) AS cell, v
+      FROM (
+        SELECT vec_id, v,
+               row_number() OVER (PARTITION BY vec_id % {_IVF_CELLS} ORDER BY vec_id) AS rn
+        FROM e
+      ) WHERE rn = 1
+    ),
+    assign AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {sim.format(a='e.v', b='c.v')} DESC, c.cell) AS arn
+        FROM e CROSS JOIN cells c
+      ) WHERE arn = 1
+    ),
+    probes AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT q.vec_id, q.v, c.cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {sim.format(a='q.v', b='c.v')} DESC, c.cell) AS prn
+        FROM e q CROSS JOIN cells c WHERE q.vec_id < {_RRF_NQ}
+      ) WHERE prn <= {_IVF_PROBE}
+    ),
+    ann_ranked AS (
+      SELECT p.vec_id AS query_id, a.vec_id AS doc_id,
+             row_number() OVER (PARTITION BY p.vec_id
+                                ORDER BY {sim.format(a='p.v', b='a.v')} DESC, a.vec_id) AS ann_rank
+      FROM probes p JOIN assign a USING (cell)
+    ),
+    u AS (
+      SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, bm_rank AS r
+      FROM bm_ranked WHERE bm_rank <= {_RRF_DEPTH}
+      UNION ALL
+      SELECT CAST(query_id AS BIGINT), doc_id, ann_rank
+      FROM ann_ranked WHERE ann_rank <= {_RRF_DEPTH}
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(1000000 // ({_RRF_C} + r)) AS BIGINT) AS rrf_ppm,
+             CAST(COUNT(*) AS BIGINT) AS n_systems
+      FROM u GROUP BY query_id, doc_id
+    )
+    SELECT query_id, rank, doc_id, rrf_ppm, n_systems FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_ppm DESC, doc_id) AS rank
+      FROM fused) WHERE rank <= {_RRF_K}
+    ORDER BY query_id, rank
+    """
+
+
+@query(
+    "q199_hybrid_rrf_retrieval",
+    oracle=_rrf_oracle(),
+    tags=("similarity", "retrieval", "lakehouse", "parity:hybrid-rrf"),
+)
+def q199_hybrid_rrf_retrieval(spark, sf_dir):
+    """HYBRID retrieval — reciprocal-rank fusion of the two standing
+    indexes: each query runs (a) lexically against the standing BM25
+    inverted index (q193's term sets, depth 10) and (b) semantically
+    against the standing IVF ANN index (the query doc's embedding,
+    depth 10, doc_id == vec_id in the synthetic corpus), and the two
+    rankings fuse by integer-exact RRF: score = Σ 1e6 DIV (60 + rank).
+    Rank fusion deliberately uses RANKS, not raw scores — BM25 ppm
+    and cosine live on incomparable scales, and RRF is the standard
+    scale-free combiner. The oracle embeds BOTH proven oracle cores
+    (the shared _BM25_CORE_SQL block and q60's IVF CTEs) plus the
+    fusion arithmetic, so the driver replays the entire hybrid stack
+    end-to-end.
+
+    Scale shape: pure composition of the two standing-index probes —
+    each warm probe touches only bucketed index files (pushed
+    In-filter / cell equi-join, corpus never re-scanned), and the
+    fusion itself is an O(|queries|·depth) aggregate + top-k window
+    over candidates only. At 100 TB nothing new moves: hybrid costs
+    exactly its two probes."""
+    from pyspark.sql import Window
+
+    from mindseye_dataframes_spark.operators.similarity import (
+        ann_topk_ivf_postings,
+    )
+    from mindseye_dataframes_spark.queries.text import (
+        bm25_standing_postings,
+        bm25_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, post = ann_standing_index(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") < _RRF_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    ann = ann_topk_ivf_postings(
+        qv, post, cents, "query_id", "qv", "neighbor_id", "cv",
+        k=_RRF_DEPTH, n_probe=_IVF_PROBE,
+    )
+    bm = bm25_topk(spark, bm25_standing_postings(spark, sf_dir), _RRF_DEPTH)
+    u = bm.select(
+        F.col("query_id").cast("long").alias("query_id"), "doc_id", "rank"
+    ).unionByName(
+        ann.select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("neighbor_id").alias("doc_id"),
+            "rank",
+        )
+    )
+    fused = u.groupBy("query_id", "doc_id").agg(
+        F.sum(F.expr(f"1000000 DIV ({_RRF_C} + rank)"))
+        .cast("long")
+        .alias("rrf_ppm"),
+        F.count(F.lit(1)).alias("n_systems"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_ppm"), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _RRF_K)
+        .select("query_id", "rank", "doc_id", "rrf_ppm", "n_systems")
+        .orderBy("query_id", "rank")
     )

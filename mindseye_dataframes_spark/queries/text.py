@@ -332,10 +332,11 @@ DIV (1000000 * least(tf, 4000)
 """
 
 
-@query(
-    "q193_standing_bm25_topk",
-    oracle=f"""
-    WITH q(query_id, token) AS (VALUES {', '.join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)}),
+# The BM25 relation as a reusable oracle CTE block: q193 ranks it
+# directly; q199 (hybrid RRF fusion, queries/similarity.py) embeds the
+# SAME block so fusion replays the identical BM25 ranking.
+_BM25_CORE_SQL = f"""
+    q(query_id, token) AS (VALUES {', '.join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)}),
     d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
     tok AS (SELECT doc_id, unnest(toks) AS token FROM d),
@@ -344,42 +345,27 @@ DIV (1000000 * least(tf, 4000)
     dfs AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
     st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
                   CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
-    scored AS (
+    bm_scored AS (
       SELECT q.query_id, tf.doc_id,
              CAST(sum({_BM25_TERM.replace("DIV", "//")}) AS BIGINT) AS score_ppm
       FROM q JOIN tf USING (token) JOIN dfs USING (token)
              JOIN dl ON tf.doc_id = dl.doc_id, st
-      GROUP BY q.query_id, tf.doc_id)
-    SELECT query_id, rank, doc_id, score_ppm FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY score_ppm DESC, doc_id) AS rank
-      FROM scored) WHERE rank <= {_BM25_K}
-    ORDER BY query_id, rank
-    """,
-    tags=("text", "retrieval", "lakehouse", "parity:bm25-standing"),
-)
-def q193_standing_bm25_topk(spark, sf_dir):
-    """BM25 top-k text retrieval answered from a STANDING INVERTED
-    INDEX — the text-side twin of q192's standing ANN index. The
-    corpus pass (tokenize -> per-(term,doc) tf -> per-term df ->
-    corpus length stats) is published once as ONE bucketed standing
-    table ``postings(token, doc_id, dl, tf, df, n_docs, total_len)``
-    (``sources/bucketing.py:standing_table``, corpus-fingerprint
-    invalidation, df/stats denormalized so the probe needs zero side
-    lookups and zero driver collects); every later session scores a
-    query by (1) an `isin` filter on the probed terms — pushed to the
-    parquet scan, so only the matching postings row groups are READ —
-    (2) a broadcast join of the O(|query terms|) probe table, (3) one
-    (query_id, doc_id) partial+final aggregate, (4) a per-query top-k
-    window over candidates only. The raw corpus is never re-scanned
-    warm, and nothing scales with |corpus| except the pruned postings
-    read. Scoring is integer-exact BM25 (see _BM25_TERM) so the
-    oracle replays the identical BIGINT arithmetic from the raw
-    documents table — storage must never change the answer."""
+      GROUP BY q.query_id, tf.doc_id),
+    bm_ranked AS (
+      SELECT query_id, doc_id, score_ppm,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_ppm DESC, doc_id) AS bm_rank
+      FROM bm_scored)
+"""
+
+
+def bm25_standing_postings(spark, sf_dir):
+    """The one-time corpus pass of the standing BM25 index (see q193's
+    docstring), published/looked-up as a bucketed standing table.
+    Returns the postings DataFrame ``(token, doc_id, dl, tf, df,
+    n_docs, total_len)``; shared by q193 and the q199 hybrid fusion."""
     import hashlib
     import os
-
-    from pyspark.sql import Window
 
     from mindseye_dataframes_spark.sources.bucketing import (
         dataset_fingerprint,
@@ -413,7 +399,7 @@ def q193_standing_bm25_topk(spark, sf_dir):
             .select("token", "doc_id", "dl", "tf", "df", "n_docs", "total_len")
         )
 
-    postings = standing_table(
+    return standing_table(
         spark,
         f"msdf_stage_bm25post_{loc}",
         fp,
@@ -422,6 +408,14 @@ def q193_standing_bm25_topk(spark, sf_dir):
         16,
         ["token", "doc_id"],
     )
+
+
+def bm25_topk(spark, postings, k):
+    """The warm probe of the standing BM25 index: pushed In-filter on
+    the probed terms, broadcast probe join, one (query, doc)
+    aggregate, per-query top-k. Shared by q193 and q199."""
+    from pyspark.sql import Window
+
     probe_tokens = sorted({t for _, t in _BM25_QUERIES})
     q = spark.createDataFrame(list(_BM25_QUERIES), "query_id int, token string")
     cand = F.broadcast(q).join(
@@ -433,7 +427,38 @@ def q193_standing_bm25_topk(spark, sf_dir):
     w = Window.partitionBy("query_id").orderBy(F.desc("score_ppm"), "doc_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _BM25_K)
+        .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score_ppm")
-        .orderBy("query_id", "rank")
     )
+
+
+@query(
+    "q193_standing_bm25_topk",
+    oracle=f"""
+    WITH {_BM25_CORE_SQL}
+    SELECT query_id, bm_rank AS rank, doc_id, score_ppm FROM bm_ranked
+    WHERE bm_rank <= {_BM25_K}
+    ORDER BY query_id, rank
+    """,
+    tags=("text", "retrieval", "lakehouse", "parity:bm25-standing"),
+)
+def q193_standing_bm25_topk(spark, sf_dir):
+    """BM25 top-k text retrieval answered from a STANDING INVERTED
+    INDEX — the text-side twin of q192's standing ANN index. The
+    corpus pass (tokenize -> per-(term,doc) tf -> per-term df ->
+    corpus length stats) is published once as ONE bucketed standing
+    table ``postings(token, doc_id, dl, tf, df, n_docs, total_len)``
+    (``sources/bucketing.py:standing_table``, corpus-fingerprint
+    invalidation, df/stats denormalized so the probe needs zero side
+    lookups and zero driver collects); every later session scores a
+    query by (1) an `isin` filter on the probed terms — pushed to the
+    parquet scan, so only the matching postings row groups are READ —
+    (2) a broadcast join of the O(|query terms|) probe table, (3) one
+    (query_id, doc_id) partial+final aggregate, (4) a per-query top-k
+    window over candidates only. The raw corpus is never re-scanned
+    warm, and nothing scales with |corpus| except the pruned postings
+    read. Scoring is integer-exact BM25 (see _BM25_TERM) so the
+    oracle replays the identical BIGINT arithmetic from the raw
+    documents table — storage must never change the answer."""
+    postings = bm25_standing_postings(spark, sf_dir)
+    return bm25_topk(spark, postings, _BM25_K).orderBy("query_id", "rank")
