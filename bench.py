@@ -36,7 +36,7 @@ def main() -> None:
         n
         for n in ("q87_contamination_screen", "q102_fuzzy_name_match",
                   "q114_embedding_normalize", "q163_semdedup",
-                  "q188_packed_png_decode")
+                  "q188_packed_png_decode", "q199_hybrid_rrf_retrieval")
         if n in registry
     ]
 
