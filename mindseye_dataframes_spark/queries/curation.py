@@ -912,3 +912,128 @@ def q190_token_budget_selection(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+def _q200_score_sql() -> str:
+    from mindseye_dataframes_spark.functions.textfns import STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+      SELECT doc_id, source,
+             CAST(len(list_filter(toks, x -> x IN ({sw}))) AS BIGINT)
+               * 500000 // CAST(len(toks) AS BIGINT)
+             + CASE WHEN len(toks) >= 30 THEN 500000
+                    ELSE CAST(len(toks) AS BIGINT) * 500000 // 30 END
+               AS score_ppm
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+            FROM documents)
+    """
+
+
+@query(
+    "q200_cross_source_quality_calibration",
+    oracle=f"""
+    WITH scored AS ({_q200_score_sql()}),
+    b AS (SELECT doc_id, source, score_ppm,
+                 score_ppm // 1000 AS bucket FROM scored),
+    hist AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS cnt
+             FROM b GROUP BY source, bucket),
+    cum AS (SELECT source, bucket, cnt,
+                   CAST(COALESCE(SUM(cnt) OVER (
+                     PARTITION BY source ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS cum_lt,
+                   CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_src
+            FROM hist),
+    calib AS (
+      SELECT b.doc_id, b.source, b.score_ppm,
+             cum.cum_lt * 1000000 // cum.n_src AS calib_ppm
+      FROM b JOIN cum ON b.source = cum.source AND b.bucket = cum.bucket)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN calib_ppm >= 500000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_admitted,
+           MIN(CASE WHEN calib_ppm >= 500000 THEN score_ppm END) AS thr_ppm,
+           md5(COALESCE(string_agg(
+             CASE WHEN calib_ppm >= 500000 THEN CAST(doc_id AS VARCHAR) END,
+             ',' ORDER BY doc_id), '')) AS admitted_md5
+    FROM calib GROUP BY source ORDER BY source
+    """,
+    tags=("curation", "quality", "parity:quality-calibration"),
+)
+def q200_cross_source_quality_calibration(spark, sf_dir):
+    """CROSS-SOURCE QUALITY CALIBRATION — quantile-normalize quality
+    scores WITHIN each source before admitting the top half per
+    source: raw quality heuristics are not comparable across crawls
+    (a news source's median outscores a forum's 90th percentile), so
+    admitting on a single global threshold silently starves whole
+    sources; calibrating each doc to its within-source percentile
+    admits the best half OF EACH SOURCE, whatever its raw score
+    distribution. Output per source: doc/admit counts, the effective
+    raw-score threshold (visibly different per source — the point),
+    and the md5 of the admitted id set (full-value evidence).
+
+    Scale shape — the q190 two-phase pattern, NO corpus-wide window:
+    phase 1 aggregates a bounded (source × 1001-bucket) score
+    histogram (one map-side-combinable exchange); the percentile
+    arithmetic runs on the tiny histogram only; phase 2 re-scans with
+    the per-(source,bucket) calibration broadcast back. A direct
+    per-source rank window would shuffle the whole corpus partitioned
+    by source — skew-bound at 100 TB when one crawl dominates; this
+    plan's only corpus exchanges are the histogram aggregate and the
+    final per-source rollup. Bucket granularity (1000 ppm) is the
+    documented resolution: ties within a bucket calibrate identically
+    on both engines."""
+    from mindseye_dataframes_spark.functions.textfns import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    # integer-exact score (mirrors the oracle literally)
+    score = F.expr(
+        "CAST(size(filter(split(text, ' '), x -> x IN ("
+        + ", ".join(f"'{w}'" for w in STOPWORDS)
+        + "))) AS BIGINT) * 500000 DIV CAST(size(split(text, ' ')) AS BIGINT)"
+        " + CASE WHEN size(split(text, ' ')) >= 30 THEN 500000"
+        " ELSE CAST(size(split(text, ' ')) AS BIGINT) * 500000 DIV 30 END"
+    )
+    b = docs.select(
+        "doc_id", "source", score.alias("score_ppm")
+    ).withColumn("bucket", F.expr("score_ppm DIV 1000"))
+    hist = b.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        "source",
+        "bucket",
+        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("cum_lt"),
+        F.sum("cnt").over(Window.partitionBy("source")).alias("n_src"),
+    )
+    calib = b.join(F.broadcast(cum), ["source", "bucket"]).withColumn(
+        "calib_ppm", F.expr("cum_lt * 1000000 DIV n_src")
+    )
+    adm = F.col("calib_ppm") >= 500000
+    return (
+        calib.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(adm.cast("long")).alias("n_admitted"),
+            F.min(F.when(adm, F.col("score_ppm"))).alias("thr_ppm"),
+            F.md5(
+                F.coalesce(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.when(adm, F.col("doc_id")))
+                            ),
+                            lambda d: d.cast("string"),
+                        ),
+                    ),
+                    F.lit(""),
+                )
+            ).alias("admitted_md5"),
+        )
+        .orderBy("source")
+    )

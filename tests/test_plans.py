@@ -770,3 +770,14 @@ def test_standing_bm25_warm_plan_prunes_postings_no_corpus_scan(spark, sf_dir):
     assert "msdf_stage_bm25post" in plan, plan
     assert "documents.parquet" not in plan, plan
     assert "In(token" in plan or "token IN" in plan, plan
+
+
+def test_quality_calibration_windows_are_histogram_only(spark, sf_dir):
+    """q200: per-source percentile calibration must NOT rank the
+    corpus — the only Window nodes sit over the (source x bucket)
+    histogram, and the calibration re-attaches to the corpus scan as
+    a broadcast join."""
+    plan = plan_of(spark, sf_dir, "q200_cross_source_quality_calibration")
+    assert plan.count("Window") <= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
