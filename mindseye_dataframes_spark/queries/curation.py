@@ -1037,3 +1037,156 @@ def q200_cross_source_quality_calibration(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+_NB_BUCKETS = 4096  # hashed feature space, fixed regardless of vocabulary
+_NB_POS_SOURCE = "src0"  # the curated-corpus proxy class
+_NB_NEUTRAL_PPM = 500_000  # score for buckets never seen in training
+
+
+@query(
+    "q201_nb_quality_classifier",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             {SPLIT_LABEL_SQL.format(id="doc_id")} AS split,
+             CASE WHEN source = '{_NB_POS_SOURCE}' THEN 1 ELSE 0 END AS y,
+             text
+      FROM documents),
+    tok AS (
+      SELECT doc_id, source, split, y,
+             CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % {_NB_BUCKETS} AS b
+      FROM d, LATERAL (SELECT unnest(string_split(text, ' ')) AS w)),
+    dc AS (
+      SELECT doc_id, source, split, y, b, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY doc_id, source, split, y, b),
+    train AS (SELECT * FROM dc WHERE split = 'train'),
+    model AS (
+      SELECT b,
+             CAST((CAST(sum(CASE WHEN y = 1 THEN c ELSE 0 END) AS BIGINT) + 1)
+                  * 1000000
+                  // (CAST(sum(c) AS BIGINT) + 2) AS BIGINT) AS w_ppm
+      FROM train GROUP BY b),
+    prior AS (
+      SELECT CAST(CAST(sum(CASE WHEN y = 1 THEN c ELSE 0 END) AS BIGINT)
+                  * 1000000 // CAST(sum(c) AS BIGINT) AS BIGINT) AS prior_ppm
+      FROM train),
+    test AS (SELECT * FROM dc WHERE split = 'test'),
+    scored AS (
+      SELECT doc_id, source, y,
+             CAST(sum(c * coalesce(w_ppm, {_NB_NEUTRAL_PPM})) // sum(c)
+                  AS BIGINT) AS score_ppm
+      FROM test LEFT JOIN model USING (b)
+      GROUP BY doc_id, source, y),
+    pred AS (
+      SELECT source, y, score_ppm,
+             CASE WHEN score_ppm >= prior_ppm THEN 1 ELSE 0 END AS p
+      FROM scored CROSS JOIN prior)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST(sum(p) AS BIGINT) AS n_pred_pos,
+           CAST(sum(CASE WHEN p = y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(sum(score_ppm) AS BIGINT) AS sum_score_ppm
+    FROM pred GROUP BY source ORDER BY source
+    """,
+    tags=("curation", "classifier", "training", "north-star"),
+)
+def q201_nb_quality_classifier(spark, sf_dir):
+    """IN-ENGINE TRAINED QUALITY CLASSIFIER, train → apply → eval in
+    one declarative plan — the CCNet / GPT-3 curation recipe (train a
+    cheap linear classifier with a curated corpus as the positive
+    class, score the crawl, keep what looks curated): hashed-unigram
+    Naive-Bayes-style model fit on the deterministic 'train' split
+    (``split_label`` — the ONE shared rule with q185/q186), applied to
+    the held-out 'test' split, reported as a per-source confusion
+    rollup (docs / true positives / predicted positives / correct).
+
+    Exactness: the textbook NB score Σ log P(b|y) drifts across libm
+    implementations, so the per-bucket evidence is re-expressed as an
+    integer Laplace posterior in ppm — w_ppm(b) = (c_pos+1)·10⁶ DIV
+    (c_total+2) — and a document scores the c-weighted mean of its
+    buckets' w_ppm (decision: score ≥ train prior). Same
+    exact-integer substitution q118 (lift not log-PMI) and q181
+    (ppm deltas not log-likelihood ratios) already use; every column
+    is BIGINT, so the oracle replays training AND inference
+    bit-exactly. Overflow: Σ c·w_ppm ≤ 10⁶·tokens-per-doc — exact
+    until a single document holds ~9.2e12 tokens.
+
+    Scale shape: the corpus is tokenized ONCE into one
+    (doc, split, y, bucket) hash-aggregate (map-side combinable); the
+    model is a second aggregate over its train half with O(4096)
+    output rows — corpus-size-INDEPENDENT by the hashing-trick
+    construction, so the model join below is always a broadcast, and
+    "retrain on 100 TB" is two aggregates, not a learning loop. The
+    prior is a 1-row broadcast cross-join; scoring touches only test
+    rows. No corpus-wide window, no Python in the plan."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    labeled = docs.select(
+        "doc_id",
+        "source",
+        split_label("doc_id").alias("split"),
+        (F.col("source") == _NB_POS_SOURCE).cast("int").alias("y"),
+        "text",
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % _NB_BUCKETS
+    ).alias("b")
+    tok = labeled.select(
+        "doc_id",
+        "source",
+        "split",
+        "y",
+        F.explode(F.split("text", " ")).alias("w"),
+    ).select("doc_id", "source", "split", "y", bucket)
+    # the ONE corpus-wide aggregate; train/test halves derive from it
+    # (localCheckpoint pins it so the two consumers don't each re-read
+    # and re-explode the corpus — the q181-verified pattern)
+    dc = (
+        tok.groupBy("doc_id", "source", "split", "y", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    train = dc.filter(F.col("split") == "train")
+    model = train.groupBy("b").agg(
+        F.expr(
+            "CAST((sum(CASE WHEN y = 1 THEN c ELSE 0 END) + 1) * 1000000"
+            " DIV (sum(c) + 2) AS BIGINT)"
+        ).alias("w_ppm")
+    )
+    prior = train.agg(
+        F.expr(
+            "CAST(sum(CASE WHEN y = 1 THEN c ELSE 0 END) * 1000000"
+            " DIV sum(c) AS BIGINT)"
+        ).alias("prior_ppm")
+    )
+    scored = (
+        dc.filter(F.col("split") == "test")
+        .join(F.broadcast(model), "b", "left")
+        .groupBy("doc_id", "source", "y")
+        .agg(
+            F.expr(
+                f"CAST(sum(c * coalesce(w_ppm, {_NB_NEUTRAL_PPM}))"
+                " DIV sum(c) AS BIGINT)"
+            ).alias("score_ppm")
+        )
+    )
+    pred = scored.crossJoin(F.broadcast(prior)).select(
+        "source",
+        "y",
+        "score_ppm",
+        (F.col("score_ppm") >= F.col("prior_ppm")).cast("int").alias("p"),
+    )
+    return (
+        pred.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.sum("p").cast("long").alias("n_pred_pos"),
+            F.sum((F.col("p") == F.col("y")).cast("long")).alias("n_correct"),
+            F.sum("score_ppm").alias("sum_score_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -187,3 +187,128 @@ def q156_rolling_hll_wau(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+_CMS_D = 4  # independent hash rows
+_CMS_W = 1024  # buckets per row
+_CMS_TOP = 20  # heavy-hitter candidates audited
+
+
+def _cms_bucket_sql(row: int, expr: str) -> str:
+    """DuckDB twin of the Spark row-``row`` CMS bucket expression."""
+    return (
+        f"CAST(('0x' || substr(md5('{row}:' || {expr}), 1, 8)) AS BIGINT)"
+        f" % {_CMS_W}"
+    )
+
+
+@query(
+    "q202_count_min_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    wc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS exact_c FROM tok GROUP BY w),
+    cells AS (
+      SELECT j, b, CAST(sum(exact_c) AS BIGINT) AS cnt
+      FROM (
+        {" UNION ALL ".join(
+            f"SELECT {j} AS j, {_cms_bucket_sql(j, 'w')} AS b, exact_c FROM wc"
+            for j in range(_CMS_D)
+        )})
+      GROUP BY j, b),
+    cand AS (
+      SELECT w, exact_c FROM (
+        SELECT w, exact_c,
+               row_number() OVER (ORDER BY exact_c DESC, w) AS rn
+        FROM wc) WHERE rn <= {_CMS_TOP}),
+    probes AS (
+      {" UNION ALL ".join(
+          f"SELECT w, exact_c, {j} AS j, {_cms_bucket_sql(j, 'w')} AS b FROM cand"
+          for j in range(_CMS_D)
+      )}),
+    est AS (
+      SELECT w, exact_c, CAST(min(cnt) AS BIGINT) AS est_c
+      FROM probes JOIN cells USING (j, b)
+      GROUP BY w, exact_c)
+    SELECT w, exact_c, est_c, est_c >= exact_c AS never_under
+    FROM est ORDER BY exact_c DESC, w
+    """,
+    tags=("sketch", "count-min", "heavy-hitters"),
+)
+def q202_count_min_heavy_hitters(spark, sf_dir):
+    """COUNT-MIN SKETCH heavy hitters (Cormode & Muthukrishnan 2005):
+    token frequencies summarized into a fixed d×w = 4×1024 counter
+    grid (bucket = md5('row:' || token) — the engine-portable q75
+    idiom), point-queried as min over the d row counters for the
+    top-{top} exact heavy hitters. Unlike the HLL/KLL queries, the
+    sketch here is DETERMINISTIC given the hash family, so the DuckDB
+    oracle replays the ENTIRE sketch — build, probe, and the
+    one-sided error invariant est ≥ exact (Count-Min never
+    undercounts) — bit-exactly; the probabilistic ε=e/w overcount
+    bound is pinned separately by seeded pytest, keeping the driver
+    row free of could-legitimately-fail gates.
+
+    Scale shape: the corpus reduces to ONE token hash-aggregate (the
+    same map-side-combinable shape as q28); the sketch is built from
+    those weighted vocab rows — d small projections re-aggregated to
+    ≤ d·w = 4096 cells, O(1) state regardless of corpus or vocabulary
+    size, and mergeable across shards/days by cell-wise addition (the
+    q107 rollup story, but for frequencies). Probing joins the
+    20-row candidate frame to the broadcast cell grid. The exact
+    vocab aggregate doubles as the audit companion — at 100 TB the
+    sketch replaces it, and the audit runs on a sampled shard."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact_c"))
+    )
+
+    def bucket(j):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("w"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    rows = wc.select(
+        "w",
+        "exact_c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), bucket(j).alias("b"))
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("jb"),
+    ).select("w", "exact_c", "jb.j", "jb.b")
+    cells = rows.groupBy("j", "b").agg(F.sum("exact_c").alias("cnt"))
+    cand = wc.orderBy(F.desc("exact_c"), "w").limit(_CMS_TOP)
+    probes = cand.select(
+        "w",
+        "exact_c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), bucket(j).alias("b"))
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("jb"),
+    ).select("w", "exact_c", "jb.j", "jb.b")
+    est = (
+        probes.join(F.broadcast(cells), ["j", "b"])
+        .groupBy("w", "exact_c")
+        .agg(F.min("cnt").alias("est_c"))
+    )
+    return est.select(
+        "w",
+        "exact_c",
+        "est_c",
+        (F.col("est_c") >= F.col("exact_c")).alias("never_under"),
+    ).orderBy(F.desc("exact_c"), "w")

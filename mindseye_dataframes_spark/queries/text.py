@@ -462,3 +462,137 @@ def q193_standing_bm25_topk(spark, sf_dir):
     documents table — storage must never change the answer."""
     postings = bm25_standing_postings(spark, sf_dir)
     return bm25_topk(spark, postings, _BM25_K).orderBy("query_id", "rank")
+
+
+@query(
+    "q203_incremental_bm25_update",
+    oracle=f"""
+    WITH {_BM25_CORE_SQL}
+    SELECT query_id, bm_rank AS rank, doc_id, score_ppm FROM bm_ranked
+    WHERE bm_rank <= {_BM25_K}
+    ORDER BY query_id, rank
+    """,
+    tags=("text", "retrieval", "incremental", "parity:bm25-incremental"),
+)
+def q203_incremental_bm25_update(spark, sf_dir):
+    """INCREMENTAL MAINTENANCE of the standing BM25 index — the
+    retrieval twin of q154/q187's incremental-dedup story: the corpus
+    splits into a standing BASE (the ``split_label`` 'train' 90%,
+    indexed once) and a late-arriving DELTA batch (the 'test' 10%);
+    the probe answers from base postings + freshly tokenized delta,
+    and the oracle replays BM25 over the FULL corpus — pinning the
+    load-bearing claim that incremental maintenance returns
+    bit-identically what a full index rebuild would.
+
+    Unlike q193's read-optimized layout (df/stats denormalized into
+    every posting row — cheap probes, but a delta batch would dirty
+    every posting of every term it touches), the incremental layout
+    NORMALIZES: base postings carry only (token, doc_id, dl, tf), so
+    a delta merge is append-only; per-term df is re-derived from the
+    probed tokens' unioned postings (exact: a term's posting list IS
+    its document set), and corpus stats live in a 1-row standing
+    side table merged with the delta's stats by addition. That's the
+    classic mutable-index trade, made explicit here: denormalize for
+    read-only serving (q193), normalize for append-heavy ingest
+    (this query).
+
+    Scale shape, warm: the base corpus text is NEVER re-scanned —
+    the probe reads base postings with the probed-term `isin` pushed
+    to the parquet scan AND bucket-pruned (token-bucketed layout);
+    only the delta batch (new arrivals, by definition small) is
+    tokenized per update; df/stats merge is arithmetic over
+    O(|probed terms|) + O(1) rows; scoring/top-k is the q193 probe
+    shape on the unioned candidates."""
+    import hashlib
+    import os
+
+    from mindseye_dataframes_spark.queries.curation import split_label
+    from mindseye_dataframes_spark.sources.bucketing import (
+        dataset_fingerprint,
+        standing_table,
+    )
+    from pyspark.sql import Window
+
+    real = os.path.realpath(sf_dir)
+    loc = hashlib.md5(real.encode()).hexdigest()[:8]
+    fp = dataset_fingerprint(os.path.join(real, "documents.parquet"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", split_label("doc_id").alias("split")
+    )
+
+    def _postings(frame):
+        d = frame.select("doc_id", F.split("text", " ").alias("toks"))
+        return d.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            F.explode("toks").alias("token"),
+        ).groupBy("token", "doc_id", "dl").agg(F.count(F.lit(1)).alias("tf"))
+
+    def _stats(frame):
+        return frame.select(
+            F.size(F.split("text", " ")).cast("long").alias("dl")
+        ).agg(
+            F.lit(0).alias("k"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_len"),
+        )
+
+    base = docs.filter(F.col("split") == "train")
+    base_post = standing_table(
+        spark,
+        f"msdf_stage_bm25incpost_{loc}",
+        fp,
+        lambda: _postings(base),
+        ["token"],
+        16,
+        ["token", "doc_id"],
+    )
+    base_stats = standing_table(
+        spark,
+        f"msdf_stage_bm25incstats_{loc}",
+        fp,
+        lambda: _stats(base),
+        ["k"],
+        1,
+    )
+
+    # the late-arriving batch: tokenized fresh, appended logically
+    delta = docs.filter(F.col("split") == "test")
+    probe_tokens = sorted({t for _, t in _BM25_QUERIES})
+    merged = (
+        base_post.filter(F.col("token").isin(probe_tokens))
+        .unionByName(
+            _postings(delta).filter(F.col("token").isin(probe_tokens))
+        )
+    )
+    # exact df: a term's posting list IS its document set
+    dfs = merged.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = (
+        base_stats.crossJoin(
+            _stats(delta).select(
+                F.col("n_docs").alias("d_docs"),
+                F.col("total_len").alias("d_len"),
+            )
+        )
+        .select(
+            (F.col("n_docs") + F.col("d_docs")).alias("n_docs"),
+            (F.col("total_len") + F.col("d_len")).alias("total_len"),
+        )
+    )
+    q = spark.createDataFrame(list(_BM25_QUERIES), "query_id int, token string")
+    cand = (
+        F.broadcast(q)
+        .join(merged, "token")
+        .join(F.broadcast(dfs), "token")
+        .crossJoin(F.broadcast(stats))
+    )
+    scored = cand.groupBy("query_id", "doc_id").agg(
+        F.sum(F.expr(_BM25_TERM)).cast("long").alias("score_ppm")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_ppm"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BM25_K)
+        .select("query_id", "rank", "doc_id", "score_ppm")
+        .orderBy("query_id", "rank")
+    )

@@ -123,3 +123,54 @@ def test_pq_ann_recall_vs_exact(spark, sf_dir):
         top1_hits += exact10[0] in got[qid]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
     assert top1_hits >= 9, top1_hits
+
+
+def test_cms_overcount_within_epsilon_bound(spark, sf_dir):
+    """q202's Count-Min estimates obey BOTH published guarantees on
+    this dataset: est ≥ exact always (one-sided error — also a hashed
+    driver column), and est − exact ≤ ⌈e/w · N⌉ for every audited
+    heavy hitter (the ε-bound with d=4 rows; deterministic here given
+    the fixed md5 hash family, so a regression in the sketch build —
+    wrong row seeds, lost counts, bucket-width drift — fails loudly)."""
+    import math
+
+    rows = REGISTRY["q202_count_min_heavy_hitters"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    from mindseye_dataframes_spark.queries.sketches import _CMS_W
+    from mindseye_dataframes_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_stream = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("n")
+    ).collect()[0]["n"]
+    bound = math.ceil(math.e / _CMS_W * n_stream)
+    for r in rows:
+        assert r["never_under"] and r["est_c"] >= r["exact_c"], r
+        assert r["est_c"] - r["exact_c"] <= bound, (r, bound)
+
+
+def test_nb_classifier_model_is_bounded_and_calibrated(spark, sf_dir):
+    """q201 invariants that the confusion rollup can't express: the
+    output partitions the test split exactly (Σ n_docs = |test docs|),
+    predictions and corrects never exceed their group sizes, and every
+    per-source mean score sits inside the ppm scale."""
+    from mindseye_dataframes_spark.queries.curation import (
+        SPLIT_TEST_BUCKETS,
+        hash_bucket,
+    )
+    from mindseye_dataframes_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    rows = REGISTRY["q201_nb_quality_classifier"].fn(spark, sf_dir).collect()
+    assert rows
+    docs = load_table(spark, sf_dir, "documents")
+    n_test = docs.filter(
+        hash_bucket("doc_id") < SPLIT_TEST_BUCKETS
+    ).count()
+    assert sum(r["n_docs"] for r in rows) == n_test
+    for r in rows:
+        assert 0 <= r["n_pred_pos"] <= r["n_docs"], r
+        assert 0 <= r["n_correct"] <= r["n_docs"], r
+        assert r["n_pos"] in (0, r["n_docs"]), r  # label is a source fn
+        assert 0 <= r["sum_score_ppm"] <= r["n_docs"] * 1_000_000, r
