@@ -259,10 +259,14 @@ def q202_count_min_heavy_hitters(spark, sf_dir):
     vocab aggregate doubles as the audit companion — at 100 TB the
     sketch replaces it, and the audit runs on a sampled shard."""
     docs = load_table(spark, sf_dir, "documents")
+    # the ONE corpus pass; pinned so the sketch-build, candidate, and
+    # probe branches don't each re-scan and re-explode the corpus
+    # (per-branch pruning defeats ReuseExchange — the q181 pattern)
     wc = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("exact_c"))
+        .localCheckpoint(eager=False)
     )
 
     def bucket(j):

@@ -559,11 +559,15 @@ def q203_incremental_bm25_update(spark, sf_dir):
     # the late-arriving batch: tokenized fresh, appended logically
     delta = docs.filter(F.col("split") == "test")
     probe_tokens = sorted({t for _, t in _BM25_QUERIES})
+    # pinned: both consumers below (df derivation, candidate scoring)
+    # reuse the pruned union instead of re-reading base postings and
+    # re-tokenizing the delta batch per branch
     merged = (
         base_post.filter(F.col("token").isin(probe_tokens))
         .unionByName(
             _postings(delta).filter(F.col("token").isin(probe_tokens))
         )
+        .localCheckpoint(eager=False)
     )
     # exact df: a term's posting list IS its document set
     dfs = merged.groupBy("token").agg(F.count(F.lit(1)).alias("df"))

@@ -43,6 +43,9 @@ def main() -> None:
             "q192_standing_ann_topk",
             "q193_standing_bm25_topk",
             "q194_hard_negative_mining",
+            "q201_nb_quality_classifier",
+            "q202_count_min_heavy_hitters",
+            "q203_incremental_bm25_update",
         )
         if n in registry
     ]
