@@ -559,15 +559,18 @@ def q203_incremental_bm25_update(spark, sf_dir):
     # the late-arriving batch: tokenized fresh, appended logically
     delta = docs.filter(F.col("split") == "test")
     probe_tokens = sorted({t for _, t in _BM25_QUERIES})
-    # pinned: both consumers below (df derivation, candidate scoring)
-    # reuse the pruned union instead of re-reading base postings and
-    # re-tokenizing the delta batch per branch
-    merged = (
-        base_post.filter(F.col("token").isin(probe_tokens))
-        .unionByName(
-            _postings(delta).filter(F.col("token").isin(probe_tokens))
-        )
+    # the delta tokenize is the one expensive derivation consumed by
+    # both branches below (df + scoring) — pin it; the base side stays
+    # unpinned deliberately: its re-read is a bucket-pruned, In-pushed
+    # file scan of the standing table (cheap, and visible in the plan,
+    # where tests/test_plans.py asserts it)
+    delta_probe_post = (
+        _postings(delta)
+        .filter(F.col("token").isin(probe_tokens))
         .localCheckpoint(eager=False)
+    )
+    merged = base_post.filter(F.col("token").isin(probe_tokens)).unionByName(
+        delta_probe_post
     )
     # exact df: a term's posting list IS its document set
     dfs = merged.groupBy("token").agg(F.count(F.lit(1)).alias("df"))

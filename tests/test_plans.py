@@ -781,3 +781,45 @@ def test_quality_calibration_windows_are_histogram_only(spark, sf_dir):
     assert plan.count("Window") <= 2, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_nb_classifier_model_joins_broadcast_one_tokenize(spark, sf_dir):
+    """q201: the 4096-row model and the 1-row prior must BROADCAST to
+    the scoring join (a shuffled model join would hash-partition the
+    whole test split by bucket for nothing), and the corpus must be
+    tokenized exactly once — every branch reuses the pinned
+    (doc, split, y, bucket) aggregate, so the plan holds at most one
+    documents scan however many consumers derive from it."""
+    plan = plan_of(spark, sf_dir, "q201_nb_quality_classifier")
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row prior cross join
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("documents.parquet") <= 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_cms_single_corpus_pass_broadcast_cells(spark, sf_dir):
+    """q202: the sketch grid (<=4096 cells) must broadcast to the
+    probe join, the candidate top-k must be a TakeOrdered (never a
+    global sort), and the pinned vocab aggregate means at most one
+    corpus scan in the plan."""
+    plan = plan_of(spark, sf_dir, "q202_count_min_heavy_hitters")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("documents.parquet") <= 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_incremental_bm25_warm_reads_base_postings_once(spark, sf_dir):
+    """q203 warm: the base corpus text is never re-tokenized — base
+    rows come from the standing bucketed postings with the probed
+    terms pushed as an In-filter; documents.parquet appears only for
+    the DELTA batch (tokenize + stats = at most 2 scans); probe/df/
+    stats joins all broadcast (no shuffled join anywhere)."""
+    REGISTRY["q203_incremental_bm25_update"].fn(spark, sf_dir).count()  # cold
+    plan = plan_of(spark, sf_dir, "q203_incremental_bm25_update")
+    assert "msdf_stage_bm25incpost" in plan, plan
+    assert plan.count("documents.parquet") <= 2, plan
+    assert "In(token" in plan or "token IN" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
