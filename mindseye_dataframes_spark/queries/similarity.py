@@ -111,9 +111,13 @@ _IVF_CELLS = 16
 _IVF_PROBE = 4
 
 
-def _ivf_oracle() -> str:
+def _ivf_oracle(base_pred: str = "TRUE") -> str:
     """DuckDB twin of ann_topk_ivf: same modulo centroids, same rounded
-    cosine assignment with (sim desc, cell asc) tie-break."""
+    cosine assignment with (sim desc, cell asc) tie-break.
+    ``base_pred`` restricts which corpus rows DERIVE the coarse
+    quantizer (q204's incremental story: centroids come from the
+    standing base, late arrivals only get assigned) — assignment and
+    probing always run over the full corpus."""
     sim = "round(list_cosine_similarity({a}, {b}), 9)"
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -122,7 +126,7 @@ def _ivf_oracle() -> str:
       FROM (
         SELECT vec_id, v,
                row_number() OVER (PARTITION BY vec_id % {_IVF_CELLS} ORDER BY vec_id) AS rn
-        FROM e
+        FROM e WHERE {base_pred}
       ) WHERE rn = 1
     ),
     assign AS (
@@ -866,3 +870,103 @@ def q199_hybrid_rrf_retrieval(spark, sf_dir):
         .select("query_id", "rank", "doc_id", "rrf_ppm", "n_systems")
         .orderBy("query_id", "rank")
     )
+
+
+_ANN_BASE_PRED = (
+    "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " % 100 >= 10"
+)
+
+
+@query(
+    "q204_incremental_ann_update",
+    oracle=_ivf_oracle(base_pred=_ANN_BASE_PRED),
+    tags=("similarity", "incremental", "lakehouse", "parity:ann-incremental"),
+)
+def q204_incremental_ann_update(spark, sf_dir):
+    """INCREMENTAL MAINTENANCE of the standing ANN index — the
+    embedding twin of q203's BM25 story, completing the standing-index
+    ingest path: the coarse quantizer is derived ONCE from the
+    standing BASE corpus (the ``split_label`` 'train' 90% on vec_id —
+    the one shared rule) and stays fixed; a late-arriving DELTA batch
+    (the 'test' 10%) is assigned to those EXISTING centroids with the
+    same narrow-map expression and appended logically to the posting
+    list — the standard IVF ingest discipline (assign-on-arrival,
+    re-train the quantizer only when the fingerprint rolls). The
+    oracle replays quantizer-from-base + assignment-over-everything
+    from raw embeddings, pinning that the incrementally maintained
+    index answers exactly what a from-scratch assignment under the
+    same quantizer would.
+
+    Scale shape, warm: base vectors are never re-read as raw corpus —
+    probes hit the cell-bucketed standing postings (the q192 contract);
+    only the delta batch pays the assignment map (pure JVM expression
+    against O(cells) centroid literals, no shuffle — the new rows
+    arrive cell-tagged); the probe equi-join sees base postings
+    pre-clustered by its join key and a delta side small by
+    definition. Nothing recomputes over the base on ingest."""
+    import hashlib
+    import os
+
+    from mindseye_dataframes_spark.operators.similarity import (
+        _nearest_cells,
+        ann_topk_ivf_postings,
+        ivf_centroids,
+    )
+    from mindseye_dataframes_spark.queries.curation import split_label
+    from mindseye_dataframes_spark.sources.bucketing import (
+        dataset_fingerprint,
+        standing_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    real = os.path.realpath(sf_dir)
+    loc = hashlib.md5(real.encode()).hexdigest()[:8]
+    fp = dataset_fingerprint(os.path.join(real, "embeddings.parquet"))
+    split = split_label("vec_id")
+    base = emb.filter(split == "train")
+
+    def build_cents():
+        cents = ivf_centroids(base, "vec_id", "embedding", _IVF_CELLS)
+        return spark.createDataFrame(
+            [(c, v) for c, v in cents], "cell int, v array<double>"
+        )
+
+    cents_tbl = standing_table(
+        spark, f"msdf_stage_ivfinccents_{loc}", fp, build_cents, ["cell"], 1
+    )
+    cents = sorted(
+        (int(r["cell"]), [float(x) for x in r["v"]]) for r in cents_tbl.collect()
+    )
+
+    def build_base_postings():
+        return base.select(
+            _nearest_cells("embedding", cents, 1)[0].alias("_cell"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+        )
+
+    base_post = standing_table(
+        spark,
+        f"msdf_stage_ivfincpost_{loc}",
+        fp,
+        build_base_postings,
+        ["_cell"],
+        16,
+        ["_cell", "neighbor_id"],
+    )
+    # the late-arriving batch: assigned to the EXISTING quantizer by a
+    # narrow map (centroid literals — no join, no shuffle), appended
+    delta_post = emb.filter(split == "test").select(
+        _nearest_cells("embedding", cents, 1)[0].alias("_cell"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+    )
+    postings = base_post.unionByName(delta_post)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return ann_topk_ivf_postings(
+        queries, postings, cents, "query_id", "qv", "neighbor_id", "cv",
+        k=_K, n_probe=_IVF_PROBE,
+    ).orderBy("query_id", "rank")

@@ -823,3 +823,17 @@ def test_incremental_bm25_warm_reads_base_postings_once(spark, sf_dir):
     assert "In(token" in plan or "token IN" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_incremental_ann_warm_assigns_only_delta(spark, sf_dir):
+    """q204 warm: base vectors come from the standing cell-bucketed
+    postings (never re-assigned, never re-read as raw corpus rows
+    beyond the probe/delta split scans); the delta assignment is a
+    narrow centroid-literal map (no join introduced for it), and the
+    probe side joins broadcast."""
+    REGISTRY["q204_incremental_ann_update"].fn(spark, sf_dir).count()  # cold
+    plan = plan_of(spark, sf_dir, "q204_incremental_ann_update")
+    assert "msdf_stage_ivfincpost" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("embeddings.parquet") <= 2, plan  # queries + delta
