@@ -464,6 +464,118 @@ def q193_standing_bm25_topk(spark, sf_dir):
     return bm25_topk(spark, postings, _BM25_K).orderBy("query_id", "rank")
 
 
+def _inc_postings(frame):
+    """Normalized posting rows (token, doc_id, dl, tf) for any slice
+    of the documents table — the append-only unit of the incremental
+    BM25 layout (q203/q205)."""
+    d = frame.select("doc_id", F.split("text", " ").alias("toks"))
+    return d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        F.explode("toks").alias("token"),
+    ).groupBy("token", "doc_id", "dl").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def _inc_stats(frame):
+    """1-row (k, n_docs, total_len) corpus stats for a document slice
+    — merged across slices by addition."""
+    return frame.select(
+        F.size(F.split("text", " ")).cast("long").alias("dl")
+    ).agg(
+        F.lit(0).alias("k"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+
+
+def bm25_incremental_base(spark, sf_dir):
+    """The STANDING BASE of the incremental BM25 index, shared by the
+    batch-delta (q203) and streaming-delta (q205) maintenance paths:
+    normalized postings of the ``split_label`` 'train' 90% as a
+    token-bucketed standing table, plus the 1-row corpus-stats side
+    table. Returns ``(base_post, base_stats, docs)`` where docs
+    carries the split column for the callers' delta selection."""
+    import hashlib
+    import os
+
+    from mindseye_dataframes_spark.queries.curation import split_label
+    from mindseye_dataframes_spark.sources.bucketing import (
+        dataset_fingerprint,
+        standing_table,
+    )
+
+    real = os.path.realpath(sf_dir)
+    loc = hashlib.md5(real.encode()).hexdigest()[:8]
+    fp = dataset_fingerprint(os.path.join(real, "documents.parquet"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", split_label("doc_id").alias("split")
+    )
+    base = docs.filter(F.col("split") == "train")
+    base_post = standing_table(
+        spark,
+        f"msdf_stage_bm25incpost_{loc}",
+        fp,
+        lambda: _inc_postings(base),
+        ["token"],
+        16,
+        ["token", "doc_id"],
+    )
+    base_stats = standing_table(
+        spark,
+        f"msdf_stage_bm25incstats_{loc}",
+        fp,
+        lambda: _inc_stats(base),
+        ["k"],
+        1,
+    )
+    return base_post, base_stats, docs
+
+
+def _bm25_merged_topk(spark, base_post, base_stats, delta_post, delta_stats):
+    """Score + top-k over base postings ∪ delta postings with merged
+    corpus stats — the probe shared by q203 and q205. ``delta_post``
+    must already be pruned to the probed tokens and cheap to consume
+    twice (checkpointed or storage-backed); ``delta_stats`` is any
+    1-row (n_docs, total_len) frame."""
+    from pyspark.sql import Window
+
+    probe_tokens = sorted({t for _, t in _BM25_QUERIES})
+    merged = base_post.filter(F.col("token").isin(probe_tokens)).unionByName(
+        delta_post.select("token", "doc_id", "dl", "tf")
+    )
+    # exact df: a term's posting list IS its document set
+    dfs = merged.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = (
+        base_stats.crossJoin(
+            delta_stats.select(
+                F.col("n_docs").alias("d_docs"),
+                F.col("total_len").alias("d_len"),
+            )
+        )
+        .select(
+            (F.col("n_docs") + F.col("d_docs")).alias("n_docs"),
+            (F.col("total_len") + F.col("d_len")).alias("total_len"),
+        )
+    )
+    q = spark.createDataFrame(list(_BM25_QUERIES), "query_id int, token string")
+    cand = (
+        F.broadcast(q)
+        .join(merged, "token")
+        .join(F.broadcast(dfs), "token")
+        .crossJoin(F.broadcast(stats))
+    )
+    scored = cand.groupBy("query_id", "doc_id").agg(
+        F.sum(F.expr(_BM25_TERM)).cast("long").alias("score_ppm")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_ppm"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BM25_K)
+        .select("query_id", "rank", "doc_id", "score_ppm")
+        .orderBy("query_id", "rank")
+    )
+
+
 @query(
     "q203_incremental_bm25_update",
     oracle=f"""
@@ -503,103 +615,135 @@ def q203_incremental_bm25_update(spark, sf_dir):
     tokenized per update; df/stats merge is arithmetic over
     O(|probed terms|) + O(1) rows; scoring/top-k is the q193 probe
     shape on the unioned candidates."""
-    import hashlib
-    import os
-
-    from mindseye_dataframes_spark.queries.curation import split_label
-    from mindseye_dataframes_spark.sources.bucketing import (
-        dataset_fingerprint,
-        standing_table,
-    )
-    from pyspark.sql import Window
-
-    real = os.path.realpath(sf_dir)
-    loc = hashlib.md5(real.encode()).hexdigest()[:8]
-    fp = dataset_fingerprint(os.path.join(real, "documents.parquet"))
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", split_label("doc_id").alias("split")
-    )
-
-    def _postings(frame):
-        d = frame.select("doc_id", F.split("text", " ").alias("toks"))
-        return d.select(
-            "doc_id",
-            F.size("toks").cast("long").alias("dl"),
-            F.explode("toks").alias("token"),
-        ).groupBy("token", "doc_id", "dl").agg(F.count(F.lit(1)).alias("tf"))
-
-    def _stats(frame):
-        return frame.select(
-            F.size(F.split("text", " ")).cast("long").alias("dl")
-        ).agg(
-            F.lit(0).alias("k"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("dl").alias("total_len"),
-        )
-
-    base = docs.filter(F.col("split") == "train")
-    base_post = standing_table(
-        spark,
-        f"msdf_stage_bm25incpost_{loc}",
-        fp,
-        lambda: _postings(base),
-        ["token"],
-        16,
-        ["token", "doc_id"],
-    )
-    base_stats = standing_table(
-        spark,
-        f"msdf_stage_bm25incstats_{loc}",
-        fp,
-        lambda: _stats(base),
-        ["k"],
-        1,
-    )
-
-    # the late-arriving batch: tokenized fresh, appended logically
-    delta = docs.filter(F.col("split") == "test")
-    probe_tokens = sorted({t for _, t in _BM25_QUERIES})
-    # the delta tokenize is the one expensive derivation consumed by
-    # both branches below (df + scoring) — pin it; the base side stays
+    base_post, base_stats, docs = bm25_incremental_base(spark, sf_dir)
+    # the late-arriving batch: tokenized fresh, appended logically.
+    # The delta tokenize is the one expensive derivation consumed by
+    # both probe branches (df + scoring) — pin it; the base side stays
     # unpinned deliberately: its re-read is a bucket-pruned, In-pushed
     # file scan of the standing table (cheap, and visible in the plan,
     # where tests/test_plans.py asserts it)
+    delta = docs.filter(F.col("split") == "test")
+    probe_tokens = sorted({t for _, t in _BM25_QUERIES})
     delta_probe_post = (
-        _postings(delta)
+        _inc_postings(delta)
         .filter(F.col("token").isin(probe_tokens))
         .localCheckpoint(eager=False)
     )
-    merged = base_post.filter(F.col("token").isin(probe_tokens)).unionByName(
-        delta_probe_post
+    return _bm25_merged_topk(
+        spark, base_post, base_stats, delta_probe_post, _inc_stats(delta)
     )
-    # exact df: a term's posting list IS its document set
-    dfs = merged.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    stats = (
-        base_stats.crossJoin(
-            _stats(delta).select(
-                F.col("n_docs").alias("d_docs"),
-                F.col("total_len").alias("d_len"),
+
+
+def bm25_ingest_batch_fn(post_log: str, stats_log: str):
+    """foreachBatch body of the streaming BM25 ingest (q205): tokenize
+    ONE micro-batch into normalized posting rows + a 1-row stats
+    record, each written to the DETERMINISTIC ``batch=<batchId>`` path
+    in overwrite mode — a replayed trigger (crash between sink write
+    and checkpoint commit) overwrites its own partition instead of
+    double-appending, which is what makes the append-only log
+    exactly-once without a transactional table format. Module-level so
+    tests can drive it directly (idempotence, multi-trigger layout)."""
+
+    def ingest_batch(batch_df, batch_id):
+        batch_df.persist()
+        try:
+            _inc_postings(batch_df).write.mode("overwrite").parquet(
+                f"{post_log}/batch={batch_id}"
             )
+            _inc_stats(batch_df).drop("k").write.mode("overwrite").parquet(
+                f"{stats_log}/batch={batch_id}"
+            )
+        finally:
+            batch_df.unpersist()
+
+    return ingest_batch
+
+
+@query(
+    "q205_streaming_bm25_ingest",
+    oracle=f"""
+    WITH {_BM25_CORE_SQL}
+    SELECT query_id, bm_rank AS rank, doc_id, score_ppm FROM bm_ranked
+    WHERE bm_rank <= {_BM25_K}
+    ORDER BY query_id, rank
+    """,
+    tags=("text", "retrieval", "streaming", "parity:bm25-streaming"),
+)
+def q205_streaming_bm25_ingest(spark, sf_dir):
+    """STREAMING maintenance of the incremental BM25 index — q203's
+    delta batch arrives as a STREAM instead: the 'test' split is
+    staged as a many-file drop and consumed by a file-source stream
+    over multiple micro-batch triggers; each trigger's foreachBatch
+    tokenizes ONLY that batch's documents into normalized posting
+    rows and appends them to the posting log, plus a per-batch 1-row
+    stats record. After the drain, the probe answers from standing
+    base postings ∪ streamed posting log with stats merged by
+    addition, and the oracle replays BM25 over the FULL corpus — four
+    unordered incremental commits must converge to exactly the
+    one-shot rebuild answer.
+
+    Exactly-once appends without a transactional table format: each
+    batch writes to the DETERMINISTIC path ``batch=<batchId>`` in
+    overwrite mode, so a replayed trigger (crash between sink write
+    and checkpoint commit) overwrites its own partition instead of
+    double-appending — the idempotent-path pattern that foreachBatch
+    + epoch ids make possible, and the file-level equivalent of what
+    Delta/Iceberg's transactional append gives (the q198 rename-commit
+    story, specialized to append-only logs).
+
+    Scale shape: per trigger the work is one bounded tokenize-
+    aggregate over that batch's documents (state O(batch), never
+    O(stream) — no stateful operator involved at all); the posting
+    log stays partitioned by batch for audit/replay and is read back
+    pruned by the probed-term filter; the base is the same standing
+    bucketed table q203 serves from, never re-scanned."""
+    import shutil
+    import tempfile
+    import uuid
+
+    base_post, base_stats, docs = bm25_incremental_base(spark, sf_dir)
+    delta = docs.filter(F.col("split") == "test").select("doc_id", "text")
+    run_id = uuid.uuid4().hex[:12]
+    root = tempfile.mkdtemp(prefix=f"msdf_stream_bm25_{run_id}_")
+    src = f"{root}/src"
+    post_log = f"{root}/postings"
+    stats_log = f"{root}/stats"
+    ckpt = f"{root}/ckpt"
+    try:
+        delta.repartition(32).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(delta.schema)
+            .option("maxFilesPerTrigger", 8)
+            .load(src)
         )
-        .select(
-            (F.col("n_docs") + F.col("d_docs")).alias("n_docs"),
-            (F.col("total_len") + F.col("d_len")).alias("total_len"),
+
+        q = (
+            stream.writeStream.foreachBatch(
+                bm25_ingest_batch_fn(post_log, stats_log)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-    )
-    q = spark.createDataFrame(list(_BM25_QUERIES), "query_id int, token string")
-    cand = (
-        F.broadcast(q)
-        .join(merged, "token")
-        .join(F.broadcast(dfs), "token")
-        .crossJoin(F.broadcast(stats))
-    )
-    scored = cand.groupBy("query_id", "doc_id").agg(
-        F.sum(F.expr(_BM25_TERM)).cast("long").alias("score_ppm")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score_ppm"), "doc_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _BM25_K)
-        .select("query_id", "rank", "doc_id", "score_ppm")
-        .orderBy("query_id", "rank")
-    )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q205 ingest stream did not drain")
+        probe_tokens = sorted({t for _, t in _BM25_QUERIES})
+        streamed_post = (
+            spark.read.parquet(post_log)
+            .filter(F.col("token").isin(probe_tokens))
+        )
+        streamed_stats = spark.read.parquet(stats_log).agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_len").alias("total_len"),
+        )
+        out = _bm25_merged_topk(
+            spark, base_post, base_stats, streamed_post, streamed_stats
+        )
+        # pin the result before the staging dirs vanish
+        return spark.createDataFrame(out.collect(), schema=out.schema).orderBy(
+            "query_id", "rank"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
