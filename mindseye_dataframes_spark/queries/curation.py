@@ -1190,3 +1190,162 @@ def q201_nb_quality_classifier(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+_LM_B = 256  # hashed context/event buckets — model ≤ B² cells, broadcast-safe
+
+
+def _lm_bucket_sql(expr: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT) % {_LM_B}"
+    )
+
+
+@query(
+    "q206_bigram_lm_perplexity_filter",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             {SPLIT_LABEL_SQL.format(id="doc_id")} AS split,
+             string_split(text, ' ') AS toks
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    bg AS (
+      SELECT doc_id, source, split,
+             {_lm_bucket_sql("w1")} AS b1,
+             {_lm_bucket_sql("w2")} AS b2
+      FROM (
+        SELECT doc_id, source, split,
+               unnest(toks[1:len(toks)-1]) AS w1,
+               unnest(toks[2:len(toks)]) AS w2
+        FROM d)),
+    dc AS (
+      SELECT doc_id, source, split, b1, b2, CAST(count(*) AS BIGINT) AS c
+      FROM bg GROUP BY doc_id, source, split, b1, b2),
+    pair AS (
+      SELECT b1, b2, CAST(sum(c) AS BIGINT) AS c12
+      FROM dc WHERE split = 'train' GROUP BY b1, b2),
+    ctx AS (
+      SELECT b1, CAST(sum(c12) AS BIGINT) AS c1 FROM pair GROUP BY b1),
+    scored AS (
+      SELECT doc_id, source,
+             CAST(sum(c * ((coalesce(c12, 0) + 1) * 1000000
+                           // (coalesce(c1, 0) + {_LM_B})))
+                  // sum(c) AS BIGINT) AS score_ppm
+      FROM dc
+      LEFT JOIN pair USING (b1, b2)
+      LEFT JOIN ctx USING (b1)
+      WHERE split = 'test'
+      GROUP BY doc_id, source),
+    thr AS (
+      SELECT CAST(sum(score_ppm) // count(*) AS BIGINT) AS mean_ppm
+      FROM scored)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN score_ppm < mean_ppm THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           CAST(sum(score_ppm) AS BIGINT) AS sum_score_ppm
+    FROM scored CROSS JOIN thr
+    GROUP BY source ORDER BY source
+    """,
+    tags=("curation", "lm", "perplexity", "north-star"),
+)
+def q206_bigram_lm_perplexity_filter(spark, sf_dir):
+    """LM-PERPLEXITY-STYLE FILTERING — the other half of the CCNet
+    curation recipe (q201 is the classifier half): fit a bigram
+    language model on the 'train' split, score held-out documents by
+    how predictable their token transitions are, and flag the
+    high-perplexity tail per source (the rows a crawl pipeline routes
+    to its "remove or review" bucket).
+
+    Exactness: perplexity's log-likelihood is re-expressed in exact
+    integers end-to-end (the q118/q181/q201 discipline) — the model
+    stores Laplace conditionals in ppm, cond(b1,b2) = (c12+1)·10⁶ DIV
+    (c1+256), a document scores the count-weighted mean conditional of
+    its transitions (LOW score = high perplexity), and the flag
+    threshold is the exact integer mean over the scored split — so
+    the oracle replays training, inference, and thresholding with no
+    cross-engine libm or float-accumulation drift.
+
+    Scale shape: contexts and events hash into 256 buckets each, so
+    the model is ≤ 256² cells and the context table at most 256 rows
+    — both corpus-size-INDEPENDENT broadcasts (the hashing-trick
+    bound, as in q181/q201). The corpus reduces to ONE bigram-bucket
+    hash-aggregate (pinned; train/test branches both derive from it);
+    scoring is two broadcast left-joins + one per-doc aggregate; the
+    threshold is a 1-row broadcast; no corpus-wide window
+    anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    d = docs.filter(F.size(toks) >= 2).select(
+        "doc_id",
+        "source",
+        split_label("doc_id").alias("split"),
+        toks.alias("toks"),
+    )
+    bg = d.select(
+        "doc_id",
+        "source",
+        "split",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS w1,"
+                " element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        "source",
+        "split",
+        (
+            F.conv(F.substring(F.md5("p.w1"), 1, 8), 16, 10).cast("long")
+            % _LM_B
+        ).alias("b1"),
+        (
+            F.conv(F.substring(F.md5("p.w2"), 1, 8), 16, 10).cast("long")
+            % _LM_B
+        ).alias("b2"),
+    )
+    # the ONE corpus-wide aggregate; model and scoring derive from it
+    dc = (
+        bg.groupBy("doc_id", "source", "split", "b1", "b2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    pair = (
+        dc.filter(F.col("split") == "train")
+        .groupBy("b1", "b2")
+        .agg(F.sum("c").alias("c12"))
+    )
+    ctx = pair.groupBy("b1").agg(F.sum("c12").alias("c1"))
+    cond = F.expr(
+        f"(coalesce(c12, 0) + 1) * 1000000 DIV (coalesce(c1, 0) + {_LM_B})"
+    )
+    scored = (
+        dc.filter(F.col("split") == "test")
+        .join(F.broadcast(pair), ["b1", "b2"], "left")
+        .join(F.broadcast(ctx), ["b1"], "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.expr(
+                f"CAST(sum(c * ((coalesce(c12, 0) + 1) * 1000000"
+                f" DIV (coalesce(c1, 0) + {_LM_B}))) DIV sum(c) AS BIGINT)"
+            ).alias("score_ppm")
+        )
+    )
+    thr = scored.agg(
+        F.expr("CAST(sum(score_ppm) DIV count(*) AS BIGINT)").alias("mean_ppm")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("score_ppm") < F.col("mean_ppm")).cast("long")
+            ).alias("n_flagged"),
+            F.sum("score_ppm").alias("sum_score_ppm"),
+        )
+        .orderBy("source")
+    )
