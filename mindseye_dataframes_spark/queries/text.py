@@ -734,9 +734,12 @@ def q205_streaming_bm25_ingest(spark, sf_dir):
             spark.read.parquet(post_log)
             .filter(F.col("token").isin(probe_tokens))
         )
+        # coalesce: an empty micro-batch writes n_docs=0 with a NULL
+        # total_len (sum over zero rows), and sum() must not let that
+        # NULL poison the merged corpus stats
         streamed_stats = spark.read.parquet(stats_log).agg(
-            F.sum("n_docs").alias("n_docs"),
-            F.sum("total_len").alias("total_len"),
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
+            F.coalesce(F.sum("total_len"), F.lit(0)).alias("total_len"),
         )
         out = _bm25_merged_topk(
             spark, base_post, base_stats, streamed_post, streamed_stats
