@@ -38,7 +38,9 @@ def _l2_ranked(vec_col, centroid: list[float]):
     (np.round) used to diverge. Above 2^53 nanos the grid coarsens
     (double spacing > 1), but cross-engine equality still holds
     exactly: all three quantize the SAME double."""
-    c_lit = F.array(*[F.lit(float(x)) for x in centroid])
+    # ONE py4j literal per centroid (array literal), not one per element
+    # — plan-build time is dominated by py4j round trips at k*d scale
+    c_lit = F.lit([float(x) for x in centroid])
     fold = F.aggregate(
         F.zip_with(
             vec_col,

