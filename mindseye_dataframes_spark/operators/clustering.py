@@ -76,14 +76,46 @@ def _assign(df: DataFrame, vec_col: str, cents: list[tuple[int, list[float]]]) -
     exact rather than measure-zero-argued."""
     dims = {len(v) for _, v in cents}
     if len(cents) * max(dims or {0}) <= ASSIGN_EXPR_MAX_ELEMS:
-        scored = F.array(
-            *[
-                F.struct(
-                    _l2_ranked(F.col(vec_col), cvec).alias("d"),
-                    F.lit(cell).alias("cell"),
+        # ONE transform over a centroid-matrix literal instead of k
+        # separate fold trees: construction is O(1) py4j calls (the
+        # matrix/cells render as single F.expr SQL texts — F.lit on a
+        # nested list still expands element-wise, measured 1.2 s vs
+        # 7 ms at 16×64), and the per-element fold expression is the
+        # SAME zip_with (vec first, centroid second, identical lambda)
+        # so every quantized distance is bit-identical to _l2_ranked's
+        # — the property tests pin expression ≡ numpy regardless.
+        mat_lit = F.expr(
+            "array("
+            + ",".join(
+                "array(" + ",".join(repr(float(x)) + "D" for x in cvec) + ")"
+                for _, cvec in cents
+            )
+            + ")"
+        )
+        cells_lit = F.expr(
+            "array(" + ",".join(str(int(c)) for c, _ in cents) + ")"
+        )
+        scored = F.transform(
+            F.sequence(F.lit(1), F.lit(len(cents))),
+            lambda i: F.struct(
+                F.floor(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col(vec_col),
+                            F.element_at(mat_lit, i),
+                            lambda x, c: (x.cast("double") - c)
+                            * (x.cast("double") - c),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    * F.lit(1e9)
+                    + F.lit(0.5)
                 )
-                for cell, cvec in cents
-            ]
+                .cast("long")
+                .alias("d"),
+                F.element_at(cells_lit, i).alias("cell"),
+            ),
         )
         best = F.array_sort(
             scored,
