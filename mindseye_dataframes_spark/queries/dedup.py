@@ -970,3 +970,118 @@ def q186_leakage_eviction(spark, sf_dir):
             "residual_cross_pairs",
         )
     )
+
+
+@query(
+    "q207_substring_dedup_rewrite",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    e AS (SELECT doc_id, toks FROM t WHERE len(toks) >= {_SPAN_K}),
+    w AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(toks[i:i+{_SPAN_K - 1}], ' ')) AS g
+      FROM e, LATERAL (SELECT unnest(generate_series(1, len(toks)-{_SPAN_K - 1}))
+                       AS i)),
+    own AS (
+      SELECT g, CAST(min(doc_id) AS BIGINT) AS own_doc
+      FROM w GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+    cov AS (
+      SELECT DISTINCT w.doc_id, tp
+      FROM w JOIN own USING (g),
+           LATERAL (SELECT unnest(generate_series(w.pos, w.pos + {_SPAN_K - 1}))
+                    AS tp)
+      WHERE w.doc_id <> own.own_doc),
+    rm AS (
+      SELECT doc_id, list(tp) AS rms, CAST(count(*) AS BIGINT) AS n_removed
+      FROM cov GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tok,
+           COALESCE(rm.n_removed, 0) AS n_removed,
+           md5(COALESCE(array_to_string(
+             list_filter(
+               list_transform(generate_series(1, len(toks)),
+                 i -> CASE WHEN rm.rms IS NOT NULL
+                            AND list_contains(rm.rms, i)
+                           THEN NULL ELSE toks[i] END),
+               x -> x IS NOT NULL), ' '), '')) AS new_md5
+    FROM t LEFT JOIN rm USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    tags=("dedup", "substring", "rewrite", "north-star"),
+)
+def q207_substring_dedup_rewrite(spark, sf_dir):
+    """CROSS-DOCUMENT SUBSTRING REMOVAL — the rewrite pass that
+    completes Lee et al. 2022 (arXiv:2107.06499) in this engine: q170
+    DETECTS the verbatim shared spans; this query REMOVES them,
+    keeping one canonical occurrence corpus-wide. Policy (total and
+    deterministic): every shared {K}-token window names the smallest
+    doc_id containing its gram as owner; a token is dropped iff some
+    shared window covering it sits in a NON-owner document. Owners
+    keep their text verbatim; every other copy of a duplicated span
+    is trimmed. Output per document: token count, tokens removed, and
+    the md5 of the reassembled text — so the driver hashes the full
+    rewrite, not a summary.
+
+    Scale shape (the q170 discipline end-to-end): windows reduce to
+    md5 fingerprints at the scan — the only exchanges move 32-hex
+    keys and (doc, position) ints, never text; ownership is one
+    gram-keyed aggregate; coverage explodes at most K ints per
+    FOREIGN-shared window (∝ duplicated content, not corpus);
+    removal sets group per doc, bounded by document length; the
+    rewrite itself is a doc-local array filter over the original
+    token array — text moves exactly once, scan → rewrite, like
+    q180/q191. The in-filter membership test is O(|removed|) per
+    token; past ~10⁵ removed positions per doc, switch the rewrite to
+    the posexplode ∖ anti-join + array_sort(collect_list) form — at
+    {K}=8 a document that duplicated that much is dropped by the
+    doc-level dedup long before span surgery matters."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = docs.select("doc_id", toks.alias("toks"))
+    e = t.filter(F.size("toks") >= _SPAN_K)
+    w = e.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {_SPAN_K - 1}),"
+                f" i -> struct(i AS pos,"
+                f" md5(concat_ws(' ', slice(toks, i, {_SPAN_K}))) AS g))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
+    own = (
+        w.groupBy("g")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("own_doc"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("g", "own_doc")
+    )
+    cov = (
+        w.join(own, "g")
+        .filter(F.col("doc_id") != F.col("own_doc"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(_SPAN_K - 1))
+            ).alias("tp"),
+        )
+        .distinct()
+    )
+    rm = cov.groupBy("doc_id").agg(F.collect_set("tp").alias("rms"))
+    rms = F.coalesce(F.col("rms"), F.expr("CAST(array() AS array<int>)"))
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: ~F.array_contains(rms, i + F.lit(1)),
+    )
+    return (
+        t.join(rm, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tok"),
+            F.size(rms).cast("long").alias("n_removed"),
+            F.md5(F.concat_ws(" ", kept)).alias("new_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -980,3 +980,37 @@ def test_ivf_postings_path_matches_direct_ivf(spark):
     ).collect()
     as_set = lambda rows: {(r["qid"], r["rank"], r["nid"], r["cos_r"]) for r in rows}
     assert as_set(direct) == as_set(via_postings)
+
+
+def test_substring_rewrite_invariants(spark, sf_dir):
+    """q207 invariants the per-doc hash can't express on its own:
+    a document's text survives verbatim IFF nothing was removed
+    (new_md5 == md5(original) <=> n_removed == 0), removals never
+    exceed the document, every document of the corpus appears exactly
+    once, and this corpus (8% constructed near-dups) actually
+    exercises the removal path."""
+    from pyspark.sql import functions as F
+
+    from mindseye_dataframes_spark.queries import load_all
+    from mindseye_dataframes_spark.sources.readers import load_table
+
+    rows = {
+        r["doc_id"]: r
+        for r in load_all()["q207_substring_dedup_rewrite"].fn(spark, sf_dir).collect()
+    }
+    orig = {
+        r["doc_id"]: r["m"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.md5("text").alias("m"))
+        .collect()
+    }
+    assert set(rows) == set(orig)
+    n_touched = 0
+    for doc_id, r in rows.items():
+        assert 0 <= r["n_removed"] <= r["n_tok"], r
+        if r["n_removed"] == 0:
+            assert r["new_md5"] == orig[doc_id], r
+        else:
+            n_touched += 1
+            assert r["new_md5"] != orig[doc_id], r
+    assert n_touched > 0
