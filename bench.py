@@ -5,6 +5,17 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 
 Each query executes through the ``noop`` sink so the full plan runs
 (scan → shuffle → agg) without driver-collect or disk-write skew.
+
+Two strictly ordered phases (VERDICT r7 item 1: the r6→r7 headline
+"regression" was ~1.5 s of session contamination from interleaving the
+growing extended list with the headline queries inside one timed
+session):
+
+  (a) HEADLINE — warmed and timed in a session that has run nothing
+      else.  This is the round-over-round comparable metric.
+  (b) EXTENDED — the heavy non-headline regression trackers, warmed
+      and timed only AFTER every headline timing is final.  Reported
+      under "extended", never summed into the headline metric.
 """
 
 from __future__ import annotations
@@ -45,31 +56,31 @@ def main() -> None:
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - start, 4)
 
-    # warm the JVM (codegen, shuffle services, Python workers) and
-    # parquet footer caches with one untimed pass over every timed
-    # query — the metric is steady-state execution, not first-JIT
-    for q in bench_queries.values():
-        run_once(q)
-    for n in extended_names:
-        run_once(registry[n])
-    spark.catalog.clearCache()
+    def time_phase(names_to_queries: dict[str, object]) -> dict[str, float]:
+        """Warm once (JVM codegen, shuffle services, Python workers,
+        parquet footer caches — the metric is steady-state execution,
+        not first-JIT), then min of 3 timed runs per query: single
+        runs at this scale are dominated by GC/scheduling noise
+        (observed 1.3s vs 7.5s for the same plan, and a 1.9× min-of-2
+        outlier for q35 in r3); the minimum is the reproducible
+        steady-state cost."""
+        for q in names_to_queries.values():
+            run_once(q)
+        timings: dict[str, float] = {}
+        for _ in range(3):
+            # drop operator-internal caches so every timed run pays
+            # its own materialization cost (no cross-run cache flattery)
+            spark.catalog.clearCache()
+            for name, q in names_to_queries.items():
+                elapsed = run_once(q)
+                timings[name] = min(timings.get(name, elapsed), elapsed)
+        return timings
 
-    # min of 3 timed runs per query: single runs at this scale are
-    # dominated by GC/scheduling noise (observed 1.3s vs 7.5s for the
-    # same plan, and a 1.9× min-of-2 outlier for q35 in r3); the
-    # minimum is the reproducible steady-state cost
-    timings: dict[str, float] = {}
-    extended: dict[str, float] = {}
-    for _ in range(3):
-        # drop operator-internal caches so every timed run pays its
-        # own materialization cost (no cross-run cache flattery)
-        spark.catalog.clearCache()
-        for name, q in bench_queries.items():
-            elapsed = run_once(q)
-            timings[name] = min(timings.get(name, elapsed), elapsed)
-        for name in extended_names:
-            elapsed = run_once(registry[name])
-            extended[name] = min(extended.get(name, elapsed), elapsed)
+    # Phase (a): headline, in a session that has run nothing else.
+    timings = time_phase(bench_queries)
+    # Phase (b): extended, strictly after the headline metric is final.
+    spark.catalog.clearCache()
+    extended = time_phase({n: registry[n] for n in extended_names})
 
     result = {
         "metric": "headline_queries_total_sec",
