@@ -74,6 +74,11 @@ def _assign(df: DataFrame, vec_col: str, cents: list[tuple[int, list[float]]]) -
     round(·,9) contract got wrong: both paths now compute
     floor(d·1e9 + 0.5) with plain double ops, so the equivalence is
     exact rather than measure-zero-argued."""
+    if not cents:
+        # sequence(1, 0) yields the DESCENDING array [1, 0], so an
+        # empty centroid list would silently probe element_at out of
+        # bounds instead of assigning nothing — fail loudly instead
+        raise ValueError("_assign requires a non-empty centroid list")
     dims = {len(v) for _, v in cents}
     if len(cents) * max(dims or {0}) <= ASSIGN_EXPR_MAX_ELEMS:
         # ONE transform over a centroid-matrix literal instead of k

@@ -276,6 +276,12 @@ def _nearest_cells(
     ``cosine_ranked`` so an oracle reproduces the assignment."""
     import math
 
+    if not centroids:
+        # sequence(1, 0) yields the DESCENDING array [1, 0], so an
+        # empty centroid list would silently probe element_at out of
+        # bounds (null rows, or an ANSI error) instead of returning an
+        # empty cell list — fail loudly at plan-build time instead
+        raise ValueError("_nearest_cells requires a non-empty centroid list")
     v = F.col(vec) if isinstance(vec, str) else vec
     # ONE transform over a centroid-matrix literal instead of k
     # separate cosine trees: column CONSTRUCTION drops from O(k) HOF

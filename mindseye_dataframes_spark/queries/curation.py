@@ -1177,7 +1177,14 @@ def q201_nb_quality_classifier(spark, sf_dir):
         "source",
         "y",
         "score_ppm",
-        (F.col("score_ppm") >= F.col("prior_ppm")).cast("int").alias("p"),
+        # coalesce mirrors the oracle's CASE ... ELSE 0: with an empty
+        # train split prior_ppm is NULL and the bare comparison would
+        # yield NULL (dropping rows from n_pred_pos/n_correct) where
+        # the oracle counts 0 — a cross-engine divergence in a
+        # degenerate but reachable corpus (ADVICE r7)
+        F.coalesce(
+            (F.col("score_ppm") >= F.col("prior_ppm")).cast("int"), F.lit(0)
+        ).alias("p"),
     )
     return (
         pred.groupBy("source")

@@ -361,7 +361,6 @@ def q188_packed_png_decode(spark, sf_dir):
     per-file cost is file-count-bound (sf1 probe 33 s), this path
     pays one open per ~128 MB shard (sf1 probe in README)."""
     import hashlib
-    import tempfile
 
     import numpy as np
     import pandas as pd
@@ -369,13 +368,15 @@ def q188_packed_png_decode(spark, sf_dir):
     from mindseye_dataframes_spark.operators.multimodal import encode_png_gray
     from mindseye_dataframes_spark.sources.readers import read_packed_binary
     from mindseye_dataframes_spark.sources.sinks import pack_binary_objects
+    from mindseye_dataframes_spark.sources.staging import staging_dir
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # per-run unique staging (the q182 lesson: fixed paths race under
-    # concurrent sweeps); NOT deleted here — the returned frame scans
-    # the shards lazily, so cleanup belongs to the caller/OS temp
-    # reaper, exactly as with q177's per-file staging dir
-    out_dir = tempfile.mkdtemp(prefix="msdf_png_packed_")
+    # concurrent sweeps), executor-reachable on non-local masters
+    # (ADVICE r7); NOT deleted here — the returned frame scans the
+    # shards lazily, so cleanup belongs to the caller/OS temp reaper,
+    # exactly as with q177's per-file staging dir
+    out_dir = staging_dir(spark, "msdf_png_packed_")
 
     def enc(batches):
         for pdf in batches:

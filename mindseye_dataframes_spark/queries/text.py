@@ -698,13 +698,14 @@ def q205_streaming_bm25_ingest(spark, sf_dir):
     pruned by the probed-term filter; the base is the same standing
     bucketed table q203 serves from, never re-scanned."""
     import shutil
-    import tempfile
-    import uuid
+
+    from mindseye_dataframes_spark.sources.staging import staging_dir
 
     base_post, base_stats, docs = bm25_incremental_base(spark, sf_dir)
     delta = docs.filter(F.col("split") == "test").select("doc_id", "text")
-    run_id = uuid.uuid4().hex[:12]
-    root = tempfile.mkdtemp(prefix=f"msdf_stream_bm25_{run_id}_")
+    # executor-reachable scratch: spark.mindseye.stagingDir on a real
+    # cluster, tempfile only under a local master (ADVICE r7)
+    root = staging_dir(spark, "msdf_stream_bm25_")
     src = f"{root}/src"
     post_log = f"{root}/postings"
     stats_log = f"{root}/stats"
@@ -750,3 +751,141 @@ def q205_streaming_bm25_ingest(spark, sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --- q208: tombstone DELETES against the standing BM25 index ---------
+#
+# The takedown batch, as a deterministic predicate so the oracle can
+# replay the surviving corpus: every 10th document (ids ending in 7).
+_BM25_TOMB_PRED = "doc_id % 10 = 7"
+
+
+def bm25_tombstone_base(spark, sf_dir):
+    """Standing full-corpus BM25 base laid out FOR deletes (q208):
+    normalized token-bucketed postings, a doc-keyed ``(doc_id, dl)``
+    length companion, and the 1-row corpus stats. The length companion
+    is the piece an append-only layout lacks: takedown requests carry
+    ids only, and correcting (n_docs, total_len) for deleted docs must
+    not re-scan text — it's one aggregate over the companion's two
+    integer columns instead. Returns ``(post, dlens, stats)``."""
+    import hashlib
+    import os
+
+    from mindseye_dataframes_spark.sources.bucketing import (
+        dataset_fingerprint,
+        standing_table,
+    )
+
+    real = os.path.realpath(sf_dir)
+    loc = hashlib.md5(real.encode()).hexdigest()[:8]
+    fp = dataset_fingerprint(os.path.join(real, "documents.parquet"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    post = standing_table(
+        spark,
+        f"msdf_stage_bm25tombpost_{loc}",
+        fp,
+        lambda: _inc_postings(docs),
+        ["token"],
+        16,
+        ["token", "doc_id"],
+    )
+    dlens = standing_table(
+        spark,
+        f"msdf_stage_bm25tombdl_{loc}",
+        fp,
+        lambda: docs.select(
+            "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
+        ),
+        ["doc_id"],
+        16,
+    )
+    stats = standing_table(
+        spark,
+        f"msdf_stage_bm25tombstats_{loc}",
+        fp,
+        lambda: _inc_stats(docs),
+        ["k"],
+        1,
+    )
+    return post, dlens, stats
+
+
+@query(
+    "q208_bm25_tombstone_delete",
+    oracle=f"""
+    WITH {_BM25_CORE_SQL.replace(
+        "FROM documents", f"FROM documents WHERE NOT ({_BM25_TOMB_PRED})"
+    )}
+    SELECT query_id, bm_rank AS rank, doc_id, score_ppm FROM bm_ranked
+    WHERE bm_rank <= {_BM25_K}
+    ORDER BY query_id, rank
+    """,
+    tags=("text", "retrieval", "incremental", "parity:bm25-tombstone"),
+)
+def q208_bm25_tombstone_delete(spark, sf_dir):
+    """TOMBSTONE DELETES against the standing BM25 index — the
+    eviction half of the index-maintenance story (VERDICT r7 item 8):
+    q203/q205 prove append-only ingest ≡ rebuild; real corpora also
+    EVICT (takedowns, licensing pulls, dedup rewrites). Here a
+    takedown batch (ids only — ``doc_id % 10 = 7``) lands as a
+    tombstone side table, nothing in the standing index is rewritten,
+    and the probe answers as if the index had been rebuilt without
+    those documents: the oracle replays full-corpus-minus-tombstones
+    BM25 from raw text, so the driver hashes that LOGICAL deletion is
+    exact — same contract as the ingest twins, flipped.
+
+    Probe-time mechanics, all O(probe) + O(|tombstones|):
+    (1) postings pruned to the probed terms (``isin`` pushed to the
+        bucketed scan) then anti-joined against the BROADCAST
+        tombstone ids — a narrow filter, no shuffle, bucketing
+        preserved;
+    (2) per-term df re-derived from the surviving posting lists (a
+        term's posting list IS its live document set — exact, the
+        normalized-layout dividend q203 established);
+    (3) corpus stats corrected by ONE aggregate over the doc-keyed
+        length companion semi-joined to the tombstones — text is
+        never re-read to learn what the deleted docs contributed;
+    (4) q193's probe shape (broadcast query terms, one (query, doc)
+        aggregate, per-query top-k window over candidates only).
+    The raw corpus is never re-scanned; compaction (physically
+    rewriting the posting buckets minus tombstones) is a background
+    concern the fingerprint roll already models — logical deletes
+    keep serving correct answers until then."""
+    from pyspark.sql import Window
+
+    post, dlens, stats = bm25_tombstone_base(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    tomb = docs.filter(F.expr(_BM25_TOMB_PRED)).select("doc_id")
+
+    probe_tokens = sorted({t for _, t in _BM25_QUERIES})
+    live_post = post.filter(F.col("token").isin(probe_tokens)).join(
+        F.broadcast(tomb), "doc_id", "left_anti"
+    )
+    dfs = live_post.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # stats correction: one aggregate over the length companion's
+    # tombstoned rows (coalesce: an empty takedown batch must yield 0)
+    del_stats = dlens.join(F.broadcast(tomb), "doc_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("d_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("d_len"),
+    )
+    live_stats = stats.crossJoin(F.broadcast(del_stats)).select(
+        (F.col("n_docs") - F.col("d_docs")).alias("n_docs"),
+        (F.col("total_len") - F.col("d_len")).alias("total_len"),
+    )
+    q = spark.createDataFrame(list(_BM25_QUERIES), "query_id int, token string")
+    cand = (
+        F.broadcast(q)
+        .join(live_post, "token")
+        .join(F.broadcast(dfs), "token")
+        .crossJoin(F.broadcast(live_stats))
+    )
+    scored = cand.groupBy("query_id", "doc_id").agg(
+        F.sum(F.expr(_BM25_TERM)).cast("long").alias("score_ppm")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_ppm"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BM25_K)
+        .select("query_id", "rank", "doc_id", "score_ppm")
+        .orderBy("query_id", "rank")
+    )

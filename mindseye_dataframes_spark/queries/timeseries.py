@@ -495,9 +495,9 @@ def q182_streaming_dedup_parity(spark, sf_dir):
     keys; the aggregate holds O(types) rows in complete mode.
     """
     import shutil
-    import tempfile
     import uuid
 
+    from mindseye_dataframes_spark.sources.staging import staging_dir
     from mindseye_dataframes_spark.streaming.events import (
         read_event_stream,
         run_bounded,
@@ -508,9 +508,10 @@ def q182_streaming_dedup_parity(spark, sf_dir):
     # per-run unique staging dir + sink table: concurrent runs over
     # the same sf_dir (parallel parity-sweep chunks) must never
     # overwrite each other's source while the other's stream is
-    # still draining
+    # still draining; staging_dir resolves an executor-reachable
+    # root on non-local masters (ADVICE r7)
     run_id = uuid.uuid4().hex[:12]
-    src = tempfile.mkdtemp(prefix=f"msdf_stream_dedup_{run_id}_")
+    src = staging_dir(spark, f"msdf_stream_dedup_{run_id}_")
     try:
         # 32 part files against maxFilesPerTrigger=8 -> four real
         # micro-batches, so duplicates genuinely cross trigger
@@ -580,9 +581,9 @@ def q195_streaming_interval_join_parity(spark, sf_dir):
     executors; the rollup is O(touch types); nothing driver-side
     scales with the stream."""
     import shutil
-    import tempfile
     import uuid
 
+    from mindseye_dataframes_spark.sources.staging import staging_dir
     from mindseye_dataframes_spark.streaming.events import (
         interval_join_streams,
         read_event_stream,
@@ -591,7 +592,7 @@ def q195_streaming_interval_join_parity(spark, sf_dir):
 
     events = load_table(spark, sf_dir, "events")
     run_id = uuid.uuid4().hex[:12]
-    src = tempfile.mkdtemp(prefix=f"msdf_stream_ivj_{run_id}_")
+    src = staging_dir(spark, f"msdf_stream_ivj_{run_id}_")
     try:
         events.repartition(32).write.mode("overwrite").parquet(src)
         stream = read_event_stream(spark, src)
@@ -609,11 +610,13 @@ def q195_streaming_interval_join_parity(spark, sf_dir):
         )
         table = f"q195_ivj_{run_id}"
         pairs = run_bounded(joined, table, output_mode="append")
-        # pin the drained pairs before the staging files vanish
-        snap = spark.createDataFrame(pairs.collect(), schema=pairs.schema)
-        spark.catalog.dropTempView(table)
-        return (
-            snap.groupBy("touch_type")
+        # roll up BEFORE snapshotting (VERDICT r7 item 4): the
+        # memory sink already holds the drained pairs, but the
+        # driver-side pin must hold O(touch types), not O(pairs) —
+        # the aggregate runs distributed over the sink table and only
+        # the per-type rollup is collected
+        rollup = (
+            pairs.groupBy("touch_type")
             .agg(
                 F.count(F.lit(1)).alias("n_pairs"),
                 F.countDistinct("event_id").alias("n_purchases"),
@@ -621,6 +624,9 @@ def q195_streaming_interval_join_parity(spark, sf_dir):
             )
             .orderBy("touch_type")
         )
+        snap = spark.createDataFrame(rollup.collect(), schema=rollup.schema)
+        spark.catalog.dropTempView(table)
+        return snap.orderBy("touch_type")
     finally:
         shutil.rmtree(src, ignore_errors=True)
 
@@ -654,11 +660,11 @@ def q196_streaming_stateful_totals_parity(spark, sf_dir):
     batch's users; the drain table holds O(users · triggers) compact
     rows. Nothing driver-side scales with the event count."""
     import shutil
-    import tempfile
     import uuid
 
     from pyspark.sql import Window
 
+    from mindseye_dataframes_spark.sources.staging import staging_dir
     from mindseye_dataframes_spark.streaming.events import (
         read_event_stream,
         run_bounded,
@@ -667,7 +673,7 @@ def q196_streaming_stateful_totals_parity(spark, sf_dir):
 
     events = load_table(spark, sf_dir, "events")
     run_id = uuid.uuid4().hex[:12]
-    src = tempfile.mkdtemp(prefix=f"msdf_stream_state_{run_id}_")
+    src = staging_dir(spark, f"msdf_stream_state_{run_id}_")
     try:
         events.repartition(32).write.mode("overwrite").parquet(src)
         totals = user_running_totals(
@@ -675,15 +681,19 @@ def q196_streaming_stateful_totals_parity(spark, sf_dir):
         )
         table = f"q196_state_{run_id}"
         updates = run_bounded(totals, table, output_mode="update")
-        snap = spark.createDataFrame(updates.collect(), schema=updates.schema)
-        spark.catalog.dropTempView(table)
+        # reduce to each user's LAST update BEFORE snapshotting
+        # (VERDICT r7 item 4 pattern): the driver pin holds O(users),
+        # not O(users · triggers)
         w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
-        return (
-            snap.withColumn("_r", F.row_number().over(w))
+        last = (
+            updates.withColumn("_r", F.row_number().over(w))
             .filter(F.col("_r") == 1)
             .select("user_id", "n_events", "sum_value")
             .orderBy("user_id")
         )
+        snap = spark.createDataFrame(last.collect(), schema=last.schema)
+        spark.catalog.dropTempView(table)
+        return snap.orderBy("user_id")
     finally:
         shutil.rmtree(src, ignore_errors=True)
 
@@ -730,9 +740,9 @@ def q197_streaming_session_window_parity(spark, sf_dir):
     window is the relational REPLAY, not the plan — the engine side
     never runs a corpus-wide window."""
     import shutil
-    import tempfile
     import uuid
 
+    from mindseye_dataframes_spark.sources.staging import staging_dir
     from mindseye_dataframes_spark.streaming.events import (
         read_event_stream,
         run_bounded,
@@ -741,7 +751,7 @@ def q197_streaming_session_window_parity(spark, sf_dir):
 
     events = load_table(spark, sf_dir, "events")
     run_id = uuid.uuid4().hex[:12]
-    src = tempfile.mkdtemp(prefix=f"msdf_stream_sess_{run_id}_")
+    src = staging_dir(spark, f"msdf_stream_sess_{run_id}_")
     try:
         events.repartition(32).write.mode("overwrite").parquet(src)
         sess = session_counts(
@@ -749,11 +759,16 @@ def q197_streaming_session_window_parity(spark, sf_dir):
         )
         table = f"q197_sess_{run_id}"
         out = run_bounded(sess, table, output_mode="complete")
-        snap = spark.createDataFrame(out.collect(), schema=out.schema)
-        spark.catalog.dropTempView(table)
-        return snap.select(
+        # the complete-mode sink holds exactly one row per merged
+        # session, so this snapshot IS bounded by group cardinality
+        # (audited per VERDICT r7 item 4) — the query's own answer is
+        # the per-session table and cannot be smaller
+        final = out.select(
             "user_id", "session_start", "n_events", "sum_value"
         ).orderBy("user_id", "session_start")
+        snap = spark.createDataFrame(final.collect(), schema=final.schema)
+        spark.catalog.dropTempView(table)
+        return snap.orderBy("user_id", "session_start")
     finally:
         shutil.rmtree(src, ignore_errors=True)
 
@@ -789,15 +804,15 @@ def q198_streaming_cdc_upsert_parity(spark, sf_dir):
     unbounded key universes where stateful operators would hold
     every key forever."""
     import shutil
-    import tempfile
     import uuid
 
+    from mindseye_dataframes_spark.sources.staging import staging_dir
     from mindseye_dataframes_spark.streaming.events import read_event_stream
     from mindseye_dataframes_spark.streaming.sinks import upsert_stream
 
     events = load_table(spark, sf_dir, "events")
     run_id = uuid.uuid4().hex[:12]
-    base = tempfile.mkdtemp(prefix=f"msdf_stream_cdc_{run_id}_")
+    base = staging_dir(spark, f"msdf_stream_cdc_{run_id}_")
     src = f"{base}/src"
     target = f"{base}/snapshot"
     ckpt = f"{base}/ckpt"

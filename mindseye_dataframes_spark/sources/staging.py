@@ -46,3 +46,34 @@ def storage_level_of(df: DataFrame) -> StorageLevel:
     """Current storage level (useMemory=False and useDisk=False when
     the frame is not persisted)."""
     return df.storageLevel
+
+
+STAGING_DIR_CONF = "spark.mindseye.stagingDir"
+
+
+def staging_dir(spark, prefix: str) -> str:
+    """Resolve a scratch directory that BOTH the driver and executors
+    can reach for multi-step staging (stream sources, posting logs,
+    checkpoints).
+
+    A driver-local ``tempfile.mkdtemp`` is only safe under a
+    ``local[*]`` master; on a real cluster executors don't share the
+    driver's filesystem, so parquet writes/reads would silently target
+    different machines (ADVICE r7 on q205). Deployments set
+    ``spark.mindseye.stagingDir`` to a shared location (HDFS/S3/NFS);
+    local mode falls back to tempfile. Callers own cleanup of the
+    returned path."""
+    import tempfile
+    import uuid
+
+    root = spark.conf.get(STAGING_DIR_CONF, None)
+    if root:
+        return f"{root.rstrip('/')}/{prefix}{uuid.uuid4().hex[:12]}"
+    master = spark.conf.get("spark.master", "")
+    if not master.startswith("local"):
+        raise ValueError(
+            f"non-local master {master!r} requires {STAGING_DIR_CONF} to be"
+            " set to an executor-reachable shared path; a driver-local"
+            " tempdir would not be visible to executors"
+        )
+    return tempfile.mkdtemp(prefix=prefix)

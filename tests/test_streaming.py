@@ -511,3 +511,29 @@ def test_bm25_ingest_multi_trigger_and_idempotent_replay(spark, sf_dir, tmp_path
         F.sum("n_docs").alias("n")
     ).collect()[0]["n"]
     assert n_stats == delta.count()
+
+
+def test_staging_dir_resolution(spark):
+    """Staging roots for multi-step streaming queries (ADVICE r7):
+    spark.mindseye.stagingDir wins when set (executor-reachable shared
+    path on a real cluster); under a local master the fallback is a
+    driver tempdir; per-call paths never collide."""
+    import os
+
+    from mindseye_dataframes_spark.sources.staging import (
+        STAGING_DIR_CONF,
+        staging_dir,
+    )
+
+    # conf-mode: paths live under the configured root, unique per call
+    spark.conf.set(STAGING_DIR_CONF, "/shared/scratch/")
+    try:
+        p1 = staging_dir(spark, "msdf_t_")
+        p2 = staging_dir(spark, "msdf_t_")
+        assert p1.startswith("/shared/scratch/msdf_t_") and p1 != p2
+    finally:
+        spark.conf.unset(STAGING_DIR_CONF)
+    # local fallback: a real created tempdir
+    p3 = staging_dir(spark, "msdf_t_")
+    assert os.path.isdir(p3)
+    os.rmdir(p3)
