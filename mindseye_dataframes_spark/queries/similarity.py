@@ -111,14 +111,19 @@ _IVF_CELLS = 16
 _IVF_PROBE = 4
 
 
-def _ivf_oracle(base_pred: str = "TRUE") -> str:
+def _ivf_oracle(base_pred: str = "TRUE", live_pred: str | None = None) -> str:
     """DuckDB twin of ann_topk_ivf: same modulo centroids, same rounded
     cosine assignment with (sim desc, cell asc) tie-break.
     ``base_pred`` restricts which corpus rows DERIVE the coarse
     quantizer (q204's incremental story: centroids come from the
     standing base, late arrivals only get assigned) — assignment and
-    probing always run over the full corpus."""
+    probing always run over the full corpus. ``live_pred`` (over alias
+    ``a``, the assigned corpus row) drops rows from the SCORED side
+    only (q209's tombstone story: deleted vectors stop being
+    neighbors, but the quantizer and the probe routing are untouched);
+    None renders byte-identically to the pre-delete oracle."""
     sim = "round(list_cosine_similarity({a}, {b}), 9)"
+    live_filter = f"WHERE {live_pred}" if live_pred else ""
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     cells AS (
@@ -150,7 +155,7 @@ def _ivf_oracle(base_pred: str = "TRUE") -> str:
              {sim.format(a='p.v', b='a.v')} AS cos_r,
              row_number() OVER (PARTITION BY p.vec_id
                                 ORDER BY {sim.format(a='p.v', b='a.v')} DESC, a.vec_id) AS rank
-      FROM probes p JOIN assign a USING (cell)
+      FROM probes p JOIN assign a USING (cell) {live_filter}
     )
     SELECT query_id, rank, neighbor_id, cos_r FROM scored WHERE rank <= {_K}
     ORDER BY query_id, rank
@@ -272,15 +277,20 @@ def q114_embedding_normalize(spark, sf_dir):
     )
 
 
-@query("q157_pq_ann_topk", tags=("vector", "ann", "pq"))
-def q157_pq_ann_topk(spark, sf_dir):
+def pq_ann_topk(spark, sf_dir):
     """Product-quantization ANN (operators/pq.py): top-10 neighbors
     for the first 10 vectors against the rest of the corpus via
     asymmetric code-distance — the memory-bound third leg of the ANN
-    surface (LSH q36, IVF q60). Rows-only check (codebooks are
-    deterministic but the Lloyd means are not SQL-expressible at
-    reasonable oracle size — the q140 oracle covers that machinery);
-    recall@10 vs exact L2 is pinned in tests/test_sketches.py."""
+    surface (LSH q36, IVF q60).
+
+    Formerly registered as ``q157_pq_ann_topk`` with a rows-only
+    check; retired from the registry in round 8 (VERDICT r7 item 7)
+    because a top-k LIST over Lloyd codebooks can never carry a hashed
+    oracle, and its quality contract is exactly what q162 already
+    gates (recall@10 ≥ 0.8 vs exact L2 over the SAME split, SAME
+    ``pq_topk_rerank`` call). The surface stays callable here and is
+    recall-pinned in tests/test_sketches.py; every registry entry is
+    now oracle-bearing."""
     from mindseye_dataframes_spark.operators.pq import pq_topk_rerank
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -313,8 +323,14 @@ def q157_pq_ann_topk(spark, sf_dir):
     tags=("vector", "ann", "pq", "quality"),
 )
 def q162_pq_recall(spark, sf_dir):
-    """ANN quality as a driver-visible row (VERDICT r4 item 4): the
-    recall@10 of q157's PQ top-10 against the EXACT distributed L2
+    """ANN quality as a driver-visible row (VERDICT r4 item 4), and —
+    since round 8 — the PQ family's ONLY registry entry: the former
+    q157 top-k query is folded in here (VERDICT r7 item 7; its list
+    output could never carry an oracle, and this gate runs the same
+    ``pq_topk_rerank`` call over the same split, so a PQ regression
+    that would have garbled q157's lists flips this row red). The
+    top-k surface itself stays callable as ``pq_ann_topk`` above. The
+    gate: recall@10 of the PQ top-10 against the EXACT distributed L2
     top-10 over the same query/corpus split, reduced to a boolean gate
     (avg recall ≥ 0.5, the bound tests/test_sketches.py pins at both
     SFs — measured 0.62-0.65). The recall computation itself is not
@@ -968,5 +984,57 @@ def q204_incremental_ann_update(spark, sf_dir):
     )
     return ann_topk_ivf_postings(
         queries, postings, cents, "query_id", "qv", "neighbor_id", "cv",
+        k=_K, n_probe=_IVF_PROBE,
+    ).orderBy("query_id", "rank")
+
+
+# --- q209: tombstone DELETES against the standing ANN index ----------
+#
+# The takedown batch as a deterministic predicate (every 10th vector,
+# ids ending in 7) so the oracle can replay the surviving corpus.
+_ANN_TOMB_PRED = "vec_id % 10 = 7"
+
+
+@query(
+    "q209_ann_tombstone_delete",
+    oracle=_ivf_oracle(live_pred=f"NOT (a.{_ANN_TOMB_PRED})"),
+    tags=("similarity", "incremental", "lakehouse", "parity:ann-tombstone"),
+)
+def q209_ann_tombstone_delete(spark, sf_dir):
+    """TOMBSTONE DELETES against the standing ANN index — the
+    eviction half of the index-maintenance story (VERDICT r7 item 8),
+    q208's embedding twin: a takedown batch (ids only — ``vec_id % 10
+    = 7``) lands as a tombstone side table against the SAME standing
+    index q192 serves (same centroid + posting tables, no rebuild, no
+    rewrite), and probes answer as if those vectors had never been
+    indexed: deleted vectors stop appearing as neighbors while the
+    coarse quantizer and the probe's cell routing stay untouched —
+    the standard IVF delete discipline (logical tombstones now,
+    physical compaction when the fingerprint rolls). The oracle
+    replays quantizer-over-everything + scoring-over-survivors from
+    raw embeddings, so the driver hashes that logical deletion returns
+    exactly what a from-scratch index over the surviving corpus
+    (under the same quantizer) would.
+
+    Probe-time mechanics: the tombstone ids BROADCAST-anti-join the
+    cell-bucketed postings — a narrow filter, no shuffle, bucketing
+    (and therefore the q192 no-exchange probe contract) preserved;
+    everything downstream is q192's probe shape unchanged. Nothing
+    rescans the corpus and nothing driver-side scales with it."""
+    from mindseye_dataframes_spark.operators.similarity import (
+        ann_topk_ivf_postings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, postings = ann_standing_index(spark, sf_dir)
+    tomb = emb.filter(F.expr(_ANN_TOMB_PRED)).select(
+        F.col("vec_id").alias("neighbor_id")
+    )
+    live = postings.join(F.broadcast(tomb), "neighbor_id", "left_anti")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return ann_topk_ivf_postings(
+        queries, live, cents, "query_id", "qv", "neighbor_id", "cv",
         k=_K, n_probe=_IVF_PROBE,
     ).orderBy("query_id", "rank")

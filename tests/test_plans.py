@@ -837,3 +837,38 @@ def test_incremental_ann_warm_assigns_only_delta(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("embeddings.parquet") <= 2, plan  # queries + delta
+
+
+def test_bm25_tombstone_no_corpus_rescan_anti_join_broadcasts(spark, sf_dir):
+    """q208 warm: logical deletes must stay probe-time work — the
+    postings scan keeps the pushed In-filter on probed terms, the
+    tombstone anti-join BROADCASTS (never a shuffled anti-join), the
+    length-companion correction is one aggregate (no text re-read for
+    deleted docs' stats: documents.parquet appears only to derive the
+    tombstone id list itself), and no shuffled join anywhere."""
+    REGISTRY["q208_bm25_tombstone_delete"].fn(spark, sf_dir).count()  # cold
+    plan = plan_of(spark, sf_dir, "q208_bm25_tombstone_delete")
+    assert "msdf_stage_bm25tombpost" in plan, plan
+    assert "msdf_stage_bm25tombdl" in plan, plan
+    assert "In(token" in plan or "token IN" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftAnti, BuildRight" in plan or (
+        "LeftAnti" in plan and "SortMergeJoin" not in plan
+    ), plan
+    assert "SortMergeJoin" not in plan, plan
+    # documents.parquet may appear once: the tombstone-id derivation
+    assert plan.count("documents.parquet") <= 1, plan
+
+
+def test_ann_tombstone_filters_standing_postings_no_rebuild(spark, sf_dir):
+    """q209 warm: deletes ride the SAME standing index q192 serves —
+    the plan reads the cell-bucketed postings (no re-assignment of
+    the corpus), the tombstone anti-join broadcasts, and raw
+    embeddings appear only for the query vectors + tombstone-id
+    derivation (never as the corpus side)."""
+    REGISTRY["q209_ann_tombstone_delete"].fn(spark, sf_dir).count()  # cold
+    plan = plan_of(spark, sf_dir, "q209_ann_tombstone_delete")
+    assert "msdf_stage_ivfpost" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("embeddings.parquet") <= 2, plan  # queries + tombstones

@@ -95,7 +95,7 @@ def test_rolling_hll_wau_tracks_exact(spark, sf_dir):
 
 
 def test_pq_ann_recall_vs_exact(spark, sf_dir):
-    """q157's reranked PQ top-10 must overlap the exact L2 top-10
+    """pq_ann_topk's reranked PQ top-10 must overlap the exact L2 top-10
     (recall@10 averaged over the 10 queries ≥ 0.8 — the ADC shortlist
     + exact re-rank measured 1.0 / 0.98 / 0.94 at sf0.001/0.01/0.1;
     code distance alone was 0.62 and DEGRADED to 0.42 at sf0.1, the
@@ -105,8 +105,10 @@ def test_pq_ann_recall_vs_exact(spark, sf_dir):
 
     from mindseye_dataframes_spark.sources.readers import load_table
 
+    from mindseye_dataframes_spark.queries.similarity import pq_ann_topk
+
     got = {}
-    for r in REGISTRY["q157_pq_ann_topk"].fn(spark, sf_dir).collect():
+    for r in pq_ann_topk(spark, sf_dir).collect():
         got.setdefault(r["q_id"], []).append(r["c_id"])
     emb = {
         r["vec_id"]: np.array(r["embedding"], dtype=np.float64)

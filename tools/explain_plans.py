@@ -46,6 +46,8 @@ def main() -> None:
             "q201_nb_quality_classifier",
             "q202_count_min_heavy_hitters",
             "q203_incremental_bm25_update",
+            "q208_bm25_tombstone_delete",
+            "q209_ann_tombstone_delete",
         )
         if n in registry
     ]
