@@ -180,35 +180,85 @@ PROVEN_R06 = {
 
 # Queries whose IMPLEMENTATION changed in round 6 AFTER their last
 # driver check (VERDICT r6 "What's wrong"): their green rows prove
-# superseded code, so they head the round-7 window regardless of
-# nominal staleness. q157 has never had ANY driver row (its rows-only
-# group always sorted it past slot 50), so it is force-included here —
-# the one deliberate exception to the rows-only-last rule.
+# superseded code, so they headed the round-7 window. Kept for the
+# historical record / staleness math; superseded by REFRESH_R08.
 REFRESH_R07 = {
     "q162_pq_recall",            # PQ rewritten to ADC+re-rank (22669e8)
     "q158_dedup_pipeline_end_to_end",  # shared pair-stage refactor
     "q167_net_token_accounting",       # shared pair-stage refactor
     "q77_dup_clusters",                # shared pair-stage refactor
     "q32_lsh_dup_pairs",               # stage plumbing touched
-    "q157_pq_ann_topk",                # first-ever driver slot (rows-only)
+    # q157_pq_ann_topk got its first (rows-only) driver slot in r7 and
+    # was retired from the registry in r8 (folded into q162's gate —
+    # VERDICT r7 item 7), so it no longer appears anywhere
+}
+
+PROVEN_R07 = {
+    # green in CORRECTNESS_r07.json (49/50; the 50th, q157, was the
+    # rows-only PQ list — retired in round 8, its contract now lives
+    # entirely in q162's hashed recall gate)
+    "q158_dedup_pipeline_end_to_end", "q162_pq_recall",
+    "q167_net_token_accounting", "q188_packed_png_decode",
+    "q189_semdedup_tau_curve", "q190_token_budget_selection",
+    "q191_intra_doc_dedup", "q192_standing_ann_topk",
+    "q193_standing_bm25_topk", "q194_hard_negative_mining",
+    "q195_streaming_interval_join_parity",
+    "q196_streaming_stateful_totals_parity",
+    "q197_streaming_session_window_parity",
+    "q198_streaming_cdc_upsert_parity", "q199_hybrid_rrf_retrieval",
+    "q200_cross_source_quality_calibration", "q201_nb_quality_classifier",
+    "q202_count_min_heavy_hitters", "q203_incremental_bm25_update",
+    "q204_incremental_ann_update", "q205_streaming_bm25_ingest",
+    "q206_bigram_lm_perplexity_filter", "q207_substring_dedup_rewrite",
+    "q20_ntile_rank", "q21_first_last", "q22_asof_join", "q23_range_join",
+    "q24_tumbling_window", "q26_text_stats", "q27_quality_by_lang",
+    "q28_token_frequency", "q29_simhash_fingerprints", "q30_exact_dedup",
+    "q31_minhash_signatures", "q32_lsh_dup_pairs", "q33_simhash_clusters",
+    "q34_embedding_near_dup", "q35_cosine_topk", "q36_ann_lsh_topk",
+    "q37_zscore_expansion", "q38_onehot_labels", "q39_param_identity",
+    "q41_blob_metadata", "q58_language_id", "q60_ann_ivf_topk",
+    "q77_dup_clusters", "q86_pii_redaction", "q87_contamination_screen",
+    "q88_chunk_documents",
+}
+
+# Queries whose IMPLEMENTATION changed in round 8 AFTER their last
+# green driver check: their green rows prove superseded code, so they
+# head the round-8 window regardless of nominal staleness.
+REFRESH_R08 = {
+    "q201_nb_quality_classifier",   # coalesce'd prediction (ADVICE r7)
+    "q195_streaming_interval_join_parity",  # rollup before snapshot (item 4)
+    "q196_streaming_stateful_totals_parity",  # last-update reduce before snapshot
+    "q197_streaming_session_window_parity",   # snapshot path reordered
+    "q198_streaming_cdc_upsert_parity",        # staging_dir resolution
+    "q182_streaming_dedup_parity",             # staging_dir resolution
+    "q205_streaming_bm25_ingest",              # staging_dir resolution
+    "q188_packed_png_decode",                  # staging_dir resolution
 }
 
 # Stalest-first staleness: a query's group is its LAST proven round
 # (newest membership wins), so re-verification coverage rotates.
-STALE_R02 = (((PROVEN_R02 - PROVEN_R03) - PROVEN_R04) - PROVEN_R05) - PROVEN_R06
-STALE_R03 = ((PROVEN_R03 - PROVEN_R04) - PROVEN_R05) - PROVEN_R06
-STALE_R04 = (PROVEN_R04 - PROVEN_R05) - PROVEN_R06
-STALE_R05 = PROVEN_R05 - PROVEN_R06
+STALE_R02 = (
+    ((((PROVEN_R02 - PROVEN_R03) - PROVEN_R04) - PROVEN_R05) - PROVEN_R06)
+    - PROVEN_R07
+)
+STALE_R03 = (
+    (((PROVEN_R03 - PROVEN_R04) - PROVEN_R05) - PROVEN_R06) - PROVEN_R07
+)
+STALE_R04 = ((PROVEN_R04 - PROVEN_R05) - PROVEN_R06) - PROVEN_R07
+STALE_R05 = (PROVEN_R05 - PROVEN_R06) - PROVEN_R07
+STALE_R06 = PROVEN_R06 - PROVEN_R07
 
 
 def _order_key(item: tuple[str, Query]) -> tuple[int, str]:
     name, q = item
-    if name in REFRESH_R07:
-        group = 0  # changed-after-check (or never checked): head the window
+    if name in REFRESH_R08:
+        group = 0  # changed-after-check: head the window
     elif q.oracle is None:
         group = 9  # rows-only checks last — never burn a window slot
+    elif name in PROVEN_R07:
+        group = 7  # freshest evidence: verify last
     elif name in PROVEN_R06:
-        group = 6  # freshest evidence: verify last
+        group = 6
     elif name in PROVEN_R05:
         group = 5
     elif name in PROVEN_R04:

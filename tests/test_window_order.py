@@ -1,17 +1,18 @@
 """The driver checks only the FIRST 50 entries of queries() — the
 registry ordering IS the verification strategy (queries/__init__.py).
-These tests pin the round-7 window so a rotation mistake (stale
+These tests pin the round-8 window so a rotation mistake (stale
 queries pushed out, rows-only burning slots) fails loudly instead of
 silently shrinking coverage.
 
-Round-7 shape (VERDICT r6 "Next round" items 1-2): the six REFRESH_R07
-queries head the window — five whose implementation changed in round 6
-after their last driver check (q162 PQ re-rank; q158/q167/q77/q32
-shared pair-stage) plus q157's first-ever driver slot (rows-only,
-force-included — the ONE exception to rows-only-last). Then any
-never-proven oracle queries (round-7 additions), then the whole
-r03-stale block (35 after q32 moved to the head), then the stalest
-r04 queries fill the remainder."""
+Round-8 shape (VERDICT r7 "Next round" items 2/4/7 + ADVICE): the
+REFRESH_R08 queries head the window — the streaming-parity harnesses
+whose snapshot/staging paths changed after their r7 checks, q201's
+coalesce'd prediction, q188's staging resolution. Then this round's
+never-proven oracle queries (the tombstone-delete additions), then the
+ENTIRE r3-stale block (q89–q99, the last r3 rows), then the stalest
+r4 queries fill the remainder. q157 is retired (folded into q162's
+hashed recall gate), so every registered query is oracle-bearing and
+the rows-only group is empty."""
 
 from __future__ import annotations
 
@@ -21,7 +22,8 @@ from mindseye_dataframes_spark.queries import (
     PROVEN_R04,
     PROVEN_R05,
     PROVEN_R06,
-    REFRESH_R07,
+    PROVEN_R07,
+    REFRESH_R08,
     STALE_R02,
     STALE_R03,
     STALE_R04,
@@ -40,8 +42,16 @@ def test_refresh_set_heads_the_window():
     window = list(qs)[:50]
     # the changed-after-check queries occupy the first slots, before
     # anything else — their green rows prove superseded code
-    assert set(window[: len(REFRESH_R07)]) == REFRESH_R07
-    assert "q157_pq_ann_topk" in REFRESH_R07  # first-ever driver slot
+    assert set(window[: len(REFRESH_R08)]) == REFRESH_R08
+
+
+def test_every_registered_query_is_oracle_bearing():
+    # q157 (the one by-design rows-only entry) was folded into q162's
+    # hashed recall gate in round 8 — VERDICT r7 item 7's "done" state
+    qs = load_all()
+    rows_only = [n for n, q in qs.items() if q.oracle is None]
+    assert not rows_only, f"oracle-less registry entries: {rows_only}"
+    assert "q157_pq_ann_topk" not in qs
 
 
 def test_unproven_and_stale_queries_fit_the_window():
@@ -54,40 +64,29 @@ def test_unproven_and_stale_queries_fit_the_window():
         if q.oracle is not None and n not in window and _group(n, qs) == 1
     ]
     assert not unproven, f"unproven oracle queries outside the window: {unproven}"
-    # r2-stale is exhausted (everything re-proven since); the r3-stale
-    # block is the re-verification front and must fit entirely unless
-    # refresh + new queries overflow the window
+    # r2-stale stays exhausted; the r3-stale block (q89–q99, the last
+    # r3-proven rows) is the re-verification front and must fit
+    # entirely unless refresh + new queries overflow the window
     assert not STALE_R02, "r2-stale should be empty after round 6"
-    n_head = len(REFRESH_R07) + sum(1 for n in qs if _group(n, qs) == 1)
-    allowed_overflow = max(0, n_head + len(STALE_R03 - REFRESH_R07) - 50)
-    missing_stale = (STALE_R03 - REFRESH_R07) - set(window)
+    n_head = len(REFRESH_R08) + sum(1 for n in qs if _group(n, qs) == 1)
+    allowed_overflow = max(0, n_head + len(STALE_R03 - REFRESH_R08) - 50)
+    missing_stale = (STALE_R03 - REFRESH_R08) - set(window)
     assert len(missing_stale) <= allowed_overflow, (
         f"r3-stale queries rotated out beyond the overflow: {missing_stale}"
     )
     # the r4-stale block fills whatever remains, stalest tier first
-    fill = 50 - n_head - (len(STALE_R03 - REFRESH_R07) - len(missing_stale))
-    expected_r4_in_window = min(len(STALE_R04 - REFRESH_R07), max(0, fill))
-    assert len((STALE_R04 - REFRESH_R07) & set(window)) == expected_r4_in_window, (
+    fill = 50 - n_head - (len(STALE_R03 - REFRESH_R08) - len(missing_stale))
+    expected_r4_in_window = min(len(STALE_R04 - REFRESH_R08), max(0, fill))
+    assert len((STALE_R04 - REFRESH_R08) & set(window)) == expected_r4_in_window, (
         "r4-stale queries missing from the window while fresher ones occupy it"
     )
 
 
-def test_rows_only_queries_never_burn_window_slots():
-    qs = load_all()
-    names = list(qs)
-    rows_only_outside_refresh = [
-        n for n in names if qs[n].oracle is None and n not in REFRESH_R07
-    ]
-    if rows_only_outside_refresh:
-        first = names.index(rows_only_outside_refresh[0])
-        assert all(
-            qs[n].oracle is None for n in names[first:]
-        ), "rows-only queries must sort after every oracle-bearing query"
-
-
 def test_proven_sets_cover_only_registered_oracle_queries():
     qs = load_all()
-    proven = PROVEN_R02 | PROVEN_R03 | PROVEN_R04 | PROVEN_R05 | PROVEN_R06
+    proven = (
+        PROVEN_R02 | PROVEN_R03 | PROVEN_R04 | PROVEN_R05 | PROVEN_R06 | PROVEN_R07
+    )
     unknown = proven - set(qs)
     assert not unknown, f"proven sets name unregistered queries: {unknown}"
     rows_only = {n for n in proven if qs[n].oracle is None}
