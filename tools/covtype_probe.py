@@ -11,9 +11,16 @@ signal), at full scale with all 40 Soil_Type columns so the staging
 schema walk drops exactly what the reference drops
 (`Trainer.scala:100-116`).
 
-Run from the repo root:  python tools/covtype_probe.py
-Writes docs/probes/covtype_probe.json and exits non-zero unless the
-epoch-end loss strictly decreases over at least 3 epoch transitions.
+Run from the repo root:  python tools/covtype_probe.py [mid_layers]
+where ``mid_layers`` is a comma list, default ``20``. The reference's
+published model is ``midLayers = List(200, 200)`` (`Trainer.scala:70`)
+— run ``python tools/covtype_probe.py 200,200`` for that shape
+(VERDICT r7 item 3: the gradient merge and parameter broadcast are
+~100x the [20] probe's, which is the training claim worth proving).
+Results accumulate in docs/probes/covtype_probe.json under
+``probes["mid_<shape>"]`` so the shapes sit side by side; exits
+non-zero unless the epoch-end loss strictly decreases over at least 3
+epoch transitions.
 """
 
 from __future__ import annotations
@@ -103,11 +110,17 @@ def main() -> None:
     n = staged.count()
     print(f"staged {n} rows x {len(staged.columns)} cols", flush=True)
 
+    mid_layers = (
+        [int(x) for x in sys.argv[1].split(",")] if len(sys.argv) > 1 else [20]
+    )
     strategy = CategorizingStrategy(
         "Cover_Type", categories=LABELS, base=1, default_size=10
     )
     modeler = DataframeModeler(strategy)
-    net = mlp("covtype", 10, [20], LABELS)
+    # featureDim 10, reference Trainer.scala:65-70 (midLayers List(200,
+    # 200) in the published config; [20] kept as the quick probe)
+    net = mlp("covtype", 10, mid_layers, LABELS)
+    print(f"mid_layers={mid_layers}", flush=True)
 
     epochs = []
     t_total = time.time()
@@ -142,6 +155,7 @@ def main() -> None:
     out = {
         "n_rows": n,
         "n_cols_raw": 55,
+        "mid_layers": mid_layers,
         "fractions": FRACTIONS,
         "epochs": epochs,
         "epoch_end_losses": ends,
@@ -149,8 +163,21 @@ def main() -> None:
         "total_wall_sec": round(time.time() - t_total, 1),
     }
     path = os.path.join(repo, "docs", "probes", "covtype_probe.json")
+    # accumulate shapes side by side (migrating the legacy flat layout,
+    # which was the [20] run, into probes["mid_20"])
+    doc: dict = {"probes": {}}
+    try:
+        with open(path) as fh:
+            prev = json.load(fh)
+        if "probes" in prev:
+            doc = prev
+        elif "epochs" in prev:
+            doc["probes"]["mid_20"] = {**prev, "mid_layers": [20]}
+    except (OSError, ValueError):
+        pass
+    doc["probes"][f"mid_{'x'.join(str(m) for m in mid_layers)}"] = out
     with open(path, "w") as fh:
-        json.dump(out, fh, indent=1)
+        json.dump(doc, fh, indent=1)
     print("WROTE", path, flush=True)
     ok = decreases >= 3 and ends[-1] < ends[0]
     print("DECREASING" if ok else "NOT-DECREASING", ends, flush=True)
