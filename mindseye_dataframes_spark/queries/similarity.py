@@ -1038,3 +1038,67 @@ def q209_ann_tombstone_delete(spark, sf_dir):
         queries, live, cents, "query_id", "qv", "neighbor_id", "cv",
         k=_K, n_probe=_IVF_PROBE,
     ).orderBy("query_id", "rank")
+
+
+@query(
+    "q211_ann_compaction",
+    oracle=_ivf_oracle(live_pred=f"NOT (a.{_ANN_TOMB_PRED})"),
+    tags=("similarity", "incremental", "lakehouse", "parity:ann-compaction"),
+)
+def q211_ann_compaction(spark, sf_dir):
+    """PHYSICAL COMPACTION of q209's tombstoned ANN index — q210's
+    embedding twin, closing the delete lifecycle for both index
+    families: the cell-bucketed postings are REWRITTEN without the
+    tombstoned vectors and published under a derived fingerprint
+    (md5(base_fp : tombstone digest), atomic rename, warm no-op on
+    re-run), while the centroid table carries over untouched — IVF
+    compaction never moves survivors between cells, so the rewrite is
+    a pure anti-join filter of the posting lists, bucketing preserved.
+    The oracle is IDENTICAL to q209's (quantizer over everything,
+    scoring over survivors): one green row pins probe-time deletes,
+    this one pins the physical rewrite.
+
+    Scale shape: compaction reads ONLY the standing postings (anti-
+    joined against broadcast tombstone ids — narrow, no corpus scan);
+    the warm probe is q192's shape with NO tombstone filter anywhere,
+    so probes stop paying the anti-join and raw embeddings appear in
+    the plan only as the query vectors (pinned in
+    tests/test_plans.py)."""
+    import hashlib
+    import os
+
+    from mindseye_dataframes_spark.operators.similarity import (
+        ann_topk_ivf_postings,
+    )
+    from mindseye_dataframes_spark.sources.bucketing import (
+        dataset_fingerprint,
+        standing_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, postings = ann_standing_index(spark, sf_dir)
+    real = os.path.realpath(sf_dir)
+    loc = hashlib.md5(real.encode()).hexdigest()[:8]
+    base_fp = dataset_fingerprint(os.path.join(real, "embeddings.parquet"))
+    fp2 = hashlib.md5(
+        f"{base_fp}:tomb:{_ANN_TOMB_PRED}".encode()
+    ).hexdigest()[:16]
+    tomb = emb.filter(F.expr(_ANN_TOMB_PRED)).select(
+        F.col("vec_id").alias("neighbor_id")
+    )
+    cpost = standing_table(
+        spark,
+        f"msdf_stage_ivfcpost_{loc}",
+        fp2,
+        lambda: postings.join(F.broadcast(tomb), "neighbor_id", "left_anti"),
+        ["_cell"],
+        16,
+        ["_cell", "neighbor_id"],
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return ann_topk_ivf_postings(
+        queries, cpost, cents, "query_id", "qv", "neighbor_id", "cv",
+        k=_K, n_probe=_IVF_PROBE,
+    ).orderBy("query_id", "rank")

@@ -855,7 +855,14 @@ def q208_bm25_tombstone_delete(spark, sf_dir):
 
     post, dlens, stats = bm25_tombstone_base(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    tomb = docs.filter(F.expr(_BM25_TOMB_PRED)).select("doc_id")
+    # the takedown id list is consumed by BOTH anti-joins — pin it so
+    # the plan derives it once (in production it arrives as a side
+    # table and this scan doesn't exist at all)
+    tomb = (
+        docs.filter(F.expr(_BM25_TOMB_PRED))
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
 
     probe_tokens = sorted({t for _, t in _BM25_QUERIES})
     live_post = post.filter(F.col("token").isin(probe_tokens)).join(
@@ -878,6 +885,116 @@ def q208_bm25_tombstone_delete(spark, sf_dir):
         .join(live_post, "token")
         .join(F.broadcast(dfs), "token")
         .crossJoin(F.broadcast(live_stats))
+    )
+    scored = cand.groupBy("query_id", "doc_id").agg(
+        F.sum(F.expr(_BM25_TERM)).cast("long").alias("score_ppm")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_ppm"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BM25_K)
+        .select("query_id", "rank", "doc_id", "score_ppm")
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "q210_bm25_compaction",
+    oracle=f"""
+    WITH {_BM25_CORE_SQL.replace(
+        "FROM documents", f"FROM documents WHERE NOT ({_BM25_TOMB_PRED})"
+    )}
+    SELECT query_id, bm_rank AS rank, doc_id, score_ppm FROM bm_ranked
+    WHERE bm_rank <= {_BM25_K}
+    ORDER BY query_id, rank
+    """,
+    tags=("text", "retrieval", "incremental", "parity:bm25-compaction"),
+)
+def q210_bm25_compaction(spark, sf_dir):
+    """PHYSICAL COMPACTION of q208's tombstoned BM25 index — the
+    background half of the delete lifecycle: q208 serves correct
+    answers with tombstones applied at probe time; compaction
+    REWRITES the standing tables without them so probes stop paying
+    the anti-join and the deleted bytes actually leave storage. The
+    compacted tables publish under a DERIVED fingerprint
+    (md5(base_fp : tombstone-set digest)) — the same atomic-rename /
+    metadata-sidecar machinery as any standing table, so a crashed
+    compaction can never half-replace the live index, and re-running
+    is a warm no-op. The oracle is IDENTICAL to q208's (full rebuild
+    over the surviving corpus): one green row pins probe-time deletes,
+    the other pins the physical rewrite, so
+    tombstone == compaction == rebuild is hash-checked end to end.
+
+    Scale shape: compaction reads ONLY the standing tables — postings
+    and the doc-keyed length companion anti-joined against broadcast
+    tombstones (narrow), stats re-derived by one aggregate over the
+    compacted companion's two integer columns; raw text is never
+    touched. The warm probe is q193's shape with NO tombstone filter
+    anywhere — the plan must not contain documents.parquet at all
+    (pinned in tests/test_plans.py)."""
+    import hashlib
+    import os
+
+    from pyspark.sql import Window
+
+    from mindseye_dataframes_spark.sources.bucketing import (
+        dataset_fingerprint,
+        standing_table,
+    )
+
+    post, dlens, stats = bm25_tombstone_base(spark, sf_dir)
+    real = os.path.realpath(sf_dir)
+    loc = hashlib.md5(real.encode()).hexdigest()[:8]
+    base_fp = dataset_fingerprint(os.path.join(real, "documents.parquet"))
+    # the compacted generation's identity = base corpus + tombstone set
+    fp2 = hashlib.md5(
+        f"{base_fp}:tomb:{_BM25_TOMB_PRED}".encode()
+    ).hexdigest()[:16]
+    tomb = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.expr(_BM25_TOMB_PRED))
+        .select("doc_id")
+    )
+
+    cpost = standing_table(
+        spark,
+        f"msdf_stage_bm25cpost_{loc}",
+        fp2,
+        lambda: post.join(F.broadcast(tomb), "doc_id", "left_anti"),
+        ["token"],
+        16,
+        ["token", "doc_id"],
+    )
+    cdlens = standing_table(
+        spark,
+        f"msdf_stage_bm25cdl_{loc}",
+        fp2,
+        lambda: dlens.join(F.broadcast(tomb), "doc_id", "left_anti"),
+        ["doc_id"],
+        16,
+    )
+    cstats = standing_table(
+        spark,
+        f"msdf_stage_bm25cstats_{loc}",
+        fp2,
+        lambda: cdlens.agg(
+            F.lit(0).alias("k"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("total_len"),
+        ),
+        ["k"],
+        1,
+    )
+    # the post-compaction probe: q193's shape, zero tombstone awareness
+    probe_tokens = sorted({t for _, t in _BM25_QUERIES})
+    live_post = cpost.filter(F.col("token").isin(probe_tokens))
+    dfs = live_post.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    q = spark.createDataFrame(list(_BM25_QUERIES), "query_id int, token string")
+    cand = (
+        F.broadcast(q)
+        .join(live_post, "token")
+        .join(F.broadcast(dfs), "token")
+        .crossJoin(F.broadcast(cstats.select("n_docs", "total_len")))
     )
     scored = cand.groupBy("query_id", "doc_id").agg(
         F.sum(F.expr(_BM25_TERM)).cast("long").alias("score_ppm")

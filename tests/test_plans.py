@@ -872,3 +872,32 @@ def test_ann_tombstone_filters_standing_postings_no_rebuild(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("embeddings.parquet") <= 2, plan  # queries + tombstones
+
+
+def test_bm25_compaction_warm_probe_is_tombstone_free(spark, sf_dir):
+    """q210 warm: after physical compaction the probe is q193's shape
+    with ZERO tombstone awareness — no documents.parquet anywhere in
+    the plan (the compacted standing tables are the only sources), the
+    probed-term In-filter still pushes to the compacted postings scan,
+    no anti-join, no shuffled join."""
+    REGISTRY["q210_bm25_compaction"].fn(spark, sf_dir).count()  # cold compact
+    plan = plan_of(spark, sf_dir, "q210_bm25_compaction")
+    assert "msdf_stage_bm25cpost" in plan, plan
+    assert "documents.parquet" not in plan, plan
+    assert "In(token" in plan or "token IN" in plan, plan
+    assert "LeftAnti" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ann_compaction_warm_probe_is_tombstone_free(spark, sf_dir):
+    """q211 warm: the compacted cell-bucketed postings serve probes
+    with no anti-join and no corpus-side embeddings scan — raw
+    embeddings appear only as the query vectors."""
+    REGISTRY["q211_ann_compaction"].fn(spark, sf_dir).count()  # cold compact
+    plan = plan_of(spark, sf_dir, "q211_ann_compaction")
+    assert "msdf_stage_ivfcpost" in plan, plan
+    assert "LeftAnti" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("embeddings.parquet") <= 1, plan  # query vectors only

@@ -113,6 +113,13 @@ def main() -> None:
     mid_layers = (
         [int(x) for x in sys.argv[1].split(",")] if len(sys.argv) > 1 else [20]
     )
+    # BisectionSearch (Trainer.scala:68) iterates to tolerance, NOT a
+    # fixed probe count — at [200,200] the initial step overshoots the
+    # much sharper loss surface and 3 halvings never reach an improving
+    # step (measured: every epoch stalled at iters=1, loss pinned at
+    # ~3.33). 12 probes spans 0.3 / 2^11 ≈ 1.5e-4, which is the
+    # bisection behavior the reference actually runs.
+    max_probes = int(sys.argv[2]) if len(sys.argv) > 2 else (3 if mid_layers == [20] else 12)
     strategy = CategorizingStrategy(
         "Cover_Type", categories=LABELS, base=1, default_size=10
     )
@@ -134,6 +141,7 @@ def main() -> None:
             max_iters=10,
             lr=0.3,
             seed=5 + i,
+            max_probes=max_probes,
         )
         epochs.append(
             {
@@ -156,6 +164,7 @@ def main() -> None:
         "n_rows": n,
         "n_cols_raw": 55,
         "mid_layers": mid_layers,
+        "max_probes": max_probes,
         "fractions": FRACTIONS,
         "epochs": epochs,
         "epoch_end_losses": ends,
