@@ -537,3 +537,29 @@ def test_staging_dir_resolution(spark):
     p3 = staging_dir(spark, "msdf_t_")
     assert os.path.isdir(p3)
     os.rmdir(p3)
+
+
+def test_staging_dir_refuses_driver_tempdir_on_nonlocal_master():
+    """On a real cluster a driver tempdir is invisible to executors —
+    with no spark.mindseye.stagingDir configured, a non-local master
+    must raise at staging time rather than let parquet writes/reads
+    silently target different machines (ADVICE r7)."""
+    import pytest as _pytest
+
+    from mindseye_dataframes_spark.sources.staging import staging_dir
+
+    class _FakeConf:
+        def __init__(self, master):
+            self._d = {"spark.master": master}
+
+        def get(self, key, default=None):
+            return self._d.get(key, default)
+
+    class _FakeSpark:
+        def __init__(self, master):
+            self.conf = _FakeConf(master)
+
+    with _pytest.raises(ValueError, match="stagingDir"):
+        staging_dir(_FakeSpark("yarn"), "msdf_t_")
+    with _pytest.raises(ValueError, match="stagingDir"):
+        staging_dir(_FakeSpark("spark://host:7077"), "msdf_t_")
