@@ -73,6 +73,34 @@ def _local_lister(path: str) -> list[tuple[str, int, object]]:
     return entries
 
 
+def hadoop_lister(spark: SparkSession):
+    """A ``dataset_fingerprint`` lister backed by Spark's configured
+    Hadoop FileSystem — the concrete object-store path the pluggable
+    listing exists for: any URI Spark itself can read (``s3a://``,
+    ``gs://``, ``hdfs://``, ``file://``) lists through the SAME
+    connector config the scans use, with (length, modificationTime)
+    as the freshness version (object stores bump modificationTime on
+    every overwrite — the generation-number proxy the connectors
+    expose uniformly; still O(files) metadata, no data read)."""
+
+    def lister(path: str) -> list[tuple[str, int, object]]:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(hconf)
+        base = fs.getFileStatus(p).getPath().toString().rstrip("/")
+        entries: list[tuple[str, int, object]] = []
+        it = fs.listFiles(p, True)  # recursive
+        while it.hasNext():
+            st = it.next()
+            full = st.getPath().toString()
+            rel = full[len(base) + 1 :] if full.startswith(base + "/") else full
+            entries.append((rel, int(st.getLen()), int(st.getModificationTime())))
+        return entries
+
+    return lister
+
+
 def dataset_fingerprint(path: str, lister=None) -> str:
     """Content-fingerprint of a dataset path for standing-index
     invalidation: md5 over the sorted (relative name, size, version)

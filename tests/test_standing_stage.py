@@ -180,3 +180,33 @@ def test_dataset_fingerprint_tracks_content(tmp_path):
     assert dataset_fingerprint(str(d)) != f2  # rewrite invalidates
     # single-file datasets fingerprint too
     assert dataset_fingerprint(str(d / "a.parquet"))
+
+
+def test_hadoop_lister_fingerprints_through_filesystem_api(spark, tmp_path):
+    """The Hadoop-FS lister (the object-store path of the pluggable
+    listing) must agree with the local lister's change-detection
+    semantics when pointed at the same files via file:// — stable on
+    re-list, invalidated by add and by rewrite."""
+    from mindseye_dataframes_spark.sources.bucketing import hadoop_lister
+
+    d = tmp_path / "ds"
+    d.mkdir()
+    (d / "a.parquet").write_bytes(b"aaa")
+    lister = hadoop_lister(spark)
+    uri = f"file://{d}"
+    f1 = dataset_fingerprint(uri, lister=lister)
+    assert f1 == dataset_fingerprint(uri, lister=lister)  # stable
+    (d / "b.parquet").write_bytes(b"bbb")
+    f2 = dataset_fingerprint(uri, lister=lister)
+    assert f2 != f1  # add invalidates
+    os.utime(d / "a.parquet", (1, 1))
+    assert dataset_fingerprint(uri, lister=lister) != f2  # rewrite invalidates
+    # listing is relative-name based: the same content under a
+    # different root fingerprint-matches (portable staging)
+    d2 = tmp_path / "ds_copy"
+    d2.mkdir()
+    for fn in ("a.parquet", "b.parquet"):
+        (d2 / fn).write_bytes((d / fn).read_bytes())
+        st = os.stat(d / fn)
+        os.utime(d2 / fn, (st.st_atime, st.st_mtime))
+    assert dataset_fingerprint(f"file://{d2}", lister=lister) == dataset_fingerprint(uri, lister=lister)
