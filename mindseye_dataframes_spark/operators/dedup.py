@@ -266,3 +266,92 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    threshold_ppm: int = 800_000,
+    max_df: int = 50,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT near-dup pairs: C(src→dst) =
+    |grams(src) ∩ grams(dst)| / |grams(src)|, emitted as ordered
+    (src_id, dst_id) rows for every direction with containment ≥
+    ``threshold_ppm``. Containment is the metric Jaccard structurally
+    misses: a short doc fully embedded in a much longer one (quote
+    farms, boilerplate wrappers, chunk-of-a-book) has C(short→long)
+    ≈ 1 while J = |short|/|long| ≈ 0 — so a Jaccard gate never fires.
+    Broder's containment sketch is the classical form; here candidates
+    are exact (shared rare gram), so the score is exact too.
+
+    Same inverted-index candidate stage as :func:`ngram_jaccard_pairs`
+    (one Arrow-batched gram pass, df ≤ ``max_df`` posting self-join —
+    bounded buckets, never all-pairs); the verify computes the
+    intersection ONCE per unordered pair and fans out both directed
+    scores with an array explode (no second join). Scores are integer
+    ppm (``inter·1e6 DIV n_src``) — BIGINT-exact on every engine.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from mindseye_dataframes_spark.functions.textfns import py_char_ngrams
+
+    grams_udf = F.pandas_udf(
+        lambda texts: texts.map(lambda t: py_char_ngrams(t, n)), "array<string>"
+    )
+    feats = (
+        ensure_min_parallelism(df, id_col)
+        .select(F.col(id_col), grams_udf(F.col(text_col)).alias("grams"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    postings = feats.select(F.col(id_col), F.explode("grams").alias("g"))
+    rare = (
+        postings.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") <= max_df)
+        .select("g")
+    )
+    rare_postings = postings.join(rare, "g")
+    a = rare_postings.select("g", F.col(id_col).alias("id_a"))
+    b = rare_postings.select("g", F.col(id_col).alias("id_b"))
+    candidates = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sized = feats.withColumn("n_grams", F.size("grams"))
+    ga = sized.select(
+        F.col(id_col).alias("id_a"),
+        F.col("grams").alias("grams_a"),
+        F.col("n_grams").alias("n_a"),
+    )
+    gb = sized.select(
+        F.col(id_col).alias("id_b"),
+        F.col("grams").alias("grams_b"),
+        F.col("n_grams").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("long")
+    scored = (
+        candidates.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("id_a", "id_b", inter.alias("inter"), "n_a", "n_b")
+    )
+    directed = scored.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src_id"),
+                    F.col("id_b").alias("dst_id"),
+                    F.expr("inter * 1000000 DIV n_a").alias("containment_ppm"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src_id"),
+                    F.col("id_a").alias("dst_id"),
+                    F.expr("inter * 1000000 DIV n_b").alias("containment_ppm"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    return directed.filter(F.col("containment_ppm") >= threshold_ppm)

@@ -500,3 +500,124 @@ def q153_join_key_skew_profile(spark, sf_dir):
         )
         .orderBy(F.desc("n"), "user_id")
     )
+
+
+# --- q217: rendezvous (HRW) sharding vs mod-N under a reshard --------
+#
+# The resharding story a 100 TB corpus actually lives or dies by:
+# growing a mod-N layout from 8 to 9 shards moves (N-1)/N ≈ 89% of all
+# keys (every shard rewrites), while rendezvous/HRW hashing moves only
+# the ~1/9 of keys whose new shard wins their highest hash — the
+# minimal-disruption property that makes standing-index/bucket layouts
+# maintainable without full rewrites. Both assignments and both
+# movement fractions are computed exactly and value-checked.
+_RDZV_FROM = 8
+_RDZV_TO = 9
+
+
+def _rdzv_expr(n: int) -> str:
+    """Rendezvous winner among ``n`` shards for this row's doc_id, as
+    a pure JVM fold over a literal range (``aggregate(sequence(...))``)
+    — per-row narrow compute, no explode, no shuffle, no UDF."""
+    key = "md5(concat(cast(doc_id AS string), ':', cast(x AS string)))"
+    return (
+        f"aggregate(sequence(0, {n - 1}), "
+        "named_struct('h', cast('' AS string), 's', -1), "
+        f"(acc, x) -> IF({key} > acc.h, named_struct('h', {key}, 's', x), acc)"
+        ").s"
+    )
+
+
+@query(
+    "q217_rendezvous_sharding",
+    oracle=f"""
+    WITH r8 AS (
+      SELECT d.doc_id,
+             arg_max(u.s, md5(CAST(d.doc_id AS VARCHAR) || ':'
+                              || CAST(u.s AS VARCHAR))) AS sh
+      FROM documents d, range(0, {_RDZV_FROM}) u(s) GROUP BY d.doc_id),
+    r9 AS (
+      SELECT d.doc_id,
+             arg_max(u.s, md5(CAST(d.doc_id AS VARCHAR) || ':'
+                              || CAST(u.s AS VARCHAR))) AS sh
+      FROM documents d, range(0, {_RDZV_TO}) u(s) GROUP BY d.doc_id),
+    per_doc AS (
+      SELECT 'mod' AS method, d.doc_id % {_RDZV_TO} AS shard,
+             CASE WHEN d.doc_id % {_RDZV_FROM} <> d.doc_id % {_RDZV_TO}
+                  THEN 1 ELSE 0 END AS moved
+      FROM documents d
+      UNION ALL
+      SELECT 'rendezvous' AS method, r9.sh AS shard,
+             CASE WHEN r8.sh <> r9.sh THEN 1 ELSE 0 END AS moved
+      FROM r8 JOIN r9 USING (doc_id)),
+    by_shard AS (
+      SELECT method, shard, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(moved) AS BIGINT) AS moved
+      FROM per_doc GROUP BY method, shard)
+    SELECT method,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(sum(moved) AS BIGINT) AS moved,
+           CAST(sum(moved) AS BIGINT) * 1000000
+             // CAST(sum(n) AS BIGINT) AS moved_ppm,
+           CAST(max(n) AS BIGINT) AS shard_to_max,
+           CAST(min(n) AS BIGINT) AS shard_to_min
+    FROM by_shard GROUP BY method ORDER BY method
+    """,
+    tags=("scale", "sharding", "north-star", "parity:rendezvous"),
+)
+def q217_rendezvous_sharding(spark, sf_dir):
+    """Rendezvous (highest-random-weight) sharding vs mod-N under a
+    reshard from 8 → 9 shards: per method, the exact number/ppm of
+    keys that change shard plus the new layout's max/min shard sizes
+    (balance). HRW's contract — only ~1/N_new of keys move, vs mod-N's
+    ~(N-1)/N full reshuffle — is what lets a 100 TB bucketed layout
+    (standing indexes, dedup stages) grow its shard count without
+    rewriting every shard; the driver value-checks both movement
+    fractions and the balance, so the claim is pinned, not asserted.
+
+    Plan shape: shard winners are per-row JVM folds over a literal
+    shard range (``_rdzv_expr`` — no explode, no join, no Python); the
+    only exchanges are a 2N-row unpivot into groupBy(method, shard)
+    (tiny fixed-width rows) and the O(methods·shards) final rollup."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    shards = docs.select(
+        "doc_id",
+        F.expr(_rdzv_expr(_RDZV_FROM)).alias("rz_from"),
+        F.expr(_rdzv_expr(_RDZV_TO)).alias("rz_to"),
+        (F.col("doc_id") % _RDZV_FROM).alias("m_from"),
+        (F.col("doc_id") % _RDZV_TO).alias("m_to"),
+    )
+    per_doc = shards.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("mod").alias("method"),
+                    F.col("m_to").cast("long").alias("shard"),
+                    (F.col("m_from") != F.col("m_to"))
+                    .cast("long")
+                    .alias("moved"),
+                ),
+                F.struct(
+                    F.lit("rendezvous").alias("method"),
+                    F.col("rz_to").cast("long").alias("shard"),
+                    (F.col("rz_from") != F.col("rz_to"))
+                    .cast("long")
+                    .alias("moved"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    by_shard = per_doc.groupBy("method", "shard").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("moved").alias("moved")
+    )
+    return (
+        by_shard.groupBy("method")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.sum("moved").alias("moved"),
+            F.expr("sum(moved) * 1000000 DIV sum(n)").alias("moved_ppm"),
+            F.max("n").alias("shard_to_max"),
+            F.min("n").alias("shard_to_min"),
+        )
+        .orderBy("method")
+    )

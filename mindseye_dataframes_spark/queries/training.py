@@ -12,7 +12,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mindseye_dataframes_spark.operators.dedup import ngram_jaccard_pairs
+from mindseye_dataframes_spark.operators.dedup import (
+    ngram_containment_pairs,
+    ngram_jaccard_pairs,
+)
 from mindseye_dataframes_spark.operators.packing import (
     mixture_sample,
     pack_sequences,
@@ -165,3 +168,168 @@ def q83_mixture_sample(spark, sf_dir):
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+_CUR_SEED = "cur-0"
+_CUR_TIERS = 4
+
+
+@query(
+    "q216_curriculum_schedule",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+      FROM documents),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+    hist AS (SELECT score, count(*) AS c FROM t GROUP BY score),
+    cum AS (SELECT score, SUM(c) OVER (ORDER BY score) AS cum FROM hist),
+    cuts AS (
+      SELECT min(CASE WHEN cum >= (1 * n + 3) // 4 THEN score END) AS c1,
+             min(CASE WHEN cum >= (2 * n + 3) // 4 THEN score END) AS c2,
+             min(CASE WHEN cum >= (3 * n + 3) // 4 THEN score END) AS c3
+      FROM cum CROSS JOIN tot),
+    tiered AS (
+      SELECT doc_id, score,
+             1 + CASE WHEN score > c1 THEN 1 ELSE 0 END
+               + CASE WHEN score > c2 THEN 1 ELSE 0 END
+               + CASE WHEN score > c3 THEN 1 ELSE 0 END AS tier
+      FROM t CROSS JOIN cuts)
+    SELECT doc_id, score, CAST(tier AS INT) AS tier,
+           CAST(ROW_NUMBER() OVER (
+                  ORDER BY tier,
+                           md5('{_CUR_SEED}:' || CAST(doc_id AS VARCHAR)),
+                           doc_id) - 1 AS BIGINT) AS global_pos
+    FROM tiered ORDER BY doc_id
+    """,
+    tags=("training", "curriculum", "parity:curriculum-schedule"),
+)
+def q216_curriculum_schedule(spark, sf_dir):
+    """Curriculum training order: docs are quartile-tiered by an
+    integer difficulty score (token count — any integer score plugs
+    in), then the epoch order is easy→hard tiers with a deterministic
+    md5 shuffle *within* each tier; every doc gets its dense 0-based
+    ``global_pos`` in that schedule. Tier cutpoints are VALUE
+    quantiles over the score histogram (all equal scores share a
+    tier), so the spec is a pure function of content — DuckDB replays
+    cutpoints, tiers, and the full permutation.
+
+    Plan shape, 100 TB: the score histogram is O(distinct scores) —
+    its cumulative window runs on that tiny frame, never on the
+    corpus; cutpoints broadcast back as a 1-row frame (the q95
+    min/max pattern); the tier tag is a narrow map; the only
+    corpus-wide movement is the ONE range exchange inside
+    ``with_row_index`` on (tier, md5, doc_id) — the same two-phase
+    distributed position scan q81/q82 ride (no single-partition
+    sort, plan-pinned there)."""
+    from mindseye_dataframes_spark.operators.zip_frames import with_row_index
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("score"),
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    hist = docs.groupBy("score").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("score").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    cuts = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr(f"({k} * n + 3) DIV 4"),
+                        F.col("score"),
+                    )
+                ).alias(f"c{k}")
+                for k in range(1, _CUR_TIERS)
+            ]
+        )
+    )
+    tiered = docs.crossJoin(F.broadcast(cuts)).withColumn(
+        "tier",
+        sum(
+            [F.lit(1)]
+            + [
+                (F.col("score") > F.col(f"c{k}")).cast("int")
+                for k in range(1, _CUR_TIERS)
+            ]
+        ),
+    )
+    keyed = tiered.withColumn(
+        "_cur_key",
+        F.md5(F.concat_ws(":", F.lit(_CUR_SEED), F.col("doc_id").cast("string"))),
+    )
+    ordered = with_row_index(
+        keyed, ["tier", "_cur_key", "doc_id"], index_col="global_pos"
+    )
+    return ordered.select(
+        "doc_id", "score", F.col("tier").cast("int").alias("tier"), "global_pos"
+    ).orderBy("doc_id")
+
+
+_CONT_THRESHOLD_PPM = 800_000
+
+
+@query(
+    "q213_ngram_containment_pairs",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             CASE WHEN len(text) >= {_NGRAM_N}
+                  THEN list_distinct(list_transform(range(1, len(text) - {_NGRAM_N} + 2),
+                       i -> substr(text, i, {_NGRAM_N})))
+                  ELSE [text] END AS grams
+      FROM documents
+    ), postings AS (
+      SELECT doc_id, unnest(grams) AS gr FROM g
+    ), rare AS (
+      SELECT gr FROM postings GROUP BY gr HAVING COUNT(*) <= {_NGRAM_MAXDF}
+    ), rp AS (
+      SELECT postings.doc_id, postings.gr FROM postings JOIN rare USING (gr)
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rp a JOIN rp b USING (gr)
+      WHERE a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS inter,
+             CAST(len(ga.grams) AS BIGINT) AS n_a,
+             CAST(len(gb.grams) AS BIGINT) AS n_b
+      FROM cands
+      JOIN g ga ON ga.doc_id = id_a
+      JOIN g gb ON gb.doc_id = id_b
+    ), directed AS (
+      SELECT id_a AS src_id, id_b AS dst_id,
+             inter * 1000000 // n_a AS containment_ppm FROM pairs
+      UNION ALL
+      SELECT id_b AS src_id, id_a AS dst_id,
+             inter * 1000000 // n_b AS containment_ppm FROM pairs
+    )
+    SELECT src_id, dst_id, containment_ppm
+    FROM directed WHERE containment_ppm >= {_CONT_THRESHOLD_PPM}
+    ORDER BY src_id, dst_id
+    """,
+    tags=("dedup", "training", "parity:ngram-containment"),
+)
+def q213_ngram_containment_pairs(spark, sf_dir):
+    """Asymmetric containment near-dup pairs (C(src→dst) =
+    |∩|/|grams(src)| ≥ 0.8): the detector for a short doc EMBEDDED in
+    a longer one, which symmetric Jaccard (q80) structurally under-
+    scores — J = |short|/|long| for a perfect superset pair. Same
+    exact inverted-index candidates (shared rare 8-gram, df ≤ 50);
+    the intersection is computed once per unordered pair and fanned
+    into both directed ppm scores
+    (`operators/dedup.py:ngram_containment_pairs`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        docs, "text", "doc_id", n=_NGRAM_N,
+        threshold_ppm=_CONT_THRESHOLD_PPM, max_df=_NGRAM_MAXDF,
+    ).orderBy("src_id", "dst_id")

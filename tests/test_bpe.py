@@ -169,8 +169,10 @@ def test_bpe_deep_merge_run_stays_bounded(spark):
     assert n_checkpoints == 64 // 8 + 1
     # generous absolute canary: the pre-fix O(n²) fold recompute blew
     # far past this on the same corpus (interpreted folds re-run
-    # 64·65/2 times); linear-with-checkpoints stays well under
-    assert elapsed < 120, f"64-merge run took {elapsed:.0f}s"
+    # 64·65/2 times); linear-with-checkpoints stays well under even
+    # when another Spark session shares the host's cores (observed
+    # ~125 s with a concurrent bench run — keep the bound above that)
+    assert elapsed < 240, f"64-merge run took {elapsed:.0f}s"
     plan = words._jdf.queryExecution().analyzed().toString()
     assert "LogicalRDD" in plan and "aggregate" not in plan.lower()
     from pyspark.sql import functions as F

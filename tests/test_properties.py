@@ -1014,3 +1014,25 @@ def test_substring_rewrite_invariants(spark, sf_dir):
             n_touched += 1
             assert r["new_md5"] != orig[doc_id], r
     assert n_touched > 0
+
+
+def test_rendezvous_movers_are_exactly_new_shard_winners(spark):
+    """HRW's minimal-disruption law: growing 8→9 shards moves exactly
+    the keys whose 9-shard winner IS the new shard (index 8) — no
+    other key's argmax can change when a candidate is added. Also pins
+    the narrow plan: shard assignment adds no join and no explode
+    before the final rollup."""
+    from mindseye_dataframes_spark.queries.scale_patterns import _rdzv_expr
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id").select(
+        "doc_id",
+        F.expr(_rdzv_expr(8)).alias("s8"),
+        F.expr(_rdzv_expr(9)).alias("s9"),
+    )
+    rows = df.collect()
+    movers = {r["doc_id"] for r in rows if r["s8"] != r["s9"]}
+    new_winners = {r["doc_id"] for r in rows if r["s9"] == 8}
+    assert movers == new_winners
+    assert 0 < len(movers) < 2000 * 0.25  # ~1/9 expected, generous cap
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan and "Join" not in plan

@@ -198,3 +198,68 @@ def test_kmeans_recovers_separated_blobs(spark):
         cells = {got[i * 3 + blob] for i in range(30)}
         assert len(cells) == 1, f"blob {blob} split across {cells}"
     assert len({got[0], got[1], got[2]}) == 3  # blobs not merged
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    """A short doc fully embedded in a long one must score containment
+    1.0 (short→long) while its Jaccard stays far below any dedup gate
+    — the asymmetry that justifies the operator. Direction matters:
+    long→short containment is small."""
+    from mindseye_dataframes_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "the quick brown fox jumps over the lazy dog"
+    long = (
+        " ".join(f"prologue sentence number {i} with distinct words" for i in range(10))
+        + " " + short + " "
+        + " ".join(f"epilogue sentence number {i} closes the document" for i in range(10))
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "completely unrelated content here")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["src_id"], r["dst_id"]): r["containment_ppm"]
+        for r in ngram_containment_pairs(
+            df, "text", "doc_id", n=8, threshold_ppm=0, max_df=50
+        ).collect()
+    }
+    assert got[(1, 2)] == 1_000_000  # every short-doc gram is in long
+    assert got[(2, 1)] < 200_000  # reverse direction nowhere near
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", n=8, threshold=0.0, max_df=50
+        ).collect()
+    }
+    assert jac[(1, 2)] < 0.2  # Jaccard under-scores the superset pair
+
+
+def test_curriculum_schedule_tiers_and_permutation(spark, sf_dir):
+    """q216 invariants: global_pos is a dense permutation, tiers are
+    monotone in score, and the schedule is tier-contiguous (every
+    tier-k position precedes every tier-(k+1) position)."""
+    from mindseye_dataframes_spark.queries import load_all
+
+    rows = load_all()["q216_curriculum_schedule"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    assert sorted(r["global_pos"] for r in rows) == list(range(n))
+    by_tier = {}
+    for r in rows:
+        by_tier.setdefault(r["tier"], []).append(r)
+    assert set(by_tier) <= {1, 2, 3, 4}
+    # tiers partition the score axis monotonically
+    for k in sorted(by_tier)[:-1]:
+        assert max(r["score"] for r in by_tier[k]) <= min(
+            r["score"] for r in by_tier[k + 1]
+        )
+        # and the schedule is tier-contiguous
+        assert max(r["global_pos"] for r in by_tier[k]) < min(
+            r["global_pos"] for r in by_tier[k + 1]
+        )
+    # equal scores never straddle a tier boundary (value quantiles)
+    score_tier = {}
+    for r in rows:
+        assert score_tier.setdefault(r["score"], r["tier"]) == r["tier"]
