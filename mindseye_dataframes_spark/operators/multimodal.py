@@ -649,3 +649,63 @@ def encode_png_gray(pixels: "np.ndarray") -> bytes:
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
+
+
+def encode_wav_pcm16(samples, rate: int) -> bytes:
+    """Real PCM-16 WAV encode (stdlib ``wave``): mono, little-endian
+    int16 frames. The write-side twin of :func:`decode_wav`, so
+    container roundtrips exercise a genuine audio codec boundary."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def wav_pcm_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Integer-exact PCM stats per WAV payload: (n_samples,
+    sample_rate, sum_abs) where sum_abs = Σ|sᵢ| over the RAW int16
+    samples — pure BIGINT arithmetic, so an oracle that knows the
+    samples replays the value bit-exactly (no FFT/float in the loop).
+    REAL stdlib ``wave`` parse; non-WAV payloads yield NULLs. One
+    Arrow-batched ``mapInPandas`` pass, no shuffle."""
+    keep = [c for c in df.columns if c != blob_col]
+    out_schema = ", ".join(
+        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in keep]
+        + ["n_samples int, sample_rate int, sum_abs long"]
+    )
+
+    def extract(batches):
+        def kernel(p: bytes) -> dict:
+            nul = {"n_samples": None, "sample_rate": None, "sum_abs": None}
+            if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+                return nul
+            try:
+                with wave.open(io.BytesIO(p)) as w:
+                    if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                        return nul
+                    sr = w.getframerate()
+                    n = w.getnframes()
+                    frames = w.readframes(n)
+            except (wave.Error, EOFError):
+                return nul
+            s = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+            return {
+                "n_samples": int(len(s)),
+                "sample_rate": int(sr),
+                "sum_abs": int(np.abs(s).sum()),
+            }
+
+        for pdf in batches:
+            out = pdf[keep].copy()
+            decoded = pdf[blob_col].map(
+                lambda b: kernel(bytes(b) if b is not None else b"")
+            )
+            out["n_samples"] = decoded.map(lambda d: d["n_samples"])
+            out["sample_rate"] = decoded.map(lambda d: d["sample_rate"])
+            out["sum_abs"] = decoded.map(lambda d: d["sum_abs"])
+            yield out
+
+    return ensure_min_parallelism(df).mapInPandas(extract, schema=out_schema)

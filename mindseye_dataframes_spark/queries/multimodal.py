@@ -407,3 +407,94 @@ def q188_packed_png_decode(spark, sf_dir):
         "channels",
         *[F.element_at("features", i + 1).alias(f"f{i}") for i in range(4)],
     ).orderBy("doc_id")
+
+
+_WAV_RATE = 8000
+_WAV_N = 16  # one sample per md5 digest byte
+_WAV_SUM_ABS = " + ".join(
+    f"abs(({_HEXBYTE.format(hi=2 * j + 1, lo=2 * j + 2)} - 128) * 256)"
+    for j in range(_WAV_N)
+)
+
+
+@query(
+    "q215_packed_wav_decode",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    s AS (SELECT doc_id, CAST({_WAV_SUM_ABS} AS BIGINT) AS sum_abs FROM h)
+    SELECT doc_id,
+           CAST({_WAV_N} AS INT) AS n_samples,
+           CAST({_WAV_RATE} AS INT) AS sample_rate,
+           CAST({_WAV_N * 1000 // _WAV_RATE} AS BIGINT) AS duration_ms,
+           sum_abs * 1000000 // {_WAV_N * 32768} AS mean_abs_ppm
+    FROM s ORDER BY doc_id
+    """,
+    tags=("multimodal", "sources", "parity:binary-ingest"),
+)
+def q215_packed_wav_decode(spark, sf_dir):
+    """q188's container story extended to AUDIO: per doc, a real
+    PCM-16 WAV is synthesized (16 deterministic samples from the
+    text's md5 bytes, stdlib ``wave`` encode), the small blobs are
+    batched into parquet container shards (``pack_binary_objects``),
+    scanned back as a splittable columnar read, and REAL-decoded
+    (stdlib ``wave`` parse) into integer-exact PCM stats. The oracle
+    re-derives the samples from md5(text) and replays Σ|sᵢ| in pure
+    BIGINT — so byte-lossless container transport through a genuine
+    audio codec + filesystem + format boundary is value-checked, not
+    asserted (cites the reference's opaque-payload column handling,
+    `TensorDataframeSpec.scala`; the codec itself is public stdlib).
+
+    Scale shape: identical to q188 — the production layout for
+    small-object corpora pays one file open per ~128 MB shard instead
+    of one per blob (q177 vs q188 measured 15× at sf1); encode and
+    decode are single Arrow-batched passes with no shuffle."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from mindseye_dataframes_spark.operators.multimodal import (
+        encode_wav_pcm16,
+        wav_pcm_stats,
+    )
+    from mindseye_dataframes_spark.sources.readers import read_packed_binary
+    from mindseye_dataframes_spark.sources.sinks import pack_binary_objects
+    from mindseye_dataframes_spark.sources.staging import staging_dir
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out_dir = staging_dir(spark, "msdf_wav_packed_")
+
+    def enc(batches):
+        for pdf in batches:
+            names, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = hashlib.md5(text.encode("utf-8")).digest()
+                samples = (
+                    np.frombuffer(b, dtype=np.uint8).astype(np.int64) - 128
+                ) * 256
+                names.append(f"{int(doc_id)}.wav")
+                blobs.append(encode_wav_pcm16(samples, _WAV_RATE))
+            yield pd.DataFrame({"name": names, "wav": blobs})
+
+    pack_binary_objects(
+        docs.mapInPandas(enc, "name string, wav binary"),
+        out_dir,
+        "name",
+        "wav",
+    )
+    scanned = read_packed_binary(spark, out_dir).select(
+        F.regexp_extract("name", r"(\d+)\.wav$", 1).cast("long").alias("doc_id"),
+        F.col("content").alias("blob"),
+    )
+    stats = wav_pcm_stats(scanned, "blob")
+    return stats.select(
+        "doc_id",
+        "n_samples",
+        "sample_rate",
+        F.expr("CAST(n_samples AS BIGINT) * 1000 DIV sample_rate").alias(
+            "duration_ms"
+        ),
+        F.expr(
+            "sum_abs * 1000000 DIV (CAST(n_samples AS BIGINT) * 32768)"
+        ).alias("mean_abs_ppm"),
+    ).orderBy("doc_id")

@@ -374,3 +374,31 @@ def test_pack_binary_objects_min_one_shard(spark, tmp_path_factory):
     df = spark.createDataFrame([("a.bin", b"x")], "name string, payload binary")
     assert pack_binary_objects(df, out, "name", "payload") == 1
     assert read_packed_binary(spark, out).count() == 1
+
+
+def test_wav_pcm16_roundtrip_and_stats(spark):
+    """encode_wav_pcm16 → wav_pcm_stats is byte-lossless: n_samples,
+    rate, and Σ|s| match the source arrays exactly; non-WAV payloads
+    yield NULL stats rather than fakes."""
+    import numpy as np
+
+    from mindseye_dataframes_spark.operators.multimodal import (
+        encode_wav_pcm16,
+        wav_pcm_stats,
+    )
+
+    rng = np.random.default_rng(11)
+    rows, want = [], {}
+    for i, (n, rate) in enumerate([(1, 8000), (16, 8000), (333, 44100)]):
+        s = rng.integers(-32768, 32768, size=n, dtype=np.int64)
+        rows.append((i, bytearray(encode_wav_pcm16(s, rate))))
+        want[i] = (n, rate, int(np.abs(s).sum()))
+    rows.append((99, bytearray(b"not a wav payload")))
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {
+        r["doc_id"]: (r["n_samples"], r["sample_rate"], r["sum_abs"])
+        for r in wav_pcm_stats(df, "blob").collect()
+    }
+    for i, expect in want.items():
+        assert got[i] == expect
+    assert got[99] == (None, None, None)
