@@ -429,3 +429,68 @@ def ann_topk_ivf_postings(
         .filter(F.col("rank") <= k)
         .select(query_id, "rank", corpus_id, "cos_r")
     )
+
+
+def mine_margin_pairs(
+    anchors: DataFrame,
+    targets: DataFrame,
+    sources: DataFrame,
+    k: int,
+    tau_ppm: int,
+) -> DataFrame:
+    """Margin-criterion candidate-pair mining (Artetxe & Schwenk 2019,
+    the CCMatrix/LASER rule): accept (x, y) when cos(x, y) clearly
+    exceeds the LOCAL similarity level around both endpoints —
+    margin = cos·2k / (Σ x's k-NN cos + Σ y's k-NN cos) ≥ tau. The
+    ratio suppresses hubs (vectors similar to everything) that a raw
+    cosine threshold floods on.
+
+    Frames: ``anchors`` (src_id, qv) — the bounded mine batch;
+    ``targets`` (tgt_id, cv) — the other-language corpus; ``sources``
+    (nb_id, cv) — the anchor-language corpus the backward pass ranks
+    against. Scores are integer nano-cosines on the round-9 grid (the
+    q35 cross-engine contract), so sums are order-independent BIGINTs
+    and the margin is exact integer arithmetic; the cos_n > 0 guard
+    keeps divisors positive (floor vs truncate division only agree
+    above zero). Returns (src_id, tgt_id, margin_ppm, rank).
+
+    Scale shape: both k-NN passes are the broadcast-queries ×
+    stationary-corpus scorer (corpus never shuffles); the backward
+    pass ranks only the ≤ |anchors|·k surfaced candidates; the margin
+    join is candidate-local against two O(batch) aggregates."""
+    from pyspark.sql import Window
+
+    scale = 2 * k * 1_000_000
+    nano = F.round(F.col("cos_r") * 1e9).cast("long")
+    fwd = (
+        cosine_topk(anchors, targets, "src_id", "qv", "tgt_id", "cv", k)
+        .withColumn("cos_n", nano)
+        .filter(F.col("cos_n") > 0)
+    )
+    sum_fwd = fwd.groupBy("src_id").agg(F.sum("cos_n").alias("sum_fwd_n"))
+    cand = (
+        fwd.select("tgt_id")
+        .distinct()
+        .join(targets, "tgt_id")
+        .select("tgt_id", F.col("cv").alias("qv"))
+    )
+    bwd = (
+        cosine_topk(cand, sources, "tgt_id", "qv", "nb_id", "cv", k)
+        .withColumn("cos_n", nano)
+        .filter(F.col("cos_n") > 0)
+    )
+    sum_bwd = bwd.groupBy("tgt_id").agg(F.sum("cos_n").alias("sum_bwd_n"))
+    scored = (
+        fwd.select("src_id", "tgt_id", "cos_n")
+        .join(sum_fwd, "src_id")
+        .join(sum_bwd, "tgt_id")
+        .withColumn(
+            "margin_ppm",
+            F.expr(f"cos_n * {scale} DIV (sum_fwd_n + sum_bwd_n)"),
+        )
+        .filter(F.col("margin_ppm") >= tau_ppm)
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("margin_ppm"), "tgt_id")
+    return scored.withColumn("rank", F.row_number().over(w)).select(
+        "src_id", "tgt_id", "margin_ppm", "rank"
+    )

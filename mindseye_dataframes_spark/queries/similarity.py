@@ -1102,3 +1102,101 @@ def q211_ann_compaction(spark, sf_dir):
         queries, cpost, cents, "query_id", "qv", "neighbor_id", "cv",
         k=_K, n_probe=_IVF_PROBE,
     ).orderBy("query_id", "rank")
+
+
+# --- q214: margin-based bitext candidate mining -----------------------
+#
+# The CCMatrix/LASER margin criterion (Artetxe & Schwenk 2019): a
+# candidate pair (x, y) is accepted when cos(x, y) clearly exceeds the
+# LOCAL similarity level around both endpoints — score = cos(x,y) /
+# (mean of x's k-NN cosines + mean of y's k-NN cosines)/2 — which
+# suppresses hubs (vectors similar to everything) that a raw cosine
+# threshold would flood on. The synthetic bilingual split is vec_id
+# parity (even = source "language", odd = target).
+_BTX_K = 4
+_BTX_MAXID = 40  # anchors: even vec_ids below this (a mine batch)
+_BTX_TAU_PPM = 1_060_000  # the canonical 1.06 margin gate, in ppm
+_BTX_SCALE = 2 * _BTX_K * 1_000_000  # cos·2k·1e6 / (Σfwd + Σbwd)
+_BTX_COS_N = (
+    "CAST(round(round(list_cosine_similarity({a}, {b}), 9)"
+    " * 1000000000) AS BIGINT)"
+)
+
+
+@query(
+    "q214_bitext_margin_mining",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    src AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+    tgt AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+    anchors AS (SELECT * FROM src WHERE vec_id < {_BTX_MAXID}),
+    fwd AS (
+      SELECT a.vec_id AS src_id, t.vec_id AS tgt_id,
+             {_BTX_COS_N.format(a='a.v', b='t.v')} AS cos_n,
+             row_number() OVER (PARTITION BY a.vec_id
+                ORDER BY round(list_cosine_similarity(a.v, t.v), 9) DESC,
+                         t.vec_id) AS rk
+      FROM anchors a, tgt t),
+    fwd_k AS (SELECT * FROM fwd WHERE rk <= {_BTX_K} AND cos_n > 0),
+    sum_fwd AS (SELECT src_id, CAST(sum(cos_n) AS BIGINT) AS sum_fwd_n
+                FROM fwd_k GROUP BY src_id),
+    cand AS (SELECT DISTINCT tgt_id FROM fwd_k),
+    bwd AS (
+      SELECT c.tgt_id,
+             {_BTX_COS_N.format(a='t.v', b='s.v')} AS cos_n,
+             row_number() OVER (PARTITION BY c.tgt_id
+                ORDER BY round(list_cosine_similarity(t.v, s.v), 9) DESC,
+                         s.vec_id) AS rk
+      FROM cand c JOIN tgt t ON t.vec_id = c.tgt_id, src s),
+    sum_bwd AS (SELECT tgt_id, CAST(sum(cos_n) AS BIGINT) AS sum_bwd_n
+                FROM bwd WHERE rk <= {_BTX_K} AND cos_n > 0 GROUP BY tgt_id),
+    scored AS (
+      SELECT f.src_id, f.tgt_id,
+             f.cos_n * {_BTX_SCALE} // (x.sum_fwd_n + y.sum_bwd_n)
+               AS margin_ppm
+      FROM fwd_k f
+      JOIN sum_fwd x USING (src_id) JOIN sum_bwd y USING (tgt_id)),
+    acc AS (
+      SELECT src_id, tgt_id, margin_ppm,
+             row_number() OVER (PARTITION BY src_id
+                ORDER BY margin_ppm DESC, tgt_id) AS rank
+      FROM scored WHERE margin_ppm >= {_BTX_TAU_PPM})
+    SELECT src_id, tgt_id, margin_ppm, rank FROM acc
+    ORDER BY src_id, rank
+    """,
+    tags=("similarity", "retrieval", "training", "parity:margin-mining"),
+)
+def q214_bitext_margin_mining(spark, sf_dir):
+    """Margin-based parallel-pair mining over embeddings: forward k-NN
+    from a bounded anchor batch into the target side, backward k-NN
+    for ONLY the surfaced candidates, then the ratio-margin gate
+    cos·2k / (Σ_fwd + Σ_bwd) ≥ 1.06. Scores are integer nano-cosines
+    (round-9 grid, the q35-proven cross-engine contract) so sums are
+    order-independent BIGINTs and the margin replays exactly; the
+    cos_n > 0 guard keeps every divisor positive (DuckDB ``//``
+    floors, Spark ``DIV`` truncates — they agree only above zero).
+
+    Scale shape: the corpus never shuffles — both k-NN passes are the
+    q35 broadcast-queries × stationary-corpus scorer, the backward
+    pass touches only the ≤ anchors·k distinct candidates, and the
+    margin arithmetic is a candidate-local join of two O(batch)
+    aggregates. At 100 TB the brute-force scorer swaps for the
+    standing IVF probe (q192) with identical downstream arithmetic
+    (`operators/similarity.py:mine_margin_pairs`)."""
+    from mindseye_dataframes_spark.operators.similarity import mine_margin_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    anchors = src.filter(F.col("vec_id") < _BTX_MAXID).select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("qv")
+    )
+    targets = tgt.select(
+        F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("cv")
+    )
+    sources = src.select(
+        F.col("vec_id").alias("nb_id"), F.col("embedding").alias("cv")
+    )
+    return mine_margin_pairs(
+        anchors, targets, sources, _BTX_K, _BTX_TAU_PPM
+    ).orderBy("src_id", "rank")

@@ -1036,3 +1036,39 @@ def test_rendezvous_movers_are_exactly_new_shard_winners(spark):
     assert 0 < len(movers) < 2000 * 0.25  # ~1/9 expected, generous cap
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Generate" not in plan and "Join" not in plan
+
+
+def test_margin_mining_suppresses_hub(spark):
+    """The margin criterion's reason to exist: a hub vector moderately
+    similar to EVERY anchor is rejected (its own k-NN level is as high
+    as any single pair), while a genuine translation pair — even with
+    a LOWER raw cosine than the hub's best — is accepted. A raw-cosine
+    gate cannot make that call."""
+    from mindseye_dataframes_spark.operators.similarity import mine_margin_pairs
+
+    import math
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    # three orthogonal anchors; per-anchor true matches at cos≈0.71;
+    # one hub at cos≈0.74 to every anchor (higher than any true pair)
+    anchors = [(0, [1.0, 0.0, 0.0, 0.0]),
+               (2, [0.0, 1.0, 0.0, 0.0]),
+               (4, [0.0, 0.0, 1.0, 0.0])]
+    targets = [(1, unit([1.0, 0.0, 0.0, 1.0])),
+               (3, unit([0.0, 1.0, 0.0, 1.0])),
+               (5, unit([0.0, 0.0, 1.0, 1.0])),
+               (7, unit([0.75, 0.75, 0.75, 0.2]))]  # the hub
+    a = spark.createDataFrame(anchors, "src_id long, qv array<double>")
+    t = spark.createDataFrame(targets, "tgt_id long, cv array<double>")
+    s = spark.createDataFrame(
+        [(i, v) for i, v in anchors], "nb_id long, cv array<double>"
+    )
+    got = {
+        (r["src_id"], r["tgt_id"]): r["margin_ppm"]
+        for r in mine_margin_pairs(a, t, s, k=2, tau_ppm=1_050_000).collect()
+    }
+    assert (0, 1) in got and (2, 3) in got and (4, 5) in got
+    assert not any(tgt == 7 for _, tgt in got)  # hub rejected
