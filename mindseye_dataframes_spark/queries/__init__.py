@@ -235,6 +235,15 @@ REFRESH_R08 = {
     "q188_packed_png_decode",                  # staging_dir resolution
 }
 
+# Round 9: the round-8 driver artifacts (CORRECTNESS_r08) never
+# arrived, so the r8 refresh set was never re-proven and STAYS at the
+# head; q204's base construction was refactored into the shared
+# ``ann_incremental_base`` (consumed by the new q212) after its r7
+# green row, so it joins them.
+REFRESH_R09 = REFRESH_R08 | {
+    "q204_incremental_ann_update",  # base extracted to shared helper
+}
+
 # Stalest-first staleness: a query's group is its LAST proven round
 # (newest membership wins), so re-verification coverage rotates.
 STALE_R02 = (
@@ -251,7 +260,7 @@ STALE_R06 = PROVEN_R06 - PROVEN_R07
 
 def _order_key(item: tuple[str, Query]) -> tuple[int, str]:
     name, q = item
-    if name in REFRESH_R08:
+    if name in REFRESH_R09:
         group = 0  # changed-after-check: head the window
     elif q.oracle is None:
         group = 9  # rows-only checks last — never burn a window slot

@@ -894,39 +894,19 @@ _ANN_BASE_PRED = (
 )
 
 
-@query(
-    "q204_incremental_ann_update",
-    oracle=_ivf_oracle(base_pred=_ANN_BASE_PRED),
-    tags=("similarity", "incremental", "lakehouse", "parity:ann-incremental"),
-)
-def q204_incremental_ann_update(spark, sf_dir):
-    """INCREMENTAL MAINTENANCE of the standing ANN index — the
-    embedding twin of q203's BM25 story, completing the standing-index
-    ingest path: the coarse quantizer is derived ONCE from the
-    standing BASE corpus (the ``split_label`` 'train' 90% on vec_id —
-    the one shared rule) and stays fixed; a late-arriving DELTA batch
-    (the 'test' 10%) is assigned to those EXISTING centroids with the
-    same narrow-map expression and appended logically to the posting
-    list — the standard IVF ingest discipline (assign-on-arrival,
-    re-train the quantizer only when the fingerprint rolls). The
-    oracle replays quantizer-from-base + assignment-over-everything
-    from raw embeddings, pinning that the incrementally maintained
-    index answers exactly what a from-scratch assignment under the
-    same quantizer would.
-
-    Scale shape, warm: base vectors are never re-read as raw corpus —
-    probes hit the cell-bucketed standing postings (the q192 contract);
-    only the delta batch pays the assignment map (pure JVM expression
-    against O(cells) centroid literals, no shuffle — the new rows
-    arrive cell-tagged); the probe equi-join sees base postings
-    pre-clustered by its join key and a delta side small by
-    definition. Nothing recomputes over the base on ingest."""
+def ann_incremental_base(spark, sf_dir):
+    """The standing BASE half of the incremental-ANN story, shared by
+    the batch (q204) and streaming (q212) ingest paths: the coarse
+    quantizer is derived ONCE from the base corpus (split_label
+    'train', 90% on vec_id) and published as a fingerprint-named
+    standing table alongside the cell-bucketed base postings — the
+    q192 contract, restricted to the base split. Returns
+    (cents: [(cell, vec)] sorted, base_post: DataFrame, emb)."""
     import hashlib
     import os
 
     from mindseye_dataframes_spark.operators.similarity import (
         _nearest_cells,
-        ann_topk_ivf_postings,
         ivf_centroids,
     )
     from mindseye_dataframes_spark.queries.curation import split_label
@@ -971,6 +951,45 @@ def q204_incremental_ann_update(spark, sf_dir):
         16,
         ["_cell", "neighbor_id"],
     )
+    return cents, base_post, emb
+
+
+@query(
+    "q204_incremental_ann_update",
+    oracle=_ivf_oracle(base_pred=_ANN_BASE_PRED),
+    tags=("similarity", "incremental", "lakehouse", "parity:ann-incremental"),
+)
+def q204_incremental_ann_update(spark, sf_dir):
+    """INCREMENTAL MAINTENANCE of the standing ANN index — the
+    embedding twin of q203's BM25 story, completing the standing-index
+    ingest path: the coarse quantizer is derived ONCE from the
+    standing BASE corpus (the ``split_label`` 'train' 90% on vec_id —
+    the one shared rule) and stays fixed; a late-arriving DELTA batch
+    (the 'test' 10%) is assigned to those EXISTING centroids with the
+    same narrow-map expression and appended logically to the posting
+    list — the standard IVF ingest discipline (assign-on-arrival,
+    re-train the quantizer only when the fingerprint rolls). The
+    oracle replays quantizer-from-base + assignment-over-everything
+    from raw embeddings, pinning that the incrementally maintained
+    index answers exactly what a from-scratch assignment under the
+    same quantizer would.
+
+    Scale shape, warm: base vectors are never re-read as raw corpus —
+    probes hit the cell-bucketed standing postings (the q192 contract);
+    only the delta batch pays the assignment map (pure JVM expression
+    against O(cells) centroid literals, no shuffle — the new rows
+    arrive cell-tagged); the probe equi-join sees base postings
+    pre-clustered by its join key and a delta side small by
+    definition. Nothing recomputes over the base on ingest
+    (base construction shared with q212: ``ann_incremental_base``)."""
+    from mindseye_dataframes_spark.operators.similarity import (
+        _nearest_cells,
+        ann_topk_ivf_postings,
+    )
+    from mindseye_dataframes_spark.queries.curation import split_label
+
+    cents, base_post, emb = ann_incremental_base(spark, sf_dir)
+    split = split_label("vec_id")
     # the late-arriving batch: assigned to the EXISTING quantizer by a
     # narrow map (centroid literals — no join, no shuffle), appended
     delta_post = emb.filter(split == "test").select(
@@ -1200,3 +1219,103 @@ def q214_bitext_margin_mining(spark, sf_dir):
     return mine_margin_pairs(
         anchors, targets, sources, _BTX_K, _BTX_TAU_PPM
     ).orderBy("src_id", "rank")
+
+
+def ann_ingest_batch_fn(post_log: str, cents):
+    """foreachBatch body of the streaming ANN ingest (q212): assign
+    ONE micro-batch of vectors to the FIXED coarse quantizer (narrow
+    centroid-literal expression — no join, no shuffle) and write the
+    cell-tagged posting rows to the DETERMINISTIC ``batch=<batchId>``
+    path in overwrite mode, so a replayed trigger overwrites its own
+    partition instead of double-appending — the same idempotent-path
+    exactly-once discipline as q205's BM25 ingest. Module-level so
+    tests can drive it directly."""
+    from mindseye_dataframes_spark.operators.similarity import _nearest_cells
+
+    def ingest_batch(batch_df, batch_id):
+        batch_df.select(
+            _nearest_cells("embedding", cents, 1)[0].alias("_cell"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+        ).write.mode("overwrite").parquet(f"{post_log}/batch={batch_id}")
+
+    return ingest_batch
+
+
+@query(
+    "q212_streaming_ann_ingest",
+    oracle=_ivf_oracle(base_pred=_ANN_BASE_PRED),
+    tags=("similarity", "incremental", "streaming", "parity:ann-streaming"),
+)
+def q212_streaming_ann_ingest(spark, sf_dir):
+    """STREAMING maintenance of the standing ANN index — q205's
+    embedding twin, completing the pair: BOTH standing indexes (BM25
+    and IVF-ANN) now have batch-incremental (q203/q204), delete
+    (q208/q209), compaction (q210/q211), AND streaming ingest paths.
+    q204's delta batch arrives as a STREAM: the 'test' split is staged
+    as a many-file drop, consumed over multiple micro-batch triggers,
+    and each trigger's foreachBatch assigns ONLY that batch's vectors
+    to the FIXED base-trained quantizer (assign-on-arrival) and
+    appends cell-tagged postings to an idempotent per-batchId log.
+    After the drain, probes answer from standing base postings ∪ the
+    streamed posting log, and the oracle replays quantizer-from-base +
+    assignment-over-everything from raw embeddings — unordered
+    streaming commits must converge to exactly the one-shot answer.
+
+    Scale shape: per trigger the work is one bounded narrow map over
+    that batch's vectors (centroid literals — state O(batch), no
+    stateful operator, no shuffle); the base postings are never
+    re-scanned or re-clustered; the probe is q204's equi-join shape
+    over base ∪ log."""
+    import shutil
+
+    from mindseye_dataframes_spark.operators.similarity import (
+        ann_topk_ivf_postings,
+    )
+    from mindseye_dataframes_spark.queries.curation import split_label
+    from mindseye_dataframes_spark.sources.staging import staging_dir
+
+    cents, base_post, emb = ann_incremental_base(spark, sf_dir)
+    delta = emb.filter(split_label("vec_id") == "test").select(
+        "vec_id", "embedding"
+    )
+    root = staging_dir(spark, "msdf_stream_ann_")
+    src = f"{root}/src"
+    post_log = f"{root}/postings"
+    ckpt = f"{root}/ckpt"
+    try:
+        delta.repartition(32).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(delta.schema)
+            .option("maxFilesPerTrigger", 8)
+            .load(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(ann_ingest_batch_fn(post_log, cents))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q212 ingest stream did not drain")
+        # the batch=<id> layout surfaces as a partition column — keep
+        # it out of the probe union (it exists for audit/replay)
+        streamed = spark.read.parquet(post_log).select(
+            "_cell", "neighbor_id", "cv"
+        )
+        postings = base_post.unionByName(streamed)
+        queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+        out = ann_topk_ivf_postings(
+            queries, postings, cents, "query_id", "qv", "neighbor_id", "cv",
+            k=_K, n_probe=_IVF_PROBE,
+        )
+        # pin the result before the staging dirs vanish
+        return spark.createDataFrame(out.collect(), schema=out.schema).orderBy(
+            "query_id", "rank"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

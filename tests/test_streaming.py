@@ -563,3 +563,68 @@ def test_staging_dir_refuses_driver_tempdir_on_nonlocal_master():
         staging_dir(_FakeSpark("yarn"), "msdf_t_")
     with _pytest.raises(ValueError, match="stagingDir"):
         staging_dir(_FakeSpark("spark://host:7077"), "msdf_t_")
+
+
+def test_ann_ingest_multi_trigger_and_idempotent_replay(spark, sf_dir, tmp_path):
+    """q212's ingest contract, driven directly (the ANN twin of the
+    q205 test above): (a) the staged delta streams over MULTIPLE
+    triggers (one batch=N partition each); (b) replaying a batch id is
+    idempotent (deterministic-path overwrite, never double-append);
+    (c) the drained log's postings equal the one-shot batch assignment
+    of the same delta under the same fixed quantizer."""
+    import os
+    import shutil
+
+    from mindseye_dataframes_spark.operators.similarity import _nearest_cells
+    from mindseye_dataframes_spark.queries.curation import split_label
+    from mindseye_dataframes_spark.queries.similarity import (
+        ann_incremental_base,
+        ann_ingest_batch_fn,
+    )
+
+    cents, _base_post, emb = ann_incremental_base(spark, sf_dir)
+    delta = emb.filter(split_label("vec_id") == "test").select(
+        "vec_id", "embedding"
+    )
+    src = str(tmp_path / "src")
+    post_log = str(tmp_path / "postings")
+    delta.repartition(8).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(delta.schema)
+        .option("maxFilesPerTrigger", 2)
+        .load(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(ann_ingest_batch_fn(post_log, cents))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    batches = sorted(d for d in os.listdir(post_log) if d.startswith("batch="))
+    assert len(batches) >= 3, batches  # 8 files / 2 per trigger
+
+    def log_postings():
+        return {
+            (r["_cell"], r["neighbor_id"])
+            for r in spark.read.parquet(post_log).collect()
+        }
+
+    before = log_postings()
+    ann_ingest_batch_fn(post_log, cents)(delta.limit(3), 0)
+    assert log_postings() != before  # overwrite, not append-alongside
+    ann_ingest_batch_fn(post_log, cents)(delta, 0)
+    once = log_postings()
+    ann_ingest_batch_fn(post_log, cents)(delta, 0)
+    assert log_postings() == once
+    shutil.rmtree(post_log)
+    ann_ingest_batch_fn(post_log, cents)(delta, 7)
+    one_shot = {
+        (r["_cell"], r["neighbor_id"])
+        for r in delta.select(
+            _nearest_cells("embedding", cents, 1)[0].alias("_cell"),
+            F.col("vec_id").alias("neighbor_id"),
+        ).collect()
+    }
+    assert log_postings() == one_shot

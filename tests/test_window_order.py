@@ -4,15 +4,16 @@ These tests pin the round-8 window so a rotation mistake (stale
 queries pushed out, rows-only burning slots) fails loudly instead of
 silently shrinking coverage.
 
-Round-8 shape (VERDICT r7 "Next round" items 2/4/7 + ADVICE): the
-REFRESH_R08 queries head the window — the streaming-parity harnesses
-whose snapshot/staging paths changed after their r7 checks, q201's
-coalesce'd prediction, q188's staging resolution. Then this round's
-never-proven oracle queries (the tombstone-delete additions), then the
-ENTIRE r3-stale block (q89–q99, the last r3 rows), then the stalest
-r4 queries fill the remainder. q157 is retired (folded into q162's
-hashed recall gate), so every registered query is oracle-bearing and
-the rows-only group is empty."""
+Round-9 shape: the round-8 driver artifacts never arrived, so the
+REFRESH_R08 set was never re-proven and stays at the head via
+REFRESH_R09 (plus q204, whose base construction was refactored into
+the shared ann_incremental_base after its r7 green row). Then the
+never-proven oracle queries (the r8 tombstone/compaction additions
+and the r9 additions q212-q217), then the ENTIRE r3-stale block
+(q89–q99), then the stalest r4 queries fill the remainder. q157
+stays retired (folded into q162's hashed recall gate), so every
+registered query is oracle-bearing and the rows-only group is
+empty."""
 
 from __future__ import annotations
 
@@ -23,7 +24,7 @@ from mindseye_dataframes_spark.queries import (
     PROVEN_R05,
     PROVEN_R06,
     PROVEN_R07,
-    REFRESH_R08,
+    REFRESH_R09,
     STALE_R02,
     STALE_R03,
     STALE_R04,
@@ -42,7 +43,7 @@ def test_refresh_set_heads_the_window():
     window = list(qs)[:50]
     # the changed-after-check queries occupy the first slots, before
     # anything else — their green rows prove superseded code
-    assert set(window[: len(REFRESH_R08)]) == REFRESH_R08
+    assert set(window[: len(REFRESH_R09)]) == REFRESH_R09
 
 
 def test_every_registered_query_is_oracle_bearing():
@@ -68,16 +69,16 @@ def test_unproven_and_stale_queries_fit_the_window():
     # r3-proven rows) is the re-verification front and must fit
     # entirely unless refresh + new queries overflow the window
     assert not STALE_R02, "r2-stale should be empty after round 6"
-    n_head = len(REFRESH_R08) + sum(1 for n in qs if _group(n, qs) == 1)
-    allowed_overflow = max(0, n_head + len(STALE_R03 - REFRESH_R08) - 50)
-    missing_stale = (STALE_R03 - REFRESH_R08) - set(window)
+    n_head = len(REFRESH_R09) + sum(1 for n in qs if _group(n, qs) == 1)
+    allowed_overflow = max(0, n_head + len(STALE_R03 - REFRESH_R09) - 50)
+    missing_stale = (STALE_R03 - REFRESH_R09) - set(window)
     assert len(missing_stale) <= allowed_overflow, (
         f"r3-stale queries rotated out beyond the overflow: {missing_stale}"
     )
     # the r4-stale block fills whatever remains, stalest tier first
-    fill = 50 - n_head - (len(STALE_R03 - REFRESH_R08) - len(missing_stale))
-    expected_r4_in_window = min(len(STALE_R04 - REFRESH_R08), max(0, fill))
-    assert len((STALE_R04 - REFRESH_R08) & set(window)) == expected_r4_in_window, (
+    fill = 50 - n_head - (len(STALE_R03 - REFRESH_R09) - len(missing_stale))
+    expected_r4_in_window = min(len(STALE_R04 - REFRESH_R09), max(0, fill))
+    assert len((STALE_R04 - REFRESH_R09) & set(window)) == expected_r4_in_window, (
         "r4-stale queries missing from the window while fresher ones occupy it"
     )
 
