@@ -1319,3 +1319,82 @@ def q212_streaming_ann_ingest(spark, sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "q218_ann_index_checkpoint",
+    oracle=_ivf_oracle(base_pred=_ANN_BASE_PRED),
+    tags=("similarity", "incremental", "lakehouse", "parity:ann-checkpoint"),
+)
+def q218_ann_index_checkpoint(spark, sf_dir):
+    """CHECKPOINT ROLL of the streamed ANN posting log into the
+    standing base — the lifecycle step that completes the streaming
+    story: q212 leaves probes paying base ∪ per-batch-log union
+    forever; this query FOLDS the drained log into a NEW standing
+    cell-bucketed posting table under a derived fingerprint
+    (md5(base_fp : log spec), atomic publish, warm no-op on re-run),
+    after which probes read ONE bucketed table with zero log
+    awareness — the stream's Delta-style 'compact small files into
+    the table' step, done with fingerprint-named parquet. The coarse
+    quantizer carries over untouched (fold never reassigns cells), and
+    the oracle replays quantizer-from-base + assignment-over-
+    everything, pinning that roll-up changes nothing about answers.
+
+    Scale shape: the fold reads base postings + the (small) log once
+    and rewrites them bucketed — a bounded maintenance job, not a
+    corpus re-scan or re-cluster; the warm probe is exactly q192's
+    no-exchange shape over the rolled table."""
+    import hashlib
+    import os
+    import shutil
+
+    from mindseye_dataframes_spark.operators.similarity import (
+        ann_topk_ivf_postings,
+    )
+    from mindseye_dataframes_spark.queries.curation import split_label
+    from mindseye_dataframes_spark.sources.bucketing import (
+        dataset_fingerprint,
+        standing_table,
+    )
+    from mindseye_dataframes_spark.sources.staging import staging_dir
+
+    cents, base_post, emb = ann_incremental_base(spark, sf_dir)
+    real = os.path.realpath(sf_dir)
+    loc = hashlib.md5(real.encode()).hexdigest()[:8]
+    base_fp = dataset_fingerprint(os.path.join(real, "embeddings.parquet"))
+    fp2 = hashlib.md5(f"{base_fp}:ckpt:test-split".encode()).hexdigest()[:16]
+
+    # the drained ingest log: four unordered batches written through
+    # q212's idempotent batch fn (the post-stream state, sans stream)
+    root = staging_dir(spark, "msdf_ann_ckptlog_")
+    post_log = f"{root}/postings"
+    try:
+        delta = emb.filter(split_label("vec_id") == "test")
+        for b in range(4):
+            ann_ingest_batch_fn(post_log, cents)(
+                delta.filter(F.col("vec_id") % 4 == b), b
+            )
+        streamed = spark.read.parquet(post_log).select(
+            "_cell", "neighbor_id", "cv"
+        )
+        ckpt_post = standing_table(
+            spark,
+            f"msdf_stage_ivfckptpost_{loc}",
+            fp2,
+            lambda: base_post.unionByName(streamed),
+            ["_cell"],
+            16,
+            ["_cell", "neighbor_id"],
+        )
+        # force materialization before the staging log vanishes (a
+        # warm re-run never reads it at all)
+        ckpt_post.count()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return ann_topk_ivf_postings(
+        queries, ckpt_post, cents, "query_id", "qv", "neighbor_id", "cv",
+        k=_K, n_probe=_IVF_PROBE,
+    ).orderBy("query_id", "rank")

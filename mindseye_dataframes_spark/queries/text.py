@@ -1006,3 +1006,99 @@ def q210_bm25_compaction(spark, sf_dir):
         .select("query_id", "rank", "doc_id", "score_ppm")
         .orderBy("query_id", "rank")
     )
+
+
+@query(
+    "q219_bm25_index_checkpoint",
+    oracle=f"""
+    WITH {_BM25_CORE_SQL}
+    SELECT query_id, bm_rank AS rank, doc_id, score_ppm FROM bm_ranked
+    WHERE bm_rank <= {_BM25_K}
+    ORDER BY query_id, rank
+    """,
+    tags=("text", "retrieval", "lakehouse", "parity:bm25-checkpoint"),
+)
+def q219_bm25_index_checkpoint(spark, sf_dir):
+    """CHECKPOINT ROLL of the streamed BM25 posting log into the
+    standing base — q218's lexical twin, completing the lifecycle for
+    BOTH index families (ingest → serve-from-union → checkpoint →
+    serve-flat): q205 leaves probes merging base postings with a
+    per-batch log and adding stats at probe time, forever; this query
+    FOLDS the drained log into a NEW token-bucketed standing posting
+    table plus a rolled 1-row stats table under a derived fingerprint
+    (md5(base_fp : log spec), atomic publish, warm no-op), after which
+    the probe is the plain merged-probe shape with an EMPTY delta —
+    zero log reads, zero probe-time stat addition. The oracle replays
+    BM25 over the FULL corpus, pinning that the roll-up answers
+    bit-identically what the one-shot rebuild would.
+
+    Scale shape: the fold reads base postings + the small log once and
+    rewrites them bucketed (bounded maintenance, no corpus re-scan,
+    no re-tokenize); the warm probe reads ONE In-pushed bucket-pruned
+    table and a 1-row stats side table."""
+    import hashlib
+    import os
+    import shutil
+
+    from mindseye_dataframes_spark.sources.bucketing import (
+        dataset_fingerprint,
+        standing_table,
+    )
+    from mindseye_dataframes_spark.sources.staging import staging_dir
+
+    base_post, base_stats, docs = bm25_incremental_base(spark, sf_dir)
+    real = os.path.realpath(sf_dir)
+    loc = hashlib.md5(real.encode()).hexdigest()[:8]
+    base_fp = dataset_fingerprint(os.path.join(real, "documents.parquet"))
+    fp2 = hashlib.md5(f"{base_fp}:ckpt:test-split".encode()).hexdigest()[:16]
+
+    # the drained ingest log: four unordered batches through q205's
+    # idempotent batch fn (the post-stream state, sans stream)
+    root = staging_dir(spark, "msdf_bm25_ckptlog_")
+    post_log = f"{root}/postings"
+    stats_log = f"{root}/stats"
+    try:
+        delta = docs.filter(F.col("split") == "test").select("doc_id", "text")
+        for b in range(4):
+            bm25_ingest_batch_fn(post_log, stats_log)(
+                delta.filter(F.col("doc_id") % 4 == b), b
+            )
+        streamed_post = spark.read.parquet(post_log).select(
+            "token", "doc_id", "dl", "tf"
+        )
+        streamed_stats = spark.read.parquet(stats_log).agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("d_docs"),
+            F.coalesce(F.sum("total_len"), F.lit(0)).alias("d_len"),
+        )
+        ckpt_post = standing_table(
+            spark,
+            f"msdf_stage_bm25ckptpost_{loc}",
+            fp2,
+            lambda: base_post.unionByName(streamed_post),
+            ["token"],
+            16,
+            ["token", "doc_id"],
+        )
+        ckpt_stats = standing_table(
+            spark,
+            f"msdf_stage_bm25ckptstats_{loc}",
+            fp2,
+            lambda: base_stats.crossJoin(streamed_stats).select(
+                F.lit(0).alias("k"),
+                (F.col("n_docs") + F.col("d_docs")).alias("n_docs"),
+                (F.col("total_len") + F.col("d_len")).alias("total_len"),
+            ),
+            ["k"],
+            1,
+        )
+        ckpt_post.count()  # materialize before the staging log vanishes
+        ckpt_stats.count()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    empty_delta = spark.createDataFrame(
+        [], "token string, doc_id long, dl long, tf long"
+    )
+    zero_stats = spark.createDataFrame([(0, 0)], "n_docs long, total_len long")
+    return _bm25_merged_topk(
+        spark, ckpt_post, ckpt_stats.drop("k"), empty_delta, zero_stats
+    )

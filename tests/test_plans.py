@@ -901,3 +901,35 @@ def test_ann_compaction_warm_probe_is_tombstone_free(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("embeddings.parquet") <= 1, plan  # query vectors only
+
+
+def test_ann_checkpoint_probe_reads_only_rolled_table(spark, sf_dir):
+    """q218 warm: after the checkpoint roll, probes carry ZERO log
+    awareness — the plan reads the rolled cell-bucketed standing
+    table (not the incremental base, not any batch=N staging log),
+    raw embeddings appear only as the query vectors, and the probe
+    joins broadcast."""
+    REGISTRY["q218_ann_index_checkpoint"].fn(spark, sf_dir).count()  # cold
+    plan = plan_of(spark, sf_dir, "q218_ann_index_checkpoint")
+    assert "msdf_stage_ivfckptpost" in plan, plan
+    assert "msdf_ann_ckptlog_" not in plan, plan
+    assert "batch=" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("embeddings.parquet") <= 1, plan  # query vectors
+
+
+def test_bm25_checkpoint_probe_reads_only_rolled_table(spark, sf_dir):
+    """q219 warm: the probe is the plain merged shape with an empty
+    delta — ONE In-pushed read of the rolled token-bucketed table +
+    the 1-row rolled stats table; no staging log, no probe-time
+    re-tokenize (documents.parquet absent), no shuffled join."""
+    REGISTRY["q219_bm25_index_checkpoint"].fn(spark, sf_dir).count()  # cold
+    plan = plan_of(spark, sf_dir, "q219_bm25_index_checkpoint")
+    assert "msdf_stage_bm25ckptpost" in plan, plan
+    assert "msdf_stage_bm25ckptstats" in plan, plan
+    assert "msdf_bm25_ckptlog_" not in plan, plan
+    assert "batch=" not in plan, plan
+    assert "In(token" in plan or "token IN" in plan, plan
+    assert "documents.parquet" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
