@@ -316,3 +316,119 @@ def q202_count_min_heavy_hitters(spark, sf_dir):
         "est_c",
         (F.col("est_c") >= F.col("exact_c")).alias("never_under"),
     ).orderBy(F.desc("exact_c"), "w")
+
+
+_JSZ_A = "view"
+_JSZ_B = "purchase"
+
+
+def _jsz_cells_sql(side: str) -> str:
+    """DuckDB CTE body: the d×w Count-Min grid of one join side."""
+    key = "CAST(user_id AS VARCHAR)"
+    return (
+        "SELECT j, b, CAST(count(*) AS BIGINT) AS cnt FROM ("
+        + " UNION ALL ".join(
+            f"SELECT {j} AS j, {_cms_bucket_sql(j, key)} AS b FROM {side}"
+            for j in range(_CMS_D)
+        )
+        + ") GROUP BY j, b"
+    )
+
+
+@query(
+    "q220_sketch_join_size",
+    oracle=f"""
+    WITH a AS (SELECT user_id FROM events WHERE event_type = '{_JSZ_A}'),
+    b AS (SELECT user_id FROM events WHERE event_type = '{_JSZ_B}'),
+    fa AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM a GROUP BY user_id),
+    fb AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY user_id),
+    exact AS (SELECT CAST(COALESCE(sum(fa.c * fb.c), 0) AS BIGINT) AS exact_size
+              FROM fa JOIN fb USING (user_id)),
+    ca AS ({_jsz_cells_sql('a')}),
+    cb AS ({_jsz_cells_sql('b')}),
+    est AS (SELECT CAST(min(s) AS BIGINT) AS est_size FROM (
+      SELECT ca.j, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS s
+      FROM ca JOIN cb ON ca.j = cb.j AND ca.b = cb.b GROUP BY ca.j))
+    SELECT exact_size, est_size, est_size >= exact_size AS never_under
+    FROM exact CROSS JOIN est
+    """,
+    tags=("sketch", "count-min", "scale", "parity:join-size"),
+)
+def q220_sketch_join_size(spark, sf_dir):
+    """JOIN-SIZE ESTIMATION from two Count-Min sketches (the AGMS/CM
+    inner-product estimator, Cormode & Muthukrishnan 2005 §4.2): the
+    planned equi-join's output cardinality |A ⋈ B| = Σ_v fA(v)·fB(v)
+    is estimated as min_j Σ_b cntA[j,b]·cntB[j,b] — per hash row the
+    bucket dot-product OVERcounts by exactly the colliding cross
+    terms, so est ≥ exact always (pinned in the driver row; the
+    ε·N_A·N_B overcount bound is seeded-pytest territory, q202's
+    split). This is THE pre-shuffle planning question at 100 TB: a
+    self-join-shaped blowup (hot keys on both sides) is visible in a
+    4×1024-cell dot product BEFORE paying the join's exchange.
+
+    Scale shape: each side folds map-side into its ≤ d·w = 4096-cell
+    grid (groupBy (j, bucket) with partial aggregation — the shuffle
+    moves O(cells·partitions) rows, NEVER per-key rows); the estimate
+    is a broadcast join of two tiny grids. The exact Σ fA·fB is the
+    audit companion the oracle needs — at 100 TB the sketch replaces
+    it (it is the thing you run to decide whether to run the join)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    a = ev.filter(F.col("event_type") == _JSZ_A)
+    b = ev.filter(F.col("event_type") == _JSZ_B)
+
+    def bucket(j):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}:"), F.col("user_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    def cells(side):
+        return (
+            side.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(F.lit(j).alias("j"), bucket(j).alias("b"))
+                            for j in range(_CMS_D)
+                        ]
+                    )
+                ).alias("jb")
+            )
+            .select("jb.j", "jb.b")
+            .groupBy("j", "b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    ca = cells(a)
+    cb = cells(b).select(
+        F.col("j"), F.col("b"), F.col("cnt").alias("cnt_b")
+    )
+    est = (
+        ca.join(F.broadcast(cb), ["j", "b"])
+        .groupBy("j")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("s"))
+        .agg(F.min("s").alias("est_size"))
+    )
+    fa = a.groupBy("user_id").agg(F.count(F.lit(1)).alias("ca"))
+    fb = b.groupBy("user_id").agg(F.count(F.lit(1)).alias("cb"))
+    exact = (
+        fa.join(fb, "user_id")
+        .agg(
+            F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0)).alias(
+                "exact_size"
+            )
+        )
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_size",
+        "est_size",
+        (F.col("est_size") >= F.col("exact_size")).alias("never_under"),
+    )

@@ -176,3 +176,23 @@ def test_nb_classifier_model_is_bounded_and_calibrated(spark, sf_dir):
         assert 0 <= r["n_correct"] <= r["n_docs"], r
         assert r["n_pos"] in (0, r["n_docs"]), r  # label is a source fn
         assert 0 <= r["sum_score_ppm"] <= r["n_docs"] * 1_000_000, r
+
+
+def test_cm_join_size_estimate_bounds(spark, sf_dir):
+    """q220's accuracy contract: the CM inner-product estimate never
+    undercounts (exact, by construction), and with d=4, w=1024 the
+    overcount stays within the ε = e/w Markov bound ε·N_A·N_B for
+    this fixed hash family and corpus (deterministic given both)."""
+    import math
+
+    from mindseye_dataframes_spark.queries import load_all
+
+    row = load_all()["q220_sketch_join_size"].fn(spark, sf_dir).collect()[0]
+    assert row["never_under"]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    na = ev.filter(ev.event_type == "view").count()
+    nb = ev.filter(ev.event_type == "purchase").count()
+    eps = math.e / 1024
+    assert row["est_size"] - row["exact_size"] <= eps * na * nb, (
+        row["est_size"], row["exact_size"], na, nb,
+    )
