@@ -1398,3 +1398,229 @@ def q218_ann_index_checkpoint(spark, sf_dir):
         queries, ckpt_post, cents, "query_id", "qv", "neighbor_id", "cv",
         k=_K, n_probe=_IVF_PROBE,
     ).orderBy("query_id", "rank")
+
+
+# --- q221: Matryoshka truncation recall curve --------------------------
+#
+# MRL-style embeddings (Kusupati et al. 2022) promise that a PREFIX of
+# the vector is itself a usable embedding; whether that holds for a
+# given model/corpus is an empirical curve — recall@k of prefix-dim
+# search against full-dim exact search. This is the measurement that
+# decides how much of a 100 TB vector corpus you can afford NOT to
+# read (a 16-of-64 prefix scan is 4× less I/O and compute).
+_MAT_DIMS = (8, 16, 32, 64)
+_MAT_FULL = 64
+
+
+def _mat_topk_sql(dim: int) -> str:
+    v = f"v[1:{dim}]"
+    return f"""
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY round(list_cosine_similarity(q.{v}, e.{v}), 9) DESC,
+                         e.vec_id) AS rank
+      FROM q, e
+    """
+
+
+@query(
+    "q221_matryoshka_recall_curve",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < {_N_QUERIES}),
+    full_k AS (
+      SELECT query_id, neighbor_id FROM ({_mat_topk_sql(_MAT_FULL)})
+      WHERE rank <= {_K}),
+    hits AS (
+      {" UNION ALL ".join(
+          f'''SELECT {d} AS dim, CAST(count(*) AS BIGINT) AS hits
+          FROM (SELECT query_id, neighbor_id FROM ({_mat_topk_sql(d)})
+                WHERE rank <= {_K}) p
+          JOIN full_k USING (query_id, neighbor_id)'''
+          for d in _MAT_DIMS
+      )})
+    SELECT CAST(dim AS INT) AS dim, hits,
+           hits * 1000000 // {_N_QUERIES * _K} AS recall_ppm
+    FROM hits ORDER BY dim
+    """,
+    tags=("similarity", "embeddings", "parity:matryoshka-recall"),
+)
+def q221_matryoshka_recall_curve(spark, sf_dir):
+    """Prefix-dimension (Matryoshka) retrieval quality curve: exact
+    top-{k} by cosine over the FIRST d dims for d ∈ {dims}, scored as
+    recall against the full-dim exact top-{k} — the d=64 row is the
+    identity sanity row (recall 1.0). All ranking runs on the proven
+    round-9 nano-grid with id tie-breaks, and recall is integer ppm
+    over a fixed query×k denominator, so DuckDB replays the whole
+    curve. The curve answers the 100 TB planning question directly:
+    the smallest prefix whose recall clears your bar is the fraction
+    of the vector corpus a first-stage scan must read.
+
+    Scale shape: one broadcast-queries × stationary-corpus scoring
+    pass per prefix dim (the q35 shape; prefix slice is a narrow
+    map), each join against the full-dim set is O(queries·k)."""
+    full = None
+    per_dim = []
+    for d in _MAT_DIMS:
+        emb = load_table(spark, sf_dir, "embeddings")
+        sl = emb.select(
+            F.col("vec_id"), F.slice("embedding", 1, d).alias("pv")
+        )
+        queries = sl.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("pv").alias("qv")
+        )
+        corpus = sl.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("pv").alias("cv")
+        )
+        topk = cosine_topk(
+            queries, corpus, "query_id", "qv", "neighbor_id", "cv", _K
+        ).select("query_id", "neighbor_id")
+        if d == _MAT_FULL:
+            full = topk
+        per_dim.append((d, topk))
+    hits = None
+    for d, topk in per_dim:
+        h = (
+            topk.join(full, ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .select(F.lit(d).cast("int").alias("dim"), "hits")
+        )
+        hits = h if hits is None else hits.unionByName(h)
+    return hits.select(
+        "dim",
+        "hits",
+        F.expr(f"hits * 1000000 DIV {_N_QUERIES * _K}").alias("recall_ppm"),
+    ).orderBy("dim")
+
+
+# --- q222: retrieval quality eval (MRR / NDCG@10) ----------------------
+#
+# Ranking-quality metrics in exact integer micro-units: the log2
+# discount table is precomputed as literals (w_i = round(1e6/log2(i+1))
+# for i = 1..10) and shared verbatim by both engines, so DCG/IDCG/MRR
+# are pure BIGINT arithmetic — no libm call ever runs inside a query.
+_EVAL_K = 10
+_NDCG_W = [1000000, 630930, 500000, 430677, 386853, 356207, 333333,
+           315465, 301030, 289065]
+_NDCG_P = [1000000, 1630930, 2130930, 2561607, 2948460, 3304667,
+           3638000, 3953465, 4254495, 4543560]
+
+
+@query(
+    "q222_retrieval_quality_eval",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings),
+    q AS (SELECT vec_id, v, label FROM e WHERE vec_id < {_N_QUERIES}),
+    topk AS (
+      SELECT * FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               q.label AS qlabel, e.label AS nlabel,
+               row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY round(list_cosine_similarity(q.v, e.v), 9) DESC,
+                           e.vec_id) AS rank
+        FROM q, e
+      ) WHERE rank <= {_EVAL_K}),
+    rel AS (
+      SELECT query_id, rank FROM topk
+      WHERE nlabel = qlabel AND neighbor_id <> query_id),
+    per_q AS (
+      SELECT query_id,
+             CAST(1000000 // min(rank) AS BIGINT) AS mrr_u,
+             CAST(sum(CASE rank
+               {" ".join(f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W))}
+             END) AS BIGINT) AS dcg_u
+      FROM rel GROUP BY query_id),
+    cnt AS (
+      SELECT q.vec_id AS query_id,
+             least(CAST(count(*) AS BIGINT), {_EVAL_K}) AS m
+      FROM q JOIN e ON e.label = q.label AND e.vec_id <> q.vec_id
+      GROUP BY q.vec_id),
+    idcg AS (
+      SELECT query_id, CAST(CASE m
+        {" ".join(f"WHEN {m + 1} THEN {p}" for m, p in enumerate(_NDCG_P))}
+        ELSE 0 END AS BIGINT) AS idcg_u
+      FROM cnt)
+    SELECT q.vec_id AS query_id,
+           COALESCE(p.mrr_u, 0) AS mrr_u,
+           CASE WHEN COALESCE(i.idcg_u, 0) > 0
+                THEN COALESCE(p.dcg_u, 0) * 1000000 // i.idcg_u
+                ELSE 0 END AS ndcg_ppm
+    FROM q
+    LEFT JOIN per_q p ON p.query_id = q.vec_id
+    LEFT JOIN idcg i ON i.query_id = q.vec_id
+    ORDER BY query_id
+    """,
+    tags=("similarity", "embeddings", "eval", "parity:retrieval-quality"),
+)
+def q222_retrieval_quality_eval(spark, sf_dir):
+    """Retrieval-quality evaluation of the exact cosine ranker against
+    label relevance (relevant = same ``label``, self excluded): per
+    query, MRR in micro-units (1e6 DIV first-relevant rank) and
+    NDCG@10 in ppm with the literal integer discount table — the
+    metric harness every retrieval change (ANN cells, PQ bits, hybrid
+    fusion weights) gets judged by. IDCG caps at min(#relevant, 10)
+    per query, so sparse-label corpora (sf0.001) exercise the cap.
+
+    Scale shape: one q35 broadcast-queries × stationary-corpus pass,
+    label join against a broadcast O(queries) frame, then O(q·k)
+    arithmetic; the per-label corpus counts are one hash aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("nlabel"),
+    )
+    topk = cosine_topk(
+        queries.select("query_id", "qv"), corpus.select("neighbor_id", "cv"),
+        "query_id", "qv", "neighbor_id", "cv", _EVAL_K,
+    )
+    labeled = (
+        topk.join(F.broadcast(queries.select("query_id", "qlabel")), "query_id")
+        .join(
+            corpus.select("neighbor_id", "nlabel"), "neighbor_id"
+        )
+    )
+    rel = labeled.filter(
+        (F.col("nlabel") == F.col("qlabel"))
+        & (F.col("neighbor_id") != F.col("query_id"))
+    )
+    w_arr = F.array(*[F.lit(w) for w in _NDCG_W])
+    per_q = rel.groupBy("query_id").agg(
+        F.expr("CAST(1000000 DIV min(rank) AS BIGINT)").alias("mrr_u"),
+        F.sum(F.element_at(w_arr, F.col("rank"))).cast("long").alias("dcg_u"),
+    )
+    cnt = (
+        queries.select("query_id", "qlabel")
+        .join(corpus.select("neighbor_id", "nlabel"),
+              F.col("nlabel") == F.col("qlabel"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.least(F.count(F.lit(1)), F.lit(_EVAL_K)).alias("m"))
+    )
+    p_arr = F.array(*[F.lit(p) for p in _NDCG_P])
+    idcg = cnt.select(
+        "query_id", F.element_at(p_arr, F.col("m").cast("int")).alias("idcg_u")
+    )
+    return (
+        queries.select("query_id")
+        .join(per_q, "query_id", "left")
+        .join(idcg, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("mrr_u", F.lit(0)).cast("long").alias("mrr_u"),
+            F.when(
+                F.coalesce("idcg_u", F.lit(0)) > 0,
+                F.expr("COALESCE(dcg_u, 0) * 1000000 DIV idcg_u"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("ndcg_ppm"),
+        )
+        .orderBy("query_id")
+    )
