@@ -241,3 +241,137 @@ def q189_semdedup_tau_curve(spark, sf_dir):
         emb, "vec_id", "embedding", k=_K, iters=2, keep=("embedding",)
     )
     return semdedup_tau_curve(m, "vec_id", "embedding", "_cell", _TAUS)
+
+
+# --- q223: k-center greedy coreset -------------------------------------
+#
+# Farthest-point (Gonzalez 1985) selection under cosine distance — the
+# data-pruning primitive behind coverage-maximizing coreset selection:
+# seed with the minimum vec_id, then repeatedly take the point whose
+# MAXIMUM similarity to the chosen set is smallest (= farthest point).
+# The selection sequence is a deterministic pure function of the data
+# (round-9 nano-cosines, vec_id tie-breaks), so the oracle replays all
+# k rounds as unrolled CTE blocks — an iterative algorithm value-
+# checked end-to-end, like q140's two Lloyd iterations and q169's BPE.
+_KC_K = 8
+_KC_COS_N = (
+    "CAST(round(round(list_cosine_similarity({a}, {b}), 9)"
+    " * 1000000000) AS BIGINT)"
+)
+
+
+def _kcenter_oracle() -> str:
+    # Every chained CTE is MATERIALIZED: cents{t} is referenced twice
+    # per round and chains back to cents1, so DuckDB's default CTE
+    # inlining re-evaluates the whole prefix exponentially (measured
+    # 301 s at sf0.01 inlined vs 0.07 s materialized, same values).
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT vec_id,"
+        " CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
+        "c1 AS MATERIALIZED (SELECT vec_id, v FROM e"
+        " WHERE vec_id = (SELECT min(vec_id) FROM e)),",
+        "cents1 AS MATERIALIZED (SELECT vec_id, v FROM c1),",
+    ]
+    for t in range(2, _KC_K + 1):
+        cos_n = _KC_COS_N.format(a="e.v", b="c.v")
+        parts.append(
+            f"s{t} AS MATERIALIZED (SELECT e.vec_id, max({cos_n}) AS mc"
+            f" FROM e CROSS JOIN cents{t - 1} c"
+            f" WHERE e.vec_id NOT IN (SELECT vec_id FROM cents{t - 1})"
+            f" GROUP BY e.vec_id),"
+        )
+        parts.append(
+            f"c{t} AS MATERIALIZED (SELECT e.vec_id, e.v, s{t}.mc"
+            f" FROM s{t} JOIN e USING (vec_id)"
+            f" ORDER BY s{t}.mc ASC, e.vec_id LIMIT 1),"
+        )
+        parts.append(
+            f"cents{t} AS MATERIALIZED (SELECT vec_id, v FROM cents{t - 1}"
+            f" UNION ALL SELECT vec_id, v FROM c{t}),"
+        )
+    selects = [
+        "SELECT 1 AS sel_order, vec_id, CAST(NULL AS BIGINT) AS max_cos_n"
+        " FROM c1"
+    ] + [
+        f"SELECT {t} AS sel_order, vec_id, CAST(mc AS BIGINT) AS max_cos_n"
+        f" FROM c{t}"
+        for t in range(2, _KC_K + 1)
+    ]
+    body = "\n".join(parts)  # every part ends ',' — sel AS follows
+    return (
+        body
+        + "\nsel AS ("
+        + " UNION ALL ".join(selects)
+        + ")\nSELECT CAST(sel_order AS INT) AS sel_order, vec_id, max_cos_n"
+        " FROM sel ORDER BY sel_order"
+    )
+
+
+def _kc_round(emb, cent_vecs):
+    """One farthest-point round as a DataFrame: narrow map computing
+    ``greatest(nano-cos to each chosen center)`` (centers are array
+    literals — no join side, no groupBy) + orderBy/limit(1), which
+    Spark executes as TakeOrderedAndProject. Plan pinned exchange-free
+    in tests/test_plans.py."""
+    from mindseye_dataframes_spark.functions.vectors import cosine
+
+    cos_cols = [
+        F.round(
+            F.round(
+                cosine("embedding", F.array(*[F.lit(x) for x in cv])), 9
+            )
+            * 1e9
+        ).cast("long")
+        for _, cv in cent_vecs
+    ]
+    mc = F.greatest(*cos_cols) if len(cos_cols) > 1 else cos_cols[0]
+    return (
+        emb.filter(~F.col("vec_id").isin([cid for cid, _ in cent_vecs]))
+        .select("vec_id", "embedding", mc.alias("mc"))
+        .orderBy("mc", "vec_id")
+        .limit(1)
+    )
+
+
+@query(
+    "q223_kcenter_coreset",
+    oracle=_kcenter_oracle(),
+    tags=("clustering", "curation", "embeddings", "parity:kcenter"),
+)
+def q223_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center coreset (8 rounds, cosine distance): the ≤8
+    chosen centers live in the driver as array LITERALS, so each
+    round is a single narrow map over the stationary cached corpus —
+    ``greatest(cos(emb, c1), …, cos(emb, ct))`` per row — followed by
+    one TakeOrdered(1) (argmin of max-similarity, vec_id tie-break).
+    Zero exchanges per round (no join, no groupBy; plan-pinned in
+    tests), O(k) corpus passes total; the driver holds O(k·dim)
+    floats. Emits (sel_order, vec_id, max_cos_n) where max_cos_n is
+    the selected point's similarity to the set at selection time —
+    the coverage-radius curve that tells you how fast the coreset
+    saturates the corpus.
+
+    At 100 TB the per-round corpus pass is the cost driver — the
+    standard production variant greedily selects from a uniform
+    candidate sample instead; the selection calculus is identical,
+    so this exact path doubles as its oracle."""
+    from pyspark.storagelevel import StorageLevel
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    seed = emb.orderBy("vec_id").limit(1).collect()[0]
+    chosen = [(1, int(seed["vec_id"]), None)]
+    cent_vecs = [(int(seed["vec_id"]), [float(x) for x in seed["embedding"]])]
+    for t in range(2, _KC_K + 1):
+        picked = _kc_round(emb, cent_vecs).collect()[0]
+        chosen.append((t, int(picked["vec_id"]), int(picked["mc"])))
+        cent_vecs.append(
+            (int(picked["vec_id"]), [float(x) for x in picked["embedding"]])
+        )
+    emb.unpersist()
+    return spark.createDataFrame(
+        chosen, "sel_order int, vec_id long, max_cos_n long"
+    ).orderBy("sel_order")

@@ -933,3 +933,26 @@ def test_bm25_checkpoint_probe_reads_only_rolled_table(spark, sf_dir):
     assert "In(token" in plan or "token IN" in plan, plan
     assert "documents.parquet" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_kcenter_round_is_exchange_free(spark, sf_dir):
+    """q223's per-round selection must stay a narrow map + TakeOrdered:
+    centers are literals, so there is NO join side, NO groupBy, and
+    NO exchange of any kind — one corpus pass per round."""
+    from mindseye_dataframes_spark.queries.clustering import _kc_round
+    from mindseye_dataframes_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = [(0, [0.1] * 64), (1, [0.2] * 64), (2, [0.3] * 64)]
+    plan = (
+        _kc_round(emb, cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "HashAggregate" not in plan, plan
