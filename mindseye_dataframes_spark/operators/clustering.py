@@ -226,20 +226,19 @@ def _assign_numpy(
     return df.mapInPandas(assign, schema=schema)
 
 
-def kmeans_fit_assign(
+def kmeans_centroids(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 8,
     iters: int = 2,
-    keep: tuple[str, ...] = (),
-) -> DataFrame:
-    """Run ``iters`` Lloyd iterations and return the final assignment
-    ``(id_col, *keep, _cell)``. Centroid recomputation is exact-integer-
-    micros means (order-independent); each round's driver traffic is
-    O(k·d). ``keep`` carries extra columns (e.g. the vector itself for
-    a within-cluster pass) through the final narrow map — cheaper than
-    re-joining the assignment back to the source at scale."""
+) -> list[tuple[int, list[float]]]:
+    """Train ``iters`` Lloyd iterations and return the FINAL centroid
+    list ``[(cell, vector), …]`` (the model, O(k·d) driver-side) —
+    the shared trainer behind ``kmeans_fit_assign`` and consumers
+    that need the centroids themselves (q225's silhouette distances).
+    Centroid recomputation is exact-integer-micros means
+    (order-independent); each round's driver traffic is O(k·d)."""
     from mindseye_dataframes_spark.operators.similarity import ivf_centroids
 
     cents = ivf_centroids(df, id_col, vec_col, k)
@@ -270,6 +269,23 @@ def kmeans_fit_assign(
         cents = sorted(
             (cell, [dims[i] for i in sorted(dims)]) for cell, dims in by_cell.items()
         )
+    return cents
+
+
+def kmeans_fit_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Run ``iters`` Lloyd iterations and return the final assignment
+    ``(id_col, *keep, _cell)``. ``keep`` carries extra columns (e.g.
+    the vector itself for a within-cluster pass) through the final
+    narrow map — cheaper than re-joining the assignment back to the
+    source at scale."""
+    cents = kmeans_centroids(df, id_col, vec_col, k, iters)
     return _assign(df, vec_col, cents).select(id_col, *keep, "_cell")
 
 

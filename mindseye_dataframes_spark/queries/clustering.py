@@ -375,3 +375,105 @@ def q223_kcenter_coreset(spark, sf_dir):
     return spark.createDataFrame(
         chosen, "sel_order int, vec_id long, max_cos_n long"
     ).orderBy("sel_order")
+
+
+# --- q225: simplified silhouette ----------------------------------------
+#
+# Clustering-quality gate for the q140 k-means model: the SIMPLIFIED
+# silhouette (Hruschka et al.) replaces classic silhouette's O(N²)
+# all-pairs distances with distances to the k trained centroids —
+# a_i = distance to the assigned (nearest) centroid, b_i = distance to
+# the second-nearest, s_i = (b_i − a_i) / b_i in [0, 1]. Integer
+# nano-unit distances (the q140 grid) make s_i ppm-exact BIGINT on
+# both engines; the oracle replays both Lloyd iterations via
+# _kmeans_ctes() then ranks per-point centroid distances.
+
+
+def _silhouette_oracle() -> str:
+    d2 = _L2.format(x="e.v", c="c2.v")
+    return (
+        _kmeans_ctes()
+        + f""",
+    dall AS (
+      SELECT e.vec_id, c2.cell, {d2} AS dn FROM e CROSS JOIN c2),
+    rk AS (
+      SELECT vec_id, cell, dn,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dn, cell) AS rn
+      FROM dall),
+    ab AS (
+      SELECT a.vec_id, a.cell, a.dn AS a_n, b.dn AS b_n
+      FROM rk a JOIN rk b ON b.vec_id = a.vec_id AND b.rn = 2
+      WHERE a.rn = 1),
+    s AS (
+      SELECT cell,
+             CASE WHEN b_n = 0 THEN 0
+                  ELSE CAST(((b_n - a_n) * 1000000) // b_n AS BIGINT)
+             END AS s_ppm
+      FROM ab)
+    SELECT CAST(cell AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(CAST(sum(s_ppm) AS BIGINT) // count(*) AS BIGINT)
+             AS mean_sil_ppm,
+           CAST(min(s_ppm) AS BIGINT) AS min_sil_ppm,
+           CAST(max(s_ppm) AS BIGINT) AS max_sil_ppm
+    FROM s GROUP BY cell ORDER BY cluster_id
+    """
+    )
+
+
+@query(
+    "q225_kmeans_silhouette",
+    oracle=_silhouette_oracle(),
+    tags=("clustering", "eval", "embeddings", "parity:silhouette"),
+)
+def q225_kmeans_silhouette(spark, sf_dir):
+    """Per-cluster simplified-silhouette stats for the q140 model.
+    The k trained centroids are driver-side literals, so the whole
+    scoring pass is ONE narrow map — array_sort over k (distance,
+    cell) structs gives the assigned cell, a_n (nearest) and b_n
+    (second-nearest) in a single expression — followed by one
+    hash-aggregate per cluster. Zero joins; row data moves only
+    through the k-row aggregate. s_ppm = (b−a)·1e6 DIV b is pure
+    BIGINT (b ≥ a ≥ 0), so mean/min/max are engine-exact."""
+    from mindseye_dataframes_spark.operators.clustering import (
+        _l2_ranked,
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, "vec_id", "embedding", k=_K, iters=2)
+    arr = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    _l2_ranked(F.col("embedding"), cv).alias("dn"),
+                    F.lit(int(cell)).cast("int").alias("cell"),
+                )
+                for cell, cv in cents
+            ]
+        )
+    )
+    ab = emb.select(
+        "vec_id",
+        arr[0]["cell"].alias("cell"),
+        arr[0]["dn"].alias("a_n"),
+        arr[1]["dn"].alias("b_n"),
+    )
+    s = ab.select(
+        "cell",
+        F.expr(
+            "CASE WHEN b_n = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE ((b_n - a_n) * 1000000) DIV b_n END"
+        ).alias("s_ppm"),
+    )
+    return (
+        s.groupBy(F.col("cell").cast("long").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.expr("sum(s_ppm) DIV count(*)").alias("mean_sil_ppm"),
+            F.min("s_ppm").alias("min_sil_ppm"),
+            F.max("s_ppm").alias("max_sil_ppm"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -1085,3 +1085,146 @@ def q207_substring_dedup_rewrite(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --- q226: LSH dedup quality eval ----------------------------------------
+#
+# Measures the MinHash-LSH banding approximation (q32's candidate
+# generator) against EXACT ground truth — the dedup-side analogue of
+# q162 (PQ recall), q221 (Matryoshka recall) and q222 (retrieval
+# eval). Ground truth = all pairs with shingle-Jaccard ≥ 0.5,
+# enumerated exactly via a df-capped inverted index on the SAME
+# 3-word shingles (every candidate pair must share a shingle; the
+# df ≤ 50 cap is the documented scale knob, shared verbatim with the
+# oracle so both engines see the identical relation — the q80
+# blocking pattern). recall_ppm = how many true pairs the 4×4 banding
+# surfaces; cand_precision_ppm = what fraction of surfaced candidates
+# survive exact verification (the verify-join's cost efficiency).
+
+_LSH_EVAL_TAU = 0.5
+_LSH_EVAL_MAXDF = 50
+
+
+@query(
+    "q226_lsh_dedup_eval",
+    oracle=_Q32_PAIRS_CTE
+    + f""",
+    gr AS (SELECT doc_id, unnest(t) AS g FROM toks),
+    gdf AS (SELECT g FROM gr GROUP BY g HAVING count(*) <= {_LSH_EVAL_MAXDF}),
+    rg AS (SELECT gr.doc_id, gr.g FROM gr JOIN gdf USING (g)),
+    tcand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rg a JOIN rg b USING (g) WHERE a.doc_id < b.doc_id),
+    truth AS (
+      SELECT id_a, id_b FROM tcand
+      JOIN toks ta ON ta.doc_id = id_a
+      JOIN toks tb ON tb.doc_id = id_b
+      WHERE CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
+              / CAST(len(ta.t) + len(tb.t)
+                     - len(list_intersect(ta.t, tb.t)) AS DOUBLE)
+            >= {_LSH_EVAL_TAU}),
+    det AS (
+      SELECT t.id_a FROM truth t
+      JOIN pairs p ON p.id_a = t.id_a AND p.id_b = t.id_b),
+    m AS (SELECT
+      (SELECT count(*) FROM truth) AS n_true,
+      (SELECT count(*) FROM cands) AS n_cand,
+      (SELECT count(*) FROM pairs) AS n_verified,
+      (SELECT count(*) FROM det) AS n_detected)
+    SELECT CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_cand AS BIGINT) AS n_cand,
+           CAST(n_verified AS BIGINT) AS n_verified,
+           CAST(n_detected AS BIGINT) AS n_detected,
+           CAST(CASE WHEN n_true = 0 THEN 1000000
+                     ELSE (n_detected * 1000000) // n_true END AS BIGINT)
+             AS recall_ppm,
+           CAST(CASE WHEN n_cand = 0 THEN 0
+                     ELSE (n_verified * 1000000) // n_cand END AS BIGINT)
+             AS cand_precision_ppm
+    FROM m
+    """,
+    tags=("dedup", "eval", "parity:lsh-eval"),
+)
+def q226_lsh_dedup_eval(spark, sf_dir):
+    """One-row LSH-vs-exact dedup scorecard. Plan shape: the shingle
+    UDF pass runs once (persisted base), the LSH side is the standard
+    band-bucket self-join, the truth side a df-capped shingle
+    inverted-index self-join (per-shingle fan-out ≤ df² ≤ 2500 —
+    never all-pairs), and both verify joins are id-keyed equi-joins.
+    All metric arithmetic is BIGINT ppm."""
+    from pyspark.storagelevel import StorageLevel
+
+    from mindseye_dataframes_spark.operators.dedup import (
+        LSH_BANDS,
+        MINHASH_K,
+        _candidate_pairs,
+        doc_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = doc_features(docs, "text", "doc_id")
+    toks = base.select(
+        "doc_id", F.col("feats").alias("toks"), F.size("feats").alias("n")
+    )
+    ta = toks.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n").alias("n_a"),
+    )
+    tb = toks.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = inter.cast("double") / (
+        F.col("n_a") + F.col("n_b") - inter
+    ).cast("double")
+
+    def verified(pairs):
+        return (
+            pairs.join(ta, "id_a")
+            .join(tb, "id_b")
+            .filter(jac >= _LSH_EVAL_TAU)
+            .select("id_a", "id_b")
+        )
+
+    cand = _candidate_pairs(base, "doc_id", LSH_BANDS, MINHASH_K)
+    ver = verified(cand)
+    g = base.select("doc_id", F.explode("feats").alias("g"))
+    rare = (
+        g.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("gdf"))
+        .filter(F.col("gdf") <= _LSH_EVAL_MAXDF)
+        .select("g")
+    )
+    rg = g.join(rare, "g")
+    tcand = (
+        rg.select("g", F.col("doc_id").alias("id_a"))
+        .join(rg.select("g", F.col("doc_id").alias("id_b")), "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    truth = verified(tcand).persist(StorageLevel.MEMORY_AND_DISK)
+    det = truth.join(ver, ["id_a", "id_b"], "left_semi")
+    row = (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_cand")))
+        .crossJoin(ver.agg(F.count(F.lit(1)).alias("n_verified")))
+        .crossJoin(det.agg(F.count(F.lit(1)).alias("n_detected")))
+    )
+    return row.select(
+        "n_true",
+        "n_cand",
+        "n_verified",
+        "n_detected",
+        F.expr(
+            "CASE WHEN n_true = 0 THEN CAST(1000000 AS BIGINT)"
+            " ELSE (n_detected * 1000000) DIV n_true END"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CASE WHEN n_cand = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE (n_verified * 1000000) DIV n_cand END"
+        ).alias("cand_precision_ppm"),
+    )
