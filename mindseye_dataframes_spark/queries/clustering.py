@@ -477,3 +477,70 @@ def q225_kmeans_silhouette(spark, sf_dir):
         )
         .orderBy("cluster_id")
     )
+
+
+# --- q227: cluster-balanced sample ---------------------------------------
+#
+# Diversity sampling over LEARNED strata: after the q140 k-means fit,
+# draw exactly ≤M points per cluster, ranked inside each cluster by
+# md5(vec_id) (unbiased, engine-portable, reshuffle-stable — the q124
+# idiom, but the strata come from the model, not a label column).
+# This is the cluster-balanced selection step of coverage-maximizing
+# curation (cf. k-center q223: that maximizes spread point-by-point;
+# this caps per-mode mass wholesale) — at 100 TB the window runs at
+# cluster granularity, output is bounded by k·M, and nothing global
+# ever sorts.
+
+_CB_PER_CELL = 12
+
+
+def _cb_sample_oracle() -> str:
+    return (
+        _kmeans_ctes()
+        + f""",
+    r AS (
+      SELECT cell, vec_id,
+             row_number() OVER (PARTITION BY cell
+                                ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                         vec_id) AS rn
+      FROM a2)
+    SELECT CAST(cell AS BIGINT) AS cluster_id, vec_id,
+           CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= {_CB_PER_CELL}
+    ORDER BY cluster_id, rn
+    """
+    )
+
+
+@query(
+    "q227_cluster_balanced_sample",
+    oracle=_cb_sample_oracle(),
+    tags=("clustering", "curation", "sampling", "parity:cluster-sample"),
+)
+def q227_cluster_balanced_sample(spark, sf_dir):
+    """≤12 deterministic picks per learned cluster. Plan: the q140
+    assignment (narrow centroid-literal map) + ONE window partitioned
+    by cell (hash-partitioned — no single-partition exchange) +
+    filter; output bounded by k·M regardless of corpus size."""
+    from pyspark.sql import Window
+
+    from mindseye_dataframes_spark.operators.clustering import (
+        kmeans_fit_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_fit_assign(emb, "vec_id", "embedding", k=_K, iters=2)
+    rn = F.row_number().over(
+        Window.partitionBy("_cell").orderBy(
+            F.md5(F.col("vec_id").cast("string")), "vec_id"
+        )
+    )
+    return (
+        assigned.select(
+            F.col("_cell").cast("long").alias("cluster_id"),
+            "vec_id",
+            rn.cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= _CB_PER_CELL)
+        .orderBy("cluster_id", "rn")
+    )

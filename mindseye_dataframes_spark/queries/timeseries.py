@@ -835,3 +835,114 @@ def q198_streaming_cdc_upsert_parity(spark, sf_dir):
         return out.orderBy("user_id")
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "q228_streaming_outer_join_parity",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    t AS (SELECT user_id AS t_user, ts AS touch_ts,
+                 event_type AS touch_type, event_id AS touch_id
+          FROM events WHERE event_type <> 'purchase')
+    SELECT COALESCE(touch_type, '(none)') AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_purchases,
+           CAST(COUNT(DISTINCT touch_id) AS BIGINT) AS n_touches
+    FROM p LEFT JOIN t ON t_user = user_id
+                      AND touch_ts <= ts
+                      AND touch_ts >= ts - INTERVAL 3600 SECOND
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("streaming", "join", "parity:stream-outer-join"),
+)
+def q228_streaming_outer_join_parity(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join — the eviction-driven
+    semantics q195's inner join never exercises: a purchase with no
+    same-user touch in the preceding hour emits its null-padded row
+    only when the GLOBAL watermark (min across both sides) proves no
+    match can still arrive. The harness makes that provable inside a
+    bounded drain: the 32-file drop uses a 400-day watermark (wider
+    than the data span, so arbitrary file order drops nothing — the
+    q195 exactness trick), then a sentinel pair (one far-future
+    purchase, one far-future touch, 10 days apart so they cannot join
+    each other) is written with a LATER mtime so the file source
+    consumes it in the final trigger; its event time pushes the
+    watermark past every data row and the terminating no-data batch
+    flushes all unmatched purchases. Sentinels carry negative ids and
+    are filtered before the rollup. The oracle is the identical batch
+    LEFT JOIN; the '(none)' group pins the outer rows, so the driver
+    hash-checks eviction correctness, not just matched pairs. Scale:
+    state is watermark-bounded per the operator contract; the
+    driver-side snapshot holds O(touch types)."""
+    import os
+    import shutil
+    import time
+    import uuid
+    from datetime import timedelta
+
+    from mindseye_dataframes_spark.sources.staging import staging_dir
+    from mindseye_dataframes_spark.streaming.events import (
+        interval_join_streams,
+        read_event_stream,
+        run_bounded,
+    )
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    events = load_table(spark, sf_dir, "events").select(*cols)
+    mx = events.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    run_id = uuid.uuid4().hex[:12]
+    src = staging_dir(spark, f"msdf_stream_oj_{run_id}_")
+    try:
+        events.repartition(32).write.mode("overwrite").parquet(src)
+        # age the main drop so the sentinel file is strictly newest —
+        # the file source orders triggers by modification time
+        old = time.time() - 600
+        for name in os.listdir(src):
+            os.utime(os.path.join(src, name), (old, old))
+        sent = spark.createDataFrame(
+            [
+                (-1, mx + timedelta(days=500), -1, "purchase", 0.0, None),
+                (-2, mx + timedelta(days=510), -1, "sentinel", 0.0, None),
+            ],
+            schema=events.schema,
+        )
+        sent.coalesce(1).write.mode("append").parquet(src)
+        stream = read_event_stream(spark, src)
+        purchases = stream.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        touches = stream.filter(F.col("event_type") != "purchase").select(
+            F.col("user_id").alias("t_user"),
+            F.col("ts").alias("touch_ts"),
+            F.col("event_type").alias("touch_type"),
+            F.col("event_id").alias("touch_id"),
+        )
+        joined = interval_join_streams(
+            purchases,
+            touches,
+            tolerance_seconds=3600,
+            watermark="400 days",
+            how="left_outer",
+        )
+        table = f"q228_oj_{run_id}"
+        pairs = run_bounded(
+            joined, table, output_mode="append", shuffle_partitions=32
+        )
+        rollup = (
+            pairs.filter(F.col("event_id") >= 0)
+            .groupBy(
+                F.coalesce("touch_type", F.lit("(none)")).alias("touch_type")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.countDistinct("event_id").alias("n_purchases"),
+                F.countDistinct("touch_id").alias("n_touches"),
+            )
+            .orderBy("touch_type")
+        )
+        snap = spark.createDataFrame(rollup.collect(), schema=rollup.schema)
+        spark.catalog.dropTempView(table)
+        return snap.orderBy("touch_type")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

@@ -103,19 +103,40 @@ def run_bounded(
     table_name: str,
     timeout_sec: int = 120,
     output_mode: str = "complete",
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Drain a bounded stream (availableNow) into an in-memory table
     and return it as a batch DataFrame — the test/validation harness
     for streaming transformations. ``update`` mode appends every
     per-trigger update to the sink table (take the last row per key
-    for final state)."""
-    query = (
-        stream_df.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    for final state).
+
+    ``shuffle_partitions`` sizes the query's STATE STORE partition
+    count: Spark fixes it from ``spark.sql.shuffle.partitions`` at
+    first start (the cloned per-query conf), and every later restart
+    inherits it from the checkpoint — so right-sizing it at start is
+    the real production decision, not a test shortcut. Heavier
+    stateful operators (the outer interval join's per-batch eviction
+    scans touch every state partition every trigger) pass an explicit
+    value so a default-conf session (200 partitions on few cores)
+    doesn't pay 200-way stage overhead per micro-batch. The session
+    conf is restored immediately after start."""
+    spark = stream_df.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key) if shuffle_partitions is not None else None
+    if shuffle_partitions is not None:
+        spark.conf.set(key, str(shuffle_partitions))
+    try:
+        query = (
+            stream_df.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
     if not query.awaitTermination(timeout_sec):
         # a partial complete-mode snapshot is a silent wrong answer —
         # stop the query and fail loudly instead
@@ -217,6 +238,7 @@ def interval_join_streams(
     touches: DataFrame,
     tolerance_seconds: int = 3600,
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join — the streaming twin of
     q122's attribution window: every (purchase, touch) pair of the
@@ -230,6 +252,13 @@ def interval_join_streams(
 
     ``purchases`` columns: (event_id, user_id, ts);
     ``touches`` columns: (t_user, touch_ts, touch_type, touch_id).
+
+    ``how`` extends the join to ``left_outer``: unmatched purchases
+    emit a null-padded row once the GLOBAL watermark (min across both
+    sides) proves no matching touch can still arrive — Spark holds the
+    row in state until then, so outer results are eviction-driven, not
+    arrival-driven (q228 exercises this with a sentinel that pushes
+    the watermark past the data).
     """
     p = purchases.withWatermark("ts", watermark)
     t = touches.withWatermark("touch_ts", watermark)
@@ -241,6 +270,6 @@ def interval_join_streams(
             >= p["ts"] - F.expr(f"INTERVAL {int(tolerance_seconds)} SECONDS")
         )
     )
-    return p.join(t, cond, "inner").select(
+    return p.join(t, cond, how).select(
         "event_id", "user_id", "ts", "touch_type", "touch_id", "touch_ts"
     )
