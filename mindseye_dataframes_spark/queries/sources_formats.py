@@ -141,3 +141,71 @@ def q178_schema_evolution(spark, sf_dir):
     return merged.select("n_nationkey", "n_name", "n_regionkey").orderBy(
         "n_nationkey"
     )
+
+
+_SYNTH_N = 100_000
+_SYNTH_MD5 = "md5(CAST(row_id AS VARCHAR))"
+
+
+@query(
+    "q229_python_datasource",
+    oracle=f"""
+    WITH ids AS (
+      SELECT unnest(generate_series(0, {_SYNTH_N - 1})) AS row_id),
+    r AS (
+      SELECT row_id,
+             CAST(('0x' || substr({_SYNTH_MD5}, 1, 8)) AS BIGINT)
+               % 1000 AS user_id,
+             CAST(('0x' || substr({_SYNTH_MD5}, 9, 8)) AS BIGINT)
+               % 5000 AS item_id,
+             CAST(('0x' || substr({_SYNTH_MD5}, 17, 8)) AS BIGINT)
+               % 100000 AS amount_cents,
+             CAST(('0x' || substr({_SYNTH_MD5}, 25, 8)) AS BIGINT)
+               % 365 AS day
+      FROM ids)
+    SELECT CAST(day % 7 AS INT) AS dow,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(amount_cents) AS BIGINT) AS sum_cents,
+           CAST(sum(user_id) AS BIGINT) AS sum_user,
+           CAST(sum(item_id) AS BIGINT) AS sum_item,
+           CAST(max(row_id) AS BIGINT) AS max_row
+    FROM r GROUP BY 1 ORDER BY 1
+    """,
+    tags=("sources", "datasource-api", "parity:python-datasource"),
+)
+def q229_python_datasource(spark, sf_dir):
+    """Custom PYTHON DATA SOURCE under the driver's hash check
+    (`sources/synth_source.py`): a pyspark.sql.datasource.DataSource
+    registered by name, scanned as 16 range InputPartitions whose
+    reader emits Arrow RecordBatches; every field is a pure md5
+    function of row_id, so the DuckDB oracle regenerates the WHOLE
+    relation with generate_series + the identical hex-window
+    arithmetic and the per-dow rollup hash-pins that the source
+    produced exactly the declared rows — source extensibility
+    verified by value, not just by row count. Fields never depend on
+    the partition, so any re-split (the 100 TB knob) leaves every
+    aggregate invariant; worker memory is O(Arrow batch)."""
+    from mindseye_dataframes_spark.sources.synth_source import (
+        register_synth_source,
+    )
+
+    from pyspark.sql import functions as F
+
+    register_synth_source(spark)
+    df = (
+        spark.read.format("msdf_synth")
+        .option("n_rows", _SYNTH_N)
+        .option("n_parts", 16)
+        .load()
+    )
+    return (
+        df.groupBy((F.col("day") % 7).cast("int").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("amount_cents").alias("sum_cents"),
+            F.sum("user_id").alias("sum_user"),
+            F.sum("item_id").alias("sum_item"),
+            F.max("row_id").alias("max_row"),
+        )
+        .orderBy("dow")
+    )

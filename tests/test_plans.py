@@ -956,3 +956,13 @@ def test_kcenter_round_is_exchange_free(spark, sf_dir):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "HashAggregate" not in plan, plan
+
+
+def test_cluster_sample_window_is_hash_partitioned(spark, sf_dir):
+    """q227's per-cluster window must partition by cell — never a
+    single-partition global window."""
+    plan = plan_of(spark, sf_dir, "q227_cluster_balanced_sample")
+    assert "Window" in plan, plan
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "SinglePartition" not in line, line

@@ -1,0 +1,57 @@
+"""Custom Python DataSource (sources/synth_source.py) invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mindseye_dataframes_spark.sources.synth_source import (
+    SYNTH_SCHEMA,
+    register_synth_source,
+)
+
+
+def _agg(spark, n_rows, n_parts):
+    register_synth_source(spark)
+    df = (
+        spark.read.format("msdf_synth")
+        .option("n_rows", n_rows)
+        .option("n_parts", n_parts)
+        .load()
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("amount_cents").alias("s"),
+        F.sum("user_id").alias("u"),
+        F.max("row_id").alias("m"),
+    ).collect()[0]
+
+
+def test_partition_count_invariance(spark):
+    """Fields are functions of row_id only: re-splitting the source
+    (1 vs 16 partitions) must leave every aggregate identical —
+    the property that makes the source safe to re-plan at scale."""
+    a = _agg(spark, 5_000, 1)
+    b = _agg(spark, 5_000, 16)
+    assert a == b
+
+
+def test_scan_parallelism_matches_n_parts(spark):
+    register_synth_source(spark)
+    df = (
+        spark.read.format("msdf_synth")
+        .option("n_rows", 1_000)
+        .option("n_parts", 7)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 7
+    assert df.count() == 1_000
+
+
+def test_schema_is_declared(spark):
+    register_synth_source(spark)
+    df = spark.read.format("msdf_synth").option("n_rows", 10).load()
+    assert df.schema.simpleString() == (
+        "struct<row_id:bigint,user_id:bigint,item_id:bigint,"
+        "amount_cents:bigint,day:int>"
+    )
+    assert SYNTH_SCHEMA.split(",")[0].strip() == "row_id long"
