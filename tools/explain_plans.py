@@ -48,6 +48,14 @@ def main() -> None:
             "q203_incremental_bm25_update",
             "q208_bm25_tombstone_delete",
             "q209_ann_tombstone_delete",
+            "q216_curriculum_schedule",
+            "q220_sketch_join_size",
+            "q221_matryoshka_recall_curve",
+            "q222_retrieval_quality_eval",
+            "q225_kmeans_silhouette",
+            "q226_lsh_dedup_eval",
+            "q227_cluster_balanced_sample",
+            "q229_python_datasource",
         )
         if n in registry
     ]
