@@ -209,3 +209,90 @@ def q229_python_datasource(spark, sf_dir):
         )
         .orderBy("dow")
     )
+
+
+_SYNTH_STREAM_N = 20_000
+
+
+@query(
+    "q230_python_stream_datasource",
+    oracle=f"""
+    WITH ids AS (
+      SELECT unnest(generate_series(0, {_SYNTH_STREAM_N - 1})) AS row_id),
+    r AS (
+      SELECT row_id,
+             CAST(('0x' || substr({_SYNTH_MD5}, 1, 8)) AS BIGINT)
+               % 1000 AS user_id,
+             CAST(('0x' || substr({_SYNTH_MD5}, 9, 8)) AS BIGINT)
+               % 5000 AS item_id,
+             CAST(('0x' || substr({_SYNTH_MD5}, 17, 8)) AS BIGINT)
+               % 100000 AS amount_cents,
+             CAST(('0x' || substr({_SYNTH_MD5}, 25, 8)) AS BIGINT)
+               % 365 AS day
+      FROM ids)
+    SELECT CAST(day % 7 AS INT) AS dow,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(amount_cents) AS BIGINT) AS sum_cents,
+           CAST(sum(user_id) AS BIGINT) AS sum_user,
+           CAST(sum(item_id) AS BIGINT) AS sum_item,
+           CAST(max(row_id) AS BIGINT) AS max_row
+    FROM r GROUP BY 1 ORDER BY 1
+    """,
+    tags=("sources", "streaming", "datasource-api", "parity:python-stream-source"),
+)
+def q230_python_stream_datasource(spark, sf_dir):
+    """STREAMING side of the custom Python DataSource (q229's twin):
+    a DataSourceStreamReader whose driver-side state is ONE integer
+    offset — latestOffset() advances it 5 000 rows per trigger (4 data
+    micro-batches), partitions(start, end) splits each offset range
+    into 4 range partitions, and rows are generated ON EXECUTORS.
+    The drain appends into a memory sink until the source goes idle
+    (offset clamped at n_rows), and the rollup must equal the oracle's
+    one-shot generate_series relation — i.e. the union of all
+    micro-batches is exactly-once and gap-free across offset
+    boundaries. Offsets are checkpointable dicts and every field is a
+    pure function of row_id, so replaying any offset range is
+    bit-identical (the property that makes source-side recovery free
+    at scale); driver memory is O(1)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from mindseye_dataframes_spark.sources.synth_source import (
+        register_synth_stream_source,
+    )
+
+    register_synth_stream_source(spark)
+    stream = (
+        spark.readStream.format("msdf_synth_stream")
+        .option("n_rows", _SYNTH_STREAM_N)
+        .option("rows_per_batch", 5_000)
+        .option("n_parts", 4)
+        .load()
+    )
+    table = f"q230_synth_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rollup = (
+        spark.table(table)
+        .groupBy((F.col("day") % 7).cast("int").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("amount_cents").alias("sum_cents"),
+            F.sum("user_id").alias("sum_user"),
+            F.sum("item_id").alias("sum_item"),
+            F.max("row_id").alias("max_row"),
+        )
+        .orderBy("dow")
+    )
+    snap = spark.createDataFrame(rollup.collect(), schema=rollup.schema)
+    spark.catalog.dropTempView(table)
+    return snap.orderBy("dow")

@@ -101,3 +101,71 @@ class SynthDataSource(DataSource):
 def register_synth_source(spark) -> None:
     """Idempotent registration (re-registering the same name is fine)."""
     spark.dataSource.register(SynthDataSource)
+
+
+# --- streaming side -------------------------------------------------------
+#
+# The PARTITION-PLANNED stream reader (DataSourceStreamReader, not the
+# driver-side Simple variant): the driver only tracks an integer row
+# offset; each trigger's latestOffset() advances it by rows_per_batch,
+# partitions(start, end) splits the offset range into n_parts range
+# partitions, and the rows themselves are produced ON EXECUTORS — the
+# shape that scales, since the driver never touches row data. Offsets
+# are checkpointable dicts, so exactly-once replay (readBetweenOffsets
+# semantics via the same pure row_id functions) is free: any offset
+# range regenerates bit-identical rows.
+
+from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
+
+
+class SynthStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 20_000))
+        self.rows_per_batch = int(options.get("rows_per_batch", 5_000))
+        self.n_parts = max(1, int(options.get("n_parts", 4)))
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def latestOffset(self):
+        # monotone per-trigger advance; clamps at n_rows so the query
+        # goes idle (processAllAvailable returns) once drained
+        self._latest = min(
+            getattr(self, "_latest", 0) + self.rows_per_batch, self.n_rows
+        )
+        return {"index": self._latest}
+
+    def partitions(self, start, end):
+        lo, hi = int(start["index"]), int(end["index"])
+        if hi <= lo:
+            return [_RangePartition(lo, lo)]
+        step = -(-(hi - lo) // self.n_parts)
+        return [
+            _RangePartition(b, min(b + step, hi)) for b in range(lo, hi, step)
+        ]
+
+    def read(self, partition):
+        for i in range(partition.lo, partition.hi):
+            yield _fields(i)
+
+    def commit(self, end):
+        pass
+
+
+class SynthStreamDataSource(DataSource):
+    """``spark.readStream.format("msdf_synth_stream")`` after
+    ``spark.dataSource.register(SynthStreamDataSource)``."""
+
+    @classmethod
+    def name(cls):
+        return "msdf_synth_stream"
+
+    def schema(self):
+        return SYNTH_SCHEMA
+
+    def streamReader(self, schema):
+        return SynthStreamReader(self.options)
+
+
+def register_synth_stream_source(spark) -> None:
+    spark.dataSource.register(SynthStreamDataSource)

@@ -55,3 +55,41 @@ def test_schema_is_declared(spark):
         "amount_cents:bigint,day:int>"
     )
     assert SYNTH_SCHEMA.split(",")[0].strip() == "row_id long"
+
+
+def test_stream_offsets_clamp_and_cover():
+    """latestOffset advances by rows_per_batch and clamps at n_rows;
+    the per-batch partitions tile each offset range exactly — union of
+    all batches covers [0, n) once (the exactly-once contract the q230
+    oracle hash-pins end-to-end)."""
+    from mindseye_dataframes_spark.sources.synth_source import (
+        SynthStreamReader,
+    )
+
+    r = SynthStreamReader(
+        {"n_rows": "10000", "rows_per_batch": "3000", "n_parts": "4"}
+    )
+    offsets = [r.initialOffset()["index"]]
+    while offsets[-1] < 10000:
+        offsets.append(r.latestOffset()["index"])
+    assert offsets == [0, 3000, 6000, 9000, 10000]
+    seen = []
+    for lo, hi in zip(offsets, offsets[1:]):
+        parts = r.partitions({"index": lo}, {"index": hi})
+        for p in parts:
+            seen.extend(range(p.lo, p.hi))
+    assert seen == list(range(10000))
+
+
+def test_stream_read_replays_batch_fields():
+    """read() over any offset range regenerates the same rows the
+    batch reader produces — source-side recovery is a pure replay."""
+    from mindseye_dataframes_spark.sources.synth_source import (
+        SynthStreamReader,
+        _fields,
+        _RangePartition,
+    )
+
+    r = SynthStreamReader({"n_rows": "100"})
+    rows = list(r.read(_RangePartition(40, 60)))
+    assert rows == [_fields(i) for i in range(40, 60)]
