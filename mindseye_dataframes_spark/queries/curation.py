@@ -1356,3 +1356,76 @@ def q206_bigram_lm_perplexity_filter(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --- q231: priority sampling --------------------------------------------
+#
+# Duffield–Lund–Thorup priority sampling (JACM 2007, public): draw a
+# weight-sensitive sample WITHOUT replacement — priority
+# q_i = w_i / u_i with u_i uniform in (0,1], keep the k largest — and
+# the k+1-th priority τ gives the UNBIASED subset-sum estimator
+# ŵ_i = max(w_i, τ): E[Σ_sample ŵ] = Σ_corpus w, so any filtered
+# class's total weight is estimable from the tiny sample. Engine-
+# exact: u_i comes from a 24-bit md5 window ((h+1)/2²⁴], so
+# q_n = (w · 2²⁴) DIV (h+1) is pure BIGINT (w ≤ 10⁶ chars keeps the
+# product < 2⁴⁴), and τ = min over the top-(k+1) multiset — the
+# tie-robust form of "the (k+1)-th largest".
+
+_PRI_K = 40
+_PRI_H24 = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)"
+
+
+@query(
+    "q231_priority_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+             CAST((CAST(n_chars AS BIGINT) * 16777216)
+                  // ({_PRI_H24} + 1) AS BIGINT) AS qn
+      FROM documents),
+    top1 AS (
+      SELECT doc_id, w, qn FROM d
+      ORDER BY qn DESC, doc_id LIMIT {_PRI_K + 1}),
+    tau AS (SELECT min(qn) AS t FROM top1),
+    s AS (
+      SELECT doc_id, w, qn FROM d
+      ORDER BY qn DESC, doc_id LIMIT {_PRI_K})
+    SELECT doc_id, w, qn,
+           CAST(greatest(w, COALESCE((SELECT t FROM tau), 0)) AS BIGINT)
+             AS w_hat
+    FROM s ORDER BY qn DESC, doc_id
+    """,
+    tags=("curation", "sampling", "sketch", "parity:priority-sample"),
+)
+def q231_priority_sample(spark, sf_dir):
+    """Weighted sample of 40 docs (weight = n_chars) + the estimator
+    column. Plan: ONE narrow map computes (w, qn) at the scan (text
+    never read — column pruning keeps the scan to doc_id/n_chars),
+    then two TakeOrdereds share it (top-k sample, top-(k+1) for τ)
+    and the 1-row τ broadcasts onto the sample. Nothing shuffles;
+    driver holds k+1 rows. At 100 TB this is THE way to audit a
+    quality-weighted subsample: reproducible (hash-seeded), single
+    pass, and Σ max(w, τ) over the sample unbiasedly estimates the
+    corpus total weight."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("w"),
+        F.expr(
+            "CAST((CAST(n_chars AS BIGINT) * 16777216) DIV"
+            " (CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 6),"
+            " 16, 10) AS BIGINT) + 1) AS BIGINT)"
+        ).alias("qn"),
+    )
+    top1 = d.orderBy(F.desc("qn"), "doc_id").limit(_PRI_K + 1)
+    tau = top1.agg(F.min("qn").alias("t"))
+    s = d.orderBy(F.desc("qn"), "doc_id").limit(_PRI_K)
+    return (
+        s.crossJoin(F.broadcast(tau))
+        .select(
+            "doc_id",
+            "w",
+            "qn",
+            F.greatest("w", F.coalesce("t", F.lit(0))).alias("w_hat"),
+        )
+        .orderBy(F.desc("qn"), "doc_id")
+    )

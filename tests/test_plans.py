@@ -966,3 +966,15 @@ def test_cluster_sample_window_is_hash_partitioned(spark, sf_dir):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "SinglePartition" not in line, line
+
+
+def test_priority_sample_is_pruned_takeordered(spark, sf_dir):
+    """q231 must prune the scan to (doc_id, n_chars) — text never
+    read — and take its top-k via TakeOrdered, not a global sort."""
+    plan = explain_formatted(spark, sf_dir, "q231_priority_sample")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema, read_schema
+    assert "doc_id" in read_schema and "n_chars" in read_schema
+    exec_plan = plan_of(spark, sf_dir, "q231_priority_sample")
+    assert "TakeOrderedAndProject" in exec_plan
+    assert "BroadcastNestedLoopJoin" in exec_plan or "BroadcastHashJoin" in exec_plan
