@@ -333,3 +333,74 @@ def q213_ngram_containment_pairs(spark, sf_dir):
         docs, "text", "doc_id", n=_NGRAM_N,
         threshold_ppm=_CONT_THRESHOLD_PPM, max_df=_NGRAM_MAXDF,
     ).orderBy("src_id", "dst_id")
+
+
+@query(
+    "q232_block_manifest",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents),
+    o AS (
+      SELECT doc_id, n,
+             CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS s
+      FROM t),
+    m AS (
+      SELECT b.b AS block_id, doc_id,
+             GREATEST(s, b.b * {_BLOCK}) - s AS doc_from,
+             GREATEST(s, b.b * {_BLOCK}) - b.b * {_BLOCK} AS blk_from,
+             LEAST(s + n, (b.b + 1) * {_BLOCK})
+               - GREATEST(s, b.b * {_BLOCK}) AS seg_len
+      FROM o, LATERAL (
+        SELECT unnest(generate_series(s // {_BLOCK},
+                                      (s + n - 1) // {_BLOCK})) AS b) b)
+    SELECT CAST(block_id AS BIGINT) AS block_id, doc_id,
+           CAST(doc_from AS BIGINT) AS doc_from,
+           CAST(blk_from AS BIGINT) AS blk_from,
+           CAST(seg_len AS BIGINT) AS seg_len
+    FROM m ORDER BY block_id, blk_from
+    """,
+    tags=("training", "packing", "parity:block-manifest"),
+)
+def q232_block_manifest(spark, sf_dir):
+    """The DATALOADER-facing inverse of q81: for every 256-token
+    training block, the exact (doc_id, doc_from, blk_from, seg_len)
+    segments that fill it — the manifest a loader materializes so
+    block fetches become point reads instead of a re-scan of the
+    packing. Same two-phase distributed prefix sum as q81 (no
+    single-partition window), then a per-doc explode whose fan-out is
+    n_tokens/256 + 1 — output is O(total_tokens / block) rows, all
+    integer interval arithmetic; every block's segments sum to
+    exactly 256 except the final partial block (a property the
+    oracle's values pin implicitly)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_sequences(docs, "n_tokens", ["doc_id"], _BLOCK).select(
+        "doc_id",
+        F.col("n_tokens").alias("n"),
+        F.col("start_offset").alias("s"),
+    )
+    b = F.explode(
+        F.sequence(
+            F.expr(f"s DIV {_BLOCK}"), F.expr(f"(s + n - 1) DIV {_BLOCK}")
+        )
+    ).alias("block_id")
+    seg_lo = F.greatest("s", F.expr(f"block_id * {_BLOCK}"))
+    seg_hi = F.least(
+        F.expr("s + n"), F.expr(f"(block_id + 1) * {_BLOCK}")
+    )
+    return (
+        packed.select("doc_id", "n", "s", b)
+        .select(
+            F.col("block_id").cast("long").alias("block_id"),
+            "doc_id",
+            (seg_lo - F.col("s")).alias("doc_from"),
+            (seg_lo - F.expr(f"block_id * {_BLOCK}")).alias("blk_from"),
+            (seg_hi - seg_lo).alias("seg_len"),
+        )
+        .orderBy("block_id", "blk_from")
+    )
