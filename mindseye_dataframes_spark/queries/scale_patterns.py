@@ -621,3 +621,132 @@ def q217_rendezvous_sharding(spark, sf_dir):
         )
         .orderBy("method")
     )
+
+
+# --- q233: Bloom prefilter FPR gate --------------------------------------
+
+
+@query(
+    "q233_bloom_fpr_gate",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_present,
+           CAST(count(*) AS BIGINT) AS n_absent,
+           true AS fn_ok, true AS fpr_ok
+    FROM customer
+    """,
+    tags=("scale", "sketch", "eval", "parity:bloom-fpr"),
+)
+def q233_bloom_fpr_gate(spark, sf_dir):
+    """Accuracy gate for the q141 Bloom prefilter (the q50/q162
+    pattern: exact companion stats + boolean gates the oracle pins to
+    ``true``). Build the filter over the distinct customer keys with
+    production sizing (m = next power of two ≥ 16·n → k·n/m ≈ 0.125,
+    theoretical FPR ≈ 1.4%), then probe two determined sets: the keys
+    themselves (EVERY one must pass — a Bloom filter has no false
+    negatives, ``fn_ok``) and the disjoint shifted domain key + 10⁹
+    (whatever passes is a false positive; ``fpr_ok`` gates the
+    measured rate at ≤ 4× theoretical). xxhash64 makes the bit
+    pattern engine-specific, so the raw FP count never leaves the
+    gate — but the gate is DETERMINISTIC for a given dataset, not
+    statistical: one green run at an sf pins it forever. Both counts
+    the oracle CAN replay (n_present = n_absent = |customer|) are
+    emitted exactly. Scale: the build is one hash-aggregate into
+    m/64 words, probes are broadcast 1:≤1 joins — nothing shuffles."""
+    import math
+
+    from mindseye_dataframes_spark.operators.bloom import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k")
+    )
+    n = cust.count()  # O(1) driver scalar — sizes the filter
+    m = 1 << max(12, (16 * n - 1).bit_length())
+    k_hashes = 2
+    bloom = bloom_build(cust, "k", n_bits=m, n_hashes=k_hashes)
+    theory = (1.0 - math.exp(-k_hashes * n / m)) ** k_hashes
+    fp_bound = int(4 * theory * n) + 1
+    absent = cust.select((F.col("k") + F.lit(1_000_000_000)).alias("k"))
+    n_present_pass = bloom_prefilter(cust, "k", bloom).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n_absent_pass = bloom_prefilter(absent, "k", bloom).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        cust.agg(F.count(F.lit(1)).alias("n_present"))
+        .crossJoin(n_present_pass.select(F.col("c").alias("pp")))
+        .crossJoin(n_absent_pass.select(F.col("c").alias("ap")))
+        .select(
+            "n_present",
+            F.col("n_present").alias("n_absent"),
+            (F.col("pp") == F.col("n_present")).alias("fn_ok"),
+            (F.col("ap") <= F.lit(fp_bound)).alias("fpr_ok"),
+        )
+    )
+
+
+# --- q234: HLL set-overlap gate -------------------------------------------
+
+
+@query(
+    "q234_hll_overlap_gate",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             user_id * 1000 + dayofyear(ts) AS el
+      FROM events WHERE event_type IN ('purchase', 'click')),
+    m AS (SELECT
+      (SELECT count(DISTINCT el) FROM e WHERE event_type = 'purchase')
+        AS n_a,
+      (SELECT count(DISTINCT el) FROM e WHERE event_type = 'click')
+        AS n_b,
+      (SELECT count(DISTINCT el) FROM e) AS n_u)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_a + n_b - n_u AS BIGINT) AS exact_inter,
+           true AS overlap_ok
+    FROM m
+    """,
+    tags=("scale", "sketch", "eval", "parity:hll-overlap"),
+)
+def q234_hll_overlap_gate(spark, sf_dir):
+    """Accuracy gate for COMPOSED HLL arithmetic (q50 gates one
+    cardinality; real pipelines combine sketches): estimate the
+    overlap of two activity sets — (user, day-of-year) pairs with
+    purchases vs with clicks — by inclusion–exclusion over three
+    approx_count_distinct(rsd=0.01) sketches, and gate the estimate
+    against the EXACT intersection at ±(15% + 10). Inclusion–
+    exclusion compounds the error of three estimates and is the
+    step where sketch overlap math usually goes wrong at scale; the
+    gate is deterministic for a dataset (HLL++ is), so a green row
+    pins it. The exact trio (n_a, n_b, exact_inter — also via
+    inclusion–exclusion, but over exact countDistinct) is what the
+    oracle replays. Scale: three map-side-combinable aggregates over
+    one filtered scan; no joins, no distinct materialization."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    el = (F.col("user_id") * 1000 + F.dayofyear("ts")).cast("long")
+    d = ev.select("event_type", el.alias("el"))
+    is_a = F.col("event_type") == "purchase"
+    row = d.agg(
+        F.countDistinct(F.when(is_a, F.col("el"))).alias("n_a"),
+        F.countDistinct(F.when(~is_a, F.col("el"))).alias("n_b"),
+        F.countDistinct("el").alias("n_u"),
+        F.approx_count_distinct(F.when(is_a, F.col("el")), 0.01).alias("e_a"),
+        F.approx_count_distinct(F.when(~is_a, F.col("el")), 0.01).alias("e_b"),
+        F.approx_count_distinct("el", 0.01).alias("e_u"),
+    )
+    exact_inter = F.col("n_a") + F.col("n_b") - F.col("n_u")
+    est_inter = F.col("e_a") + F.col("e_b") - F.col("e_u")
+    return row.select(
+        "n_a",
+        "n_b",
+        exact_inter.alias("exact_inter"),
+        (
+            F.abs(est_inter * 100 - exact_inter * 100)
+            <= exact_inter * 15 + 1000
+        ).alias("overlap_ok"),
+    )
