@@ -244,28 +244,73 @@ REFRESH_R09 = REFRESH_R08 | {
     "q204_incremental_ann_update",  # base extracted to shared helper
 }
 
+PROVEN_R09 = {
+    # green in CORRECTNESS_r09.json (50/50): the 26 round-9 additions
+    # (q208-q234), the full REFRESH_R09 set re-proven, and the q89-q99
+    # r3-stale block rotated per the round-7 ask.
+    "q01_pricing_summary", "q114_embedding_normalize",
+    "q116_gopher_quality", "q117_repetition_ratio",
+    "q182_streaming_dedup_parity", "q188_packed_png_decode",
+    "q195_streaming_interval_join_parity",
+    "q196_streaming_stateful_totals_parity",
+    "q197_streaming_session_window_parity",
+    "q198_streaming_cdc_upsert_parity", "q201_nb_quality_classifier",
+    "q204_incremental_ann_update", "q205_streaming_bm25_ingest",
+    "q208_bm25_tombstone_delete", "q209_ann_tombstone_delete",
+    "q210_bm25_compaction", "q211_ann_compaction",
+    "q212_streaming_ann_ingest", "q213_ngram_containment_pairs",
+    "q214_bitext_margin_mining", "q215_packed_wav_decode",
+    "q216_curriculum_schedule", "q217_rendezvous_sharding",
+    "q218_ann_index_checkpoint", "q219_bm25_index_checkpoint",
+    "q220_sketch_join_size", "q221_matryoshka_recall_curve",
+    "q222_retrieval_quality_eval", "q223_kcenter_coreset",
+    "q225_kmeans_silhouette", "q226_lsh_dedup_eval",
+    "q227_cluster_balanced_sample", "q228_streaming_outer_join_parity",
+    "q229_python_datasource", "q230_python_stream_datasource",
+    "q231_priority_sample", "q232_block_manifest",
+    "q233_bloom_fpr_gate", "q234_hll_overlap_gate",
+    "q89_corpus_extremes", "q90_vector_features", "q91_token_positions",
+    "q92_binned_interval_join", "q93_trailing_anomaly",
+    "q94_distinctive_terms", "q95_price_histogram", "q96_latest_per_key",
+    "q97_zorder_layout", "q98_gap_fill", "q99_merge_upsert",
+}
+
+# Queries whose IMPLEMENTATION changes in round 10 AFTER their last
+# green driver check (query-path semantics or output-affecting edits
+# only; value-preserving plan/guard changes are noted in git history
+# but do not burn a window slot — the 44 r4-stale rotations take
+# priority per VERDICT r9 item 1).
+REFRESH_R10: set[str] = {
+    "q231_priority_sample",   # τ=0 for the ≤k-doc corpus edge (ADVICE r9)
+    "q234_hll_overlap_gate",  # union-scaled gate tolerance (ADVICE r9)
+}
+
 # Stalest-first staleness: a query's group is its LAST proven round
 # (newest membership wins), so re-verification coverage rotates.
 STALE_R02 = (
     ((((PROVEN_R02 - PROVEN_R03) - PROVEN_R04) - PROVEN_R05) - PROVEN_R06)
     - PROVEN_R07
-)
+) - PROVEN_R09
 STALE_R03 = (
     (((PROVEN_R03 - PROVEN_R04) - PROVEN_R05) - PROVEN_R06) - PROVEN_R07
-)
-STALE_R04 = ((PROVEN_R04 - PROVEN_R05) - PROVEN_R06) - PROVEN_R07
-STALE_R05 = (PROVEN_R05 - PROVEN_R06) - PROVEN_R07
-STALE_R06 = PROVEN_R06 - PROVEN_R07
+) - PROVEN_R09
+STALE_R04 = (
+    ((PROVEN_R04 - PROVEN_R05) - PROVEN_R06) - PROVEN_R07
+) - PROVEN_R09
+STALE_R05 = ((PROVEN_R05 - PROVEN_R06) - PROVEN_R07) - PROVEN_R09
+STALE_R06 = (PROVEN_R06 - PROVEN_R07) - PROVEN_R09
 
 
 def _order_key(item: tuple[str, Query]) -> tuple[int, str]:
     name, q = item
-    if name in REFRESH_R09:
+    if name in REFRESH_R10:
         group = 0  # changed-after-check: head the window
     elif q.oracle is None:
-        group = 9  # rows-only checks last — never burn a window slot
+        group = 99  # rows-only checks last — never burn a window slot
+    elif name in PROVEN_R09:
+        group = 9  # freshest evidence: verify last
     elif name in PROVEN_R07:
-        group = 7  # freshest evidence: verify last
+        group = 7
     elif name in PROVEN_R06:
         group = 6
     elif name in PROVEN_R05:

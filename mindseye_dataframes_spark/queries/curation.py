@@ -1386,7 +1386,9 @@ _PRI_H24 = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
     top1 AS (
       SELECT doc_id, w, qn FROM d
       ORDER BY qn DESC, doc_id LIMIT {_PRI_K + 1}),
-    tau AS (SELECT min(qn) AS t FROM top1),
+    tau AS (
+      SELECT CASE WHEN count(*) > {_PRI_K} THEN min(qn) ELSE 0 END AS t
+      FROM top1),
     s AS (
       SELECT doc_id, w, qn FROM d
       ORDER BY qn DESC, doc_id LIMIT {_PRI_K})
@@ -1416,8 +1418,15 @@ def q231_priority_sample(spark, sf_dir):
             " 16, 10) AS BIGINT) + 1) AS BIGINT)"
         ).alias("qn"),
     )
+    # τ is the (k+1)-th largest priority; Duffield-Lund-Thorup defines
+    # τ = 0 when the corpus has ≤ k rows (the whole population is the
+    # sample, so ŵ must degrade to w exactly, not max(w, min-priority)).
     top1 = d.orderBy(F.desc("qn"), "doc_id").limit(_PRI_K + 1)
-    tau = top1.agg(F.min("qn").alias("t"))
+    tau = top1.agg(
+        F.when(F.count(F.lit(1)) > _PRI_K, F.min("qn"))
+        .otherwise(F.lit(0))
+        .alias("t")
+    )
     s = d.orderBy(F.desc("qn"), "doc_id").limit(_PRI_K)
     return (
         s.crossJoin(F.broadcast(tau))

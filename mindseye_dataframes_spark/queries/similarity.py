@@ -1273,7 +1273,10 @@ def q212_streaming_ann_ingest(spark, sf_dir):
         ann_topk_ivf_postings,
     )
     from mindseye_dataframes_spark.queries.curation import split_label
-    from mindseye_dataframes_spark.sources.staging import staging_dir
+    from mindseye_dataframes_spark.sources.staging import (
+        read_log_or_empty,
+        staging_dir,
+    )
 
     cents, base_post, emb = ann_incremental_base(spark, sf_dir)
     delta = emb.filter(split_label("vec_id") == "test").select(
@@ -1301,10 +1304,11 @@ def q212_streaming_ann_ingest(spark, sf_dir):
             q.stop()
             raise TimeoutError("q212 ingest stream did not drain")
         # the batch=<id> layout surfaces as a partition column — keep
-        # it out of the probe union (it exists for audit/replay)
-        streamed = spark.read.parquet(post_log).select(
-            "_cell", "neighbor_id", "cv"
-        )
+        # it out of the probe union (it exists for audit/replay); an
+        # empty delta leaves the log path unwritten → base-only probe
+        streamed = read_log_or_empty(
+            spark, post_log, base_post.select("_cell", "neighbor_id", "cv").schema
+        ).select("_cell", "neighbor_id", "cv")
         postings = base_post.unionByName(streamed)
         queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
@@ -1356,7 +1360,10 @@ def q218_ann_index_checkpoint(spark, sf_dir):
         dataset_fingerprint,
         standing_table,
     )
-    from mindseye_dataframes_spark.sources.staging import staging_dir
+    from mindseye_dataframes_spark.sources.staging import (
+        read_log_or_empty,
+        staging_dir,
+    )
 
     cents, base_post, emb = ann_incremental_base(spark, sf_dir)
     real = os.path.realpath(sf_dir)
@@ -1374,9 +1381,9 @@ def q218_ann_index_checkpoint(spark, sf_dir):
             ann_ingest_batch_fn(post_log, cents)(
                 delta.filter(F.col("vec_id") % 4 == b), b
             )
-        streamed = spark.read.parquet(post_log).select(
-            "_cell", "neighbor_id", "cv"
-        )
+        streamed = read_log_or_empty(
+            spark, post_log, base_post.select("_cell", "neighbor_id", "cv").schema
+        ).select("_cell", "neighbor_id", "cv")
         ckpt_post = standing_table(
             spark,
             f"msdf_stage_ivfckptpost_{loc}",

@@ -699,7 +699,10 @@ def q205_streaming_bm25_ingest(spark, sf_dir):
     bucketed table q203 serves from, never re-scanned."""
     import shutil
 
-    from mindseye_dataframes_spark.sources.staging import staging_dir
+    from mindseye_dataframes_spark.sources.staging import (
+        read_log_or_empty,
+        staging_dir,
+    )
 
     base_post, base_stats, docs = bm25_incremental_base(spark, sf_dir)
     delta = docs.filter(F.col("split") == "test").select("doc_id", "text")
@@ -731,14 +734,16 @@ def q205_streaming_bm25_ingest(spark, sf_dir):
             q.stop()
             raise TimeoutError("q205 ingest stream did not drain")
         probe_tokens = sorted({t for _, t in _BM25_QUERIES})
-        streamed_post = (
-            spark.read.parquet(post_log)
-            .filter(F.col("token").isin(probe_tokens))
-        )
+        # an empty delta leaves the logs unwritten → base-only merge
+        streamed_post = read_log_or_empty(
+            spark, post_log, _inc_postings(delta.limit(0)).schema
+        ).filter(F.col("token").isin(probe_tokens))
         # coalesce: an empty micro-batch writes n_docs=0 with a NULL
         # total_len (sum over zero rows), and sum() must not let that
         # NULL poison the merged corpus stats
-        streamed_stats = spark.read.parquet(stats_log).agg(
+        streamed_stats = read_log_or_empty(
+            spark, stats_log, _inc_stats(delta.limit(0)).drop("k").schema
+        ).agg(
             F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
             F.coalesce(F.sum("total_len"), F.lit(0)).alias("total_len"),
         )
@@ -1044,7 +1049,10 @@ def q219_bm25_index_checkpoint(spark, sf_dir):
         dataset_fingerprint,
         standing_table,
     )
-    from mindseye_dataframes_spark.sources.staging import staging_dir
+    from mindseye_dataframes_spark.sources.staging import (
+        read_log_or_empty,
+        staging_dir,
+    )
 
     base_post, base_stats, docs = bm25_incremental_base(spark, sf_dir)
     real = os.path.realpath(sf_dir)
@@ -1063,10 +1071,12 @@ def q219_bm25_index_checkpoint(spark, sf_dir):
             bm25_ingest_batch_fn(post_log, stats_log)(
                 delta.filter(F.col("doc_id") % 4 == b), b
             )
-        streamed_post = spark.read.parquet(post_log).select(
-            "token", "doc_id", "dl", "tf"
-        )
-        streamed_stats = spark.read.parquet(stats_log).agg(
+        streamed_post = read_log_or_empty(
+            spark, post_log, _inc_postings(delta.limit(0)).schema
+        ).select("token", "doc_id", "dl", "tf")
+        streamed_stats = read_log_or_empty(
+            spark, stats_log, _inc_stats(delta.limit(0)).drop("k").schema
+        ).agg(
             F.coalesce(F.sum("n_docs"), F.lit(0)).alias("d_docs"),
             F.coalesce(F.sum("total_len"), F.lit(0)).alias("d_len"),
         )

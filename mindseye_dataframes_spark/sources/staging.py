@@ -77,3 +77,25 @@ def staging_dir(spark, prefix: str) -> str:
             " tempdir would not be visible to executors"
         )
     return tempfile.mkdtemp(prefix=prefix)
+
+
+def read_log_or_empty(spark, path: str, like_schema) -> DataFrame:
+    """Read a staged micro-batch log, tolerating the zero-batch case.
+
+    ``foreachBatch`` sinks (q205/q212 ingest, q218/q219 checkpoint
+    re-stage) write ``<log>/batch=<id>`` directories only when a
+    trigger actually fired; a drained stream over an EMPTY delta
+    leaves the log path nonexistent, and a bare
+    ``spark.read.parquet`` would throw AnalysisException instead of
+    yielding base-only results (ADVICE r9). Missing/empty logs
+    resolve to an empty frame with ``like_schema`` — the same schema
+    downstream unions expect. Catching the read error (rather than
+    probing the filesystem) keeps this Spark-Connect-safe: no JVM
+    handles, no driver-local ``os.path`` assumption about a possibly
+    remote staging root."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return spark.createDataFrame([], like_schema)

@@ -119,24 +119,45 @@ from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
 
 
 class SynthStreamReader(DataSourceStreamReader):
+    """Offset discipline (ADVICE r9): the Python stream-reader API
+    never hands the reader the checkpointed offset directly — a
+    restarted query only reveals it through ``partitions(start, end)``
+    (batch replay) and ``commit(end)``. So the reader keeps a
+    high-water mark fed by BOTH callbacks and clamps
+    ``latestOffset()`` to it, which makes the crash-recovery path
+    (restart with an uncommitted batch: Spark replays
+    ``partitions(committed, logged_end)`` before asking for a new
+    offset) exact — the replay seeds the high-water mark, so the next
+    latest offset resumes from the checkpoint, never behind it.
+    The one unreachable case: a restart from a FULLY-committed
+    checkpoint calls ``latestOffset()`` first, with no callback having
+    revealed the committed offset — no Python-API hook exists for
+    that, so restarts of a finished/idle query should use a fresh
+    checkpoint dir (rows are pure functions of row_id, so a fresh run
+    is bit-identical anyway)."""
+
     def __init__(self, options):
         self.n_rows = int(options.get("n_rows", 20_000))
         self.rows_per_batch = int(options.get("rows_per_batch", 5_000))
         self.n_parts = max(1, int(options.get("n_parts", 4)))
+        self._latest = 0
+        self._seen = 0  # high-water from partitions()/commit()
 
     def initialOffset(self):
         return {"index": 0}
 
     def latestOffset(self):
-        # monotone per-trigger advance; clamps at n_rows so the query
-        # goes idle (processAllAvailable returns) once drained
+        # monotone per-trigger advance from the highest offset any
+        # callback has revealed; clamps at n_rows so the query goes
+        # idle (processAllAvailable returns) once drained
         self._latest = min(
-            getattr(self, "_latest", 0) + self.rows_per_batch, self.n_rows
+            max(self._latest, self._seen) + self.rows_per_batch, self.n_rows
         )
         return {"index": self._latest}
 
     def partitions(self, start, end):
         lo, hi = int(start["index"]), int(end["index"])
+        self._seen = max(self._seen, lo, hi)
         if hi <= lo:
             return [_RangePartition(lo, lo)]
         step = -(-(hi - lo) // self.n_parts)
@@ -149,7 +170,7 @@ class SynthStreamReader(DataSourceStreamReader):
             yield _fields(i)
 
     def commit(self, end):
-        pass
+        self._seen = max(self._seen, int(end["index"]))
 
 
 class SynthStreamDataSource(DataSource):

@@ -93,3 +93,56 @@ def test_stream_read_replays_batch_fields():
     r = SynthStreamReader({"n_rows": "100"})
     rows = list(r.read(_RangePartition(40, 60)))
     assert rows == [_fields(i) for i in range(40, 60)]
+
+def test_stream_restart_resumes_from_replayed_offset():
+    """Crash-recovery discipline (ADVICE r9): a restarted query's
+    FIRST call into a fresh reader instance is the replay
+    partitions(committed, logged_end); the high-water mark that call
+    seeds must clamp the next latestOffset() so it resumes AT the
+    replayed end — never behind the checkpoint, never skipping rows,
+    never re-emitting committed ranges in a later batch."""
+    from mindseye_dataframes_spark.sources.synth_source import (
+        SynthStreamReader,
+    )
+
+    opts = {"n_rows": "10000", "rows_per_batch": "3000", "n_parts": "4"}
+
+    # pre-crash session: batches [0,3000) and [3000,6000) committed,
+    # batch [6000,9000) written to the offset log but NOT committed
+    r1 = SynthStreamReader(opts)
+    assert r1.initialOffset() == {"index": 0}
+    assert r1.latestOffset() == {"index": 3000}
+    r1.partitions({"index": 0}, {"index": 3000})
+    r1.commit({"index": 3000})
+    assert r1.latestOffset() == {"index": 6000}
+    r1.partitions({"index": 3000}, {"index": 6000})
+    r1.commit({"index": 6000})
+    assert r1.latestOffset() == {"index": 9000}
+    # crash here: end offset 9000 logged, never committed
+
+    # restart: fresh instance; Spark replays the pending batch first
+    r2 = SynthStreamReader(opts)
+    parts = r2.partitions({"index": 6000}, {"index": 9000})
+    replayed = [i for p in parts for i in range(p.lo, p.hi)]
+    assert replayed == list(range(6000, 9000))  # bit-identical replay
+    r2.commit({"index": 9000})
+    # next planned offset continues PAST the checkpoint, no regression
+    assert r2.latestOffset() == {"index": 10000}
+    parts = r2.partitions({"index": 9000}, {"index": 10000})
+    tail = [i for p in parts for i in range(p.lo, p.hi)]
+    assert tail == list(range(9000, 10000))
+    # drained: latest stays clamped, no phantom batches
+    assert r2.latestOffset() == {"index": 10000}
+
+
+def test_stream_commit_alone_seeds_high_water():
+    """commit(end) also advances the high-water mark (the replay may
+    be planned but the runner can call commit first on an
+    empty-replay path); latestOffset must respect it."""
+    from mindseye_dataframes_spark.sources.synth_source import (
+        SynthStreamReader,
+    )
+
+    r = SynthStreamReader({"n_rows": "10000", "rows_per_batch": "3000"})
+    r.commit({"index": 6000})
+    assert r.latestOffset() == {"index": 9000}

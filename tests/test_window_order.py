@@ -1,19 +1,18 @@
 """The driver checks only the FIRST 50 entries of queries() — the
 registry ordering IS the verification strategy (queries/__init__.py).
-These tests pin the round-8 window so a rotation mistake (stale
+These tests pin the round-10 window so a rotation mistake (stale
 queries pushed out, rows-only burning slots) fails loudly instead of
 silently shrinking coverage.
 
-Round-9 shape: the round-8 driver artifacts never arrived, so the
-REFRESH_R08 set was never re-proven and stays at the head via
-REFRESH_R09 (plus q204, whose base construction was refactored into
-the shared ann_incremental_base after its r7 green row). Then the
-never-proven oracle queries (the r8 tombstone/compaction additions
-and the r9 additions q212-q217), then the ENTIRE r3-stale block
-(q89–q99), then the stalest r4 queries fill the remainder. q157
+Round-10 shape (VERDICT r9 item 1): the round-9 driver window
+re-proved the full REFRESH_R09 set, the 26 r9 additions, and the
+entire r3-stale q89–q99 block — so STALE_R03 is now empty and the
+44 r4-stale queries (q116–q161 families, last driver-hashed in round
+4) ARE the window: they must all fit, with only this round's refresh
+set (REFRESH_R10) and never-proven additions ahead of them. q157
 stays retired (folded into q162's hashed recall gate), so every
-registered query is oracle-bearing and the rows-only group is
-empty."""
+registered query is oracle-bearing and the rows-only group is empty.
+"""
 
 from __future__ import annotations
 
@@ -24,7 +23,8 @@ from mindseye_dataframes_spark.queries import (
     PROVEN_R05,
     PROVEN_R06,
     PROVEN_R07,
-    REFRESH_R09,
+    PROVEN_R09,
+    REFRESH_R10,
     STALE_R02,
     STALE_R03,
     STALE_R04,
@@ -43,7 +43,7 @@ def test_refresh_set_heads_the_window():
     window = list(qs)[:50]
     # the changed-after-check queries occupy the first slots, before
     # anything else — their green rows prove superseded code
-    assert set(window[: len(REFRESH_R09)]) == REFRESH_R09
+    assert set(window[: len(REFRESH_R10)]) == REFRESH_R10
 
 
 def test_every_registered_query_is_oracle_bearing():
@@ -65,28 +65,30 @@ def test_unproven_and_stale_queries_fit_the_window():
         if q.oracle is not None and n not in window and _group(n, qs) == 1
     ]
     assert not unproven, f"unproven oracle queries outside the window: {unproven}"
-    # r2-stale stays exhausted; the r3-stale block (q89–q99, the last
-    # r3-proven rows) is the re-verification front and must fit
-    # entirely unless refresh + new queries overflow the window
+    # r2/r3-stale are exhausted after the r6/r9 rotations; the
+    # 44-query r4-stale block is the re-verification front (VERDICT r9
+    # item 1: after r10 no query's latest driver row may be older than
+    # r7) and must fit entirely unless refresh + new overflow the window
     assert not STALE_R02, "r2-stale should be empty after round 6"
-    n_head = len(REFRESH_R09) + sum(1 for n in qs if _group(n, qs) == 1)
-    allowed_overflow = max(0, n_head + len(STALE_R03 - REFRESH_R09) - 50)
-    missing_stale = (STALE_R03 - REFRESH_R09) - set(window)
+    assert not STALE_R03, "r3-stale should be empty after round 9"
+    n_head = len(REFRESH_R10) + sum(1 for n in qs if _group(n, qs) == 1)
+    allowed_overflow = max(0, n_head + len(STALE_R04 - REFRESH_R10) - 50)
+    missing_stale = (STALE_R04 - REFRESH_R10) - set(window)
     assert len(missing_stale) <= allowed_overflow, (
-        f"r3-stale queries rotated out beyond the overflow: {missing_stale}"
-    )
-    # the r4-stale block fills whatever remains, stalest tier first
-    fill = 50 - n_head - (len(STALE_R03 - REFRESH_R09) - len(missing_stale))
-    expected_r4_in_window = min(len(STALE_R04 - REFRESH_R09), max(0, fill))
-    assert len((STALE_R04 - REFRESH_R09) & set(window)) == expected_r4_in_window, (
-        "r4-stale queries missing from the window while fresher ones occupy it"
+        f"r4-stale queries rotated out beyond the overflow: {missing_stale}"
     )
 
 
 def test_proven_sets_cover_only_registered_oracle_queries():
     qs = load_all()
     proven = (
-        PROVEN_R02 | PROVEN_R03 | PROVEN_R04 | PROVEN_R05 | PROVEN_R06 | PROVEN_R07
+        PROVEN_R02
+        | PROVEN_R03
+        | PROVEN_R04
+        | PROVEN_R05
+        | PROVEN_R06
+        | PROVEN_R07
+        | PROVEN_R09
     )
     unknown = proven - set(qs)
     assert not unknown, f"proven sets name unregistered queries: {unknown}"
