@@ -31,7 +31,10 @@ from mindseye_dataframes_spark.functions.textfns import (
     py_shingles,
     shingles,
 )
-from mindseye_dataframes_spark.plans.parallelism import ensure_min_parallelism
+from mindseye_dataframes_spark.plans.parallelism import (
+    ensure_min_parallelism,
+    spread_for_compute,
+)
 
 def _features(text_col: str, feature: str):
     """Feature set for similarity: 'shingles' (word 3-grams — order-
@@ -260,8 +263,12 @@ def ngram_jaccard_pairs(
     )
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
     jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter).cast("double")
+    # the candidate relation is byte-small but each verify row does
+    # O(|grams|) intersection work — pin cluster-wide parallelism so
+    # AQE's size-based coalescing can't serialize the verify stage
     return (
-        candidates.join(ga, "id_a")
+        spread_for_compute(candidates, "id_a", "id_b")
+        .join(ga, "id_a")
         .join(gb, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
@@ -333,8 +340,12 @@ def ngram_containment_pairs(
         F.col("n_grams").alias("n_b"),
     )
     inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("long")
+    # same AQE-coalescing guard as the Jaccard verify: the pair list
+    # is tiny in bytes, the per-row intersection is not (VERDICT r9
+    # item 3 — the sf0.1 cold path serialized here)
     scored = (
-        candidates.join(ga, "id_a")
+        spread_for_compute(candidates, "id_a", "id_b")
+        .join(ga, "id_a")
         .join(gb, "id_b")
         .select("id_a", "id_b", inter.alias("inter"), "n_a", "n_b")
     )

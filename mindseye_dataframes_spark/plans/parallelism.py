@@ -37,10 +37,35 @@ def scan_partitions(df: DataFrame) -> int:
     return n
 
 
+def default_parallelism(spark) -> int:
+    """The cluster's task-slot count, Connect-safe: classic sessions
+    read ``sparkContext.defaultParallelism``; Spark Connect exposes no
+    SparkContext, so fall back to the shuffle-partition conf (the
+    knob deployments size to the cluster anyway)."""
+    try:
+        return spark.sparkContext.defaultParallelism
+    except Exception:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+
 def ensure_min_parallelism(df: DataFrame, *repartition_cols: str) -> DataFrame:
-    target = df.sparkSession.sparkContext.defaultParallelism
+    target = default_parallelism(df.sparkSession)
     if scan_partitions(df) >= target:
         return df
     if repartition_cols:
         return df.repartition(target, *repartition_cols)
     return df.repartition(target)
+
+
+def spread_for_compute(df: DataFrame, *cols: str) -> DataFrame:
+    """Explicit REPARTITION_BY_NUM before a compute-heavy narrow stage
+    whose input is byte-small. AQE's size-based coalescing shrinks any
+    small shuffle output toward one partition — correct for byte-bound
+    work, pathological when each row then does O(hundreds) of array/
+    hash work (the q213 cold-path lesson: a few-MB candidate-pair
+    relation serialized a 5-minute verify join onto one core). A
+    user-numbered repartition is exempt from AQE coalescing, so the
+    downstream stage keeps cluster-wide parallelism; the extra shuffle
+    moves only the small relation itself."""
+    n = default_parallelism(df.sparkSession)
+    return df.repartition(n, *cols) if cols else df.repartition(n)
