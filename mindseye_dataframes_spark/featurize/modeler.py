@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mindseye_dataframes_spark.compat import broadcast_value
 from mindseye_dataframes_spark.featurize.context import ModelContext
 from mindseye_dataframes_spark.featurize.layers import Network
 from mindseye_dataframes_spark.featurize.strategy import (
@@ -462,7 +463,8 @@ class DataframeModeler:
         if not self.context.stats and not self.context.representations:
             self.init_keys(df)
         spark = df.sparkSession
-        bc = spark.sparkContext.broadcast(
+        bc = broadcast_value(
+            spark,
             (
                 self.context.all_params(),
                 self.context.stats,
@@ -522,7 +524,8 @@ class DataframeModeler:
             params_override if params_override is not None
             else self.context.all_params()
         )
-        bc = spark.sparkContext.broadcast(
+        bc = broadcast_value(
+            spark,
             (
                 eval_params,
                 self.context.stats,

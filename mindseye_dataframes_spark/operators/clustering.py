@@ -158,17 +158,11 @@ def _assign_numpy(
     cells = np.array([c for c, _ in cents], dtype=np.int64)
     mat = np.array([v for _, v in cents], dtype=np.float64)  # [k, d]
 
-    class _ClosureShipped:
-        def __init__(self, value):
-            self.value = value
+    from mindseye_dataframes_spark.compat import broadcast_value
 
-    try:
-        bc = df.sparkSession.sparkContext.broadcast((cells, mat))
-    except Exception:
-        # Spark Connect exposes no sparkContext: ship the centroid
-        # matrix in the task closure instead — same result, just
-        # per-task serialization rather than one broadcast block
-        bc = _ClosureShipped((cells, mat))
+    # classic: one broadcast block per executor; Connect: the shim
+    # ships the centroid matrix in the task closure — same result
+    bc = broadcast_value(df.sparkSession, (cells, mat))
     # fresh StructType — StructType.add would MUTATE the frame's
     # cached schema and desync it from the JVM plan
     schema = T.StructType(

@@ -51,11 +51,14 @@ def with_global_prefix_sum(
     """
     keys = [F.col(k) for k in order_keys]
     if num_partitions is None:
-        from mindseye_dataframes_spark.plans.parallelism import scan_partitions
+        from mindseye_dataframes_spark.plans.parallelism import (
+            default_parallelism,
+            scan_partitions,
+        )
 
         inp = scan_partitions(df)
         num_partitions = min(
-            df.sparkSession.sparkContext.defaultParallelism, max(4, inp * 2)
+            default_parallelism(df.sparkSession), max(4, inp * 2)
         )
     ranged = (
         df.repartitionByRange(num_partitions, *keys)

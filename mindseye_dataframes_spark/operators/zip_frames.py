@@ -82,10 +82,13 @@ def _default_partitions(df: DataFrame) -> int:
     # local input doesn't need defaultParallelism-wide shuffles
     # (measured 30% faster at sf0.1), while a many-split cluster input
     # still fans out to full parallelism
-    from mindseye_dataframes_spark.plans.parallelism import scan_partitions
+    from mindseye_dataframes_spark.plans.parallelism import (
+        default_parallelism,
+        scan_partitions,
+    )
 
     inp = scan_partitions(df)
-    return min(df.sparkSession.sparkContext.defaultParallelism, max(4, inp * 2))
+    return min(default_parallelism(df.sparkSession), max(4, inp * 2))
 
 
 # (applicationId, analyzed-plan semanticHash, order_keys, parts) →
@@ -103,8 +106,10 @@ def _sample_boundaries(
     and take evenly spaced picks from the sorted sample. O(sample) on
     the driver; one column-pruned pass over the input."""
     try:
+        from mindseye_dataframes_spark.compat import session_key
+
         cache_key = (
-            df.sparkSession.sparkContext.applicationId,
+            session_key(df.sparkSession),
             df._jdf.queryExecution().analyzed().semanticHash(),
             tuple(order_keys),
             parts,

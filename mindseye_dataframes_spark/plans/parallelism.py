@@ -6,35 +6,30 @@ on one core. When — and only when — the input's parallelism is below
 the cluster's, repartition before the heavy stage. On real multi-TB
 inputs the scan already has thousands of splits and this is a no-op,
 so no shuffle is added at scale.
+
+All backend probes route through ``compat`` (VERDICT r9 item 5):
+under Spark Connect there is no RDD view to count scan partitions,
+so ``scan_partitions`` reports "wide enough" and the widening becomes
+a no-op — the correct degradation, since the probe exists for the
+single-machine small-file corner that a Connect cluster deployment
+doesn't hit.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-# (applicationId, analyzed-plan semanticHash) -> scan partition count.
+from mindseye_dataframes_spark.compat import (
+    scan_partition_count,
+    session_key,
+)
+
+# (session key, analyzed-plan semanticHash) -> scan partition count.
 # Converting a plan to an RDD to ask its partition count costs ~140ms
 # of physical planning per call (measured, local single file), while
 # semanticHash on the analyzed plan is ~2ms — so the probe is paid
 # once per distinct plan per session, not once per query construction.
 _PARTS_CACHE: dict[tuple[str, int], int] = {}
-
-
-def scan_partitions(df: DataFrame) -> int:
-    """Partition count of ``df``'s physical scan, memoized per
-    semantically-equal analyzed plan."""
-    try:
-        key = (
-            df.sparkSession.sparkContext.applicationId,
-            df._jdf.queryExecution().analyzed().semanticHash(),
-        )
-    except Exception:
-        return df.rdd.getNumPartitions()  # non-classic backends
-    n = _PARTS_CACHE.get(key)
-    if n is None:
-        n = df.rdd.getNumPartitions()
-        _PARTS_CACHE[key] = n
-    return n
 
 
 def default_parallelism(spark) -> int:
@@ -46,6 +41,26 @@ def default_parallelism(spark) -> int:
         return spark.sparkContext.defaultParallelism
     except Exception:
         return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+
+def scan_partitions(df: DataFrame) -> int:
+    """Partition count of ``df``'s physical scan, memoized per
+    semantically-equal analyzed plan."""
+    wide_enough = default_parallelism(df.sparkSession)
+    try:
+        key = (
+            session_key(df.sparkSession),
+            df._jdf.queryExecution().analyzed().semanticHash(),
+        )
+    except Exception:
+        # Connect: no JVM plan handle to memoize on — one probe,
+        # which itself degrades to the "wide enough" default there
+        return scan_partition_count(df, wide_enough)
+    n = _PARTS_CACHE.get(key)
+    if n is None:
+        n = scan_partition_count(df, wide_enough)
+        _PARTS_CACHE[key] = n
+    return n
 
 
 def ensure_min_parallelism(df: DataFrame, *repartition_cols: str) -> DataFrame:
@@ -63,7 +78,7 @@ def spread_for_compute(df: DataFrame, *cols: str) -> DataFrame:
     small shuffle output toward one partition — correct for byte-bound
     work, pathological when each row then does O(hundreds) of array/
     hash work (the q213 cold-path lesson: a few-MB candidate-pair
-    relation serialized a 5-minute verify join onto one core). A
+    relation can serialize the verify join onto one core). A
     user-numbered repartition is exempt from AQE coalescing, so the
     downstream stage keeps cluster-wide parallelism; the extra shuffle
     moves only the small relation itself."""

@@ -84,7 +84,14 @@ def hadoop_lister(spark: SparkSession):
     expose uniformly; still O(files) metadata, no data read)."""
 
     def lister(path: str) -> list[tuple[str, int, object]]:
-        jvm = spark.sparkContext._jvm
+        try:
+            jvm = spark.sparkContext._jvm
+        except Exception as exc:  # Spark Connect: no JVM handle
+            raise RuntimeError(
+                "hadoop_lister needs a classic (JVM-attached) session;"
+                " under Spark Connect use connect_lister(spark), which"
+                " lists through the binaryFile source instead"
+            ) from exc
         hconf = spark.sparkContext._jsc.hadoopConfiguration()
         p = jvm.org.apache.hadoop.fs.Path(path)
         fs = p.getFileSystem(hconf)
@@ -96,6 +103,44 @@ def hadoop_lister(spark: SparkSession):
             full = st.getPath().toString()
             rel = full[len(base) + 1 :] if full.startswith(base + "/") else full
             entries.append((rel, int(st.getLen()), int(st.getModificationTime())))
+        return entries
+
+    return lister
+
+
+def connect_lister(spark: SparkSession):
+    """The Connect-safe ``dataset_fingerprint`` lister: no JVM handle,
+    so list through Spark's ``binaryFile`` source instead — it exposes
+    (path, length, modificationTime) as ordinary columns and, when the
+    ``content`` column is NOT selected, prunes the actual file reads
+    away (its documented column-pruning contract), leaving an
+    O(files)-metadata listing that runs through whatever connector
+    config the cluster's scans use. Slightly heavier than a raw
+    FileSystem.listFiles (a Spark job instead of an RPC loop), but it
+    works identically from classic and Connect sessions."""
+
+    def lister(path: str) -> list[tuple[str, int, object]]:
+        rows = (
+            spark.read.format("binaryFile")
+            .option("recursiveFileLookup", "true")
+            .load(path)
+            .select("path", "length", "modificationTime")
+            .collect()
+        )
+        prefix = path.rstrip("/") + "/"
+        entries: list[tuple[str, int, object]] = []
+        for r in rows:
+            full = r["path"]
+            # URIs come back scheme-qualified (file:/x/y/f) — strip
+            # everything through the caller's path segment
+            rel = full.split(prefix, 1)[-1] if prefix in full else full
+            entries.append(
+                (
+                    rel,
+                    int(r["length"]),
+                    int(r["modificationTime"].timestamp() * 1000),
+                )
+            )
         return entries
 
     return lister

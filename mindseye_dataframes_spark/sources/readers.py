@@ -69,7 +69,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.parquet`` stores TIMESTAMP(NANOS); handling is version
     dependent — see ``_load_table`` for the dual NTZ/legacy path.
     """
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    from mindseye_dataframes_spark.compat import session_key
+
+    key = (session_key(spark), sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
