@@ -373,3 +373,134 @@ def q65_featurize_temporal_embedding(spark, sf_dir):
     return out.select(
         "event_id", F.element_at("features", 1).alias("feat")
     ).orderBy("event_id")
+
+
+# --- q235: eval preview zip (the reference's closing lifecycle step) ------
+#
+# Pinned classifier head: 1 feature -> 3 class logits, chosen so the
+# argmax actually varies across the preview rows (feat crossings at
+# z = -0.4/3 and z = 0.1).
+_PV_W = (0.5, -1.0, 2.0)
+_PV_B = (0.1, 0.0, -0.2)
+
+
+@query(
+    "q235_eval_preview_zip",
+    oracle=f"""
+    WITH m AS ({_MOMENTS}),
+    t AS (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+             l_extendedprice
+      FROM lineitem
+      ORDER BY l_extendedprice, l_orderkey, l_linenumber LIMIT 100),
+    p AS (
+      SELECT t.*, (l_quantity - m.mean_q) / m.std_q AS feat FROM t, m),
+    s AS (
+      SELECT l_returnflag, l_quantity,
+             feat * {_PV_W[0]} + {_PV_B[0]} AS s1,
+             feat * {_PV_W[1]} + {_PV_B[1]} AS s2,
+             feat * {_PV_W[2]} + {_PV_B[2]} AS s3,
+             row_number() OVER (
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber) - 1
+               AS rid
+      FROM p)
+    SELECT rid, l_returnflag, l_quantity, s1, s2, s3,
+           CASE WHEN s1 >= s2 AND s1 >= s3 THEN 1
+                WHEN s2 >= s3 THEN 2 ELSE 3 END AS pred_class
+    FROM s ORDER BY rid
+    """,
+    tags=("featurize", "join", "parity:J1,M1"),
+)
+def q235_eval_preview_zip(spark, sf_dir):
+    """The reference's FINAL lifecycle step (`Trainer.scala:195-200`),
+    driver-hash-checked: take a 100-row test preview, then positionally
+    zip THREE frames — the label column, the feature columns, and
+    ``evalToDataframe``'s network predictions over the label-dropped
+    frame — exactly the J1+M1 composition the reference displays after
+    training. Determinism pins: the preview is the first 100 rows of
+    the UNIQUE (l_extendedprice, l_orderkey, l_linenumber) order (a
+    bare ``limit`` is partition-arbitrary); the model is the q78
+    pinned-identity featurizer (feat = z-scored quantity against the
+    exact-decimal full-table moments) with a pinned Dense(1→3) head,
+    so all three logits and the argmax class are plain SQL over the
+    moments. The zip is the real ``zip_frames`` positional join (each
+    frame under its own renamed copy of the unique key), not a
+    self-join shortcut — the driver hash therefore certifies J1's
+    alignment AND M1's network forward in one row."""
+    import numpy as np
+
+    from mindseye_dataframes_spark.featurize import (
+        DataframeModeler,
+        ModelingStrategy,
+    )
+    from mindseye_dataframes_spark.featurize.layers import Dense, Network
+    from mindseye_dataframes_spark.operators.zip_frames import zip_frames
+
+    li = load_table(spark, sf_dir, "lineitem")
+    test = (
+        li.select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+            "l_extendedprice",
+        )
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+    # labels / features / predictions, each carrying its own renamed
+    # copy of the unique order key (zip needs disjoint names)
+    labels = test.select(
+        F.col("l_returnflag"),
+        F.col("l_extendedprice").alias("_la_ep"),
+        F.col("l_orderkey").alias("_la_ok"),
+        F.col("l_linenumber").alias("_la_ln"),
+    )
+    feats = test.select(
+        F.col("l_quantity"),
+        F.col("l_extendedprice").alias("_fb_ep"),
+        F.col("l_orderkey").alias("_fb_ok"),
+        F.col("l_linenumber").alias("_fb_ln"),
+    )
+
+    modeler = DataframeModeler(ModelingStrategy(default_size=1))
+    modeler.init_keys(li.select("l_quantity"))
+    modeler.context.transforms["transform/l_quantity"] = np.array(
+        [[0.0], [1.0]]
+    )
+    head = Dense("preview", 1, 3)
+    modeler.context.layers[head.w_key] = np.array([list(_PV_W)])
+    modeler.context.layers[head.b_key] = np.array([list(_PV_B)])
+    # the featurized column keeps its name (the pinned transform is
+    # keyed by path "l_quantity"); it is consumed by featurization and
+    # never reaches the zip, so names stay disjoint
+    preds = modeler.eval_to_dataframe(
+        test.select(
+            "l_quantity",
+            F.col("l_extendedprice").alias("_pc_ep"),
+            F.col("l_orderkey").alias("_pc_ok"),
+            F.col("l_linenumber").alias("_pc_ln"),
+        ),
+        "prediction",
+        network=Network([head]),
+        passthrough=["_pc_ep", "_pc_ok", "_pc_ln"],
+    )
+
+    zipped = zip_frames(
+        [labels, feats, preds],
+        [
+            ["_la_ep", "_la_ok", "_la_ln"],
+            ["_fb_ep", "_fb_ok", "_fb_ln"],
+            ["_pc_ep", "_pc_ok", "_pc_ln"],
+        ],
+        index_col="rid",
+    )
+    return zipped.select(
+        "rid",
+        "l_returnflag",
+        "l_quantity",
+        F.element_at("prediction", 1).alias("s1"),
+        F.element_at("prediction", 2).alias("s2"),
+        F.element_at("prediction", 3).alias("s3"),
+        F.array_position(
+            F.col("prediction"), F.array_max("prediction")
+        ).cast("int").alias("pred_class"),
+    ).orderBy("rid")
