@@ -283,6 +283,8 @@ PROVEN_R09 = {
 REFRESH_R10: set[str] = {
     "q231_priority_sample",   # τ=0 for the ≤k-doc corpus edge (ADVICE r9)
     "q234_hll_overlap_gate",  # union-scaled gate tolerance (ADVICE r9)
+    "q228_streaming_outer_join_parity",  # stage/drain split (item 4)
+    "q218_ann_index_checkpoint",         # stage/fold split (item 4)
 }
 
 # Stalest-first staleness: a query's group is its LAST proven round

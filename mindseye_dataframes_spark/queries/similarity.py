@@ -1348,56 +1348,75 @@ def q218_ann_index_checkpoint(spark, sf_dir):
     and rewrites them bucketed — a bounded maintenance job, not a
     corpus re-scan or re-cluster; the warm probe is exactly q192's
     no-exchange shape over the rolled table."""
+    import shutil
+
+    from mindseye_dataframes_spark.sources.staging import staging_dir
+
+    root = staging_dir(spark, "msdf_ann_ckptlog_")
+    post_log = f"{root}/postings"
+    try:
+        ann_ckpt_stage_log(spark, sf_dir, post_log)
+        return ann_ckpt_fold(spark, sf_dir, post_log)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def ann_ckpt_stage_log(spark, sf_dir: str, post_log: str) -> None:
+    """STAGE half of q218's harness (split so the drain probe pays it
+    once per session, VERDICT r9 item 4): the drained ingest log —
+    four unordered batches written through q212's idempotent batch fn
+    (the post-stream state, sans stream)."""
+    from mindseye_dataframes_spark.queries.curation import split_label
+
+    cents, _base_post, emb = ann_incremental_base(spark, sf_dir)
+    delta = emb.filter(split_label("vec_id") == "test")
+    for b in range(4):
+        ann_ingest_batch_fn(post_log, cents)(
+            delta.filter(F.col("vec_id") % 4 == b), b
+        )
+
+
+def ann_ckpt_fold(spark, sf_dir: str, post_log: str, salt: str = ""):
+    """FOLD half of q218: roll the staged log into the standing
+    bucketed posting table and probe it — the maintenance operation
+    itself. ``salt`` lets a probe force a FRESH fold per run (it
+    feeds the derived fingerprint), instead of measuring the warm
+    no-op re-publish."""
     import hashlib
     import os
-    import shutil
 
     from mindseye_dataframes_spark.operators.similarity import (
         ann_topk_ivf_postings,
     )
-    from mindseye_dataframes_spark.queries.curation import split_label
     from mindseye_dataframes_spark.sources.bucketing import (
         dataset_fingerprint,
         standing_table,
     )
-    from mindseye_dataframes_spark.sources.staging import (
-        read_log_or_empty,
-        staging_dir,
-    )
+    from mindseye_dataframes_spark.sources.staging import read_log_or_empty
 
     cents, base_post, emb = ann_incremental_base(spark, sf_dir)
     real = os.path.realpath(sf_dir)
     loc = hashlib.md5(real.encode()).hexdigest()[:8]
     base_fp = dataset_fingerprint(os.path.join(real, "embeddings.parquet"))
-    fp2 = hashlib.md5(f"{base_fp}:ckpt:test-split".encode()).hexdigest()[:16]
+    fp2 = hashlib.md5(
+        f"{base_fp}:ckpt:test-split{salt}".encode()
+    ).hexdigest()[:16]
 
-    # the drained ingest log: four unordered batches written through
-    # q212's idempotent batch fn (the post-stream state, sans stream)
-    root = staging_dir(spark, "msdf_ann_ckptlog_")
-    post_log = f"{root}/postings"
-    try:
-        delta = emb.filter(split_label("vec_id") == "test")
-        for b in range(4):
-            ann_ingest_batch_fn(post_log, cents)(
-                delta.filter(F.col("vec_id") % 4 == b), b
-            )
-        streamed = read_log_or_empty(
-            spark, post_log, base_post.select("_cell", "neighbor_id", "cv").schema
-        ).select("_cell", "neighbor_id", "cv")
-        ckpt_post = standing_table(
-            spark,
-            f"msdf_stage_ivfckptpost_{loc}",
-            fp2,
-            lambda: base_post.unionByName(streamed),
-            ["_cell"],
-            16,
-            ["_cell", "neighbor_id"],
-        )
-        # force materialization before the staging log vanishes (a
-        # warm re-run never reads it at all)
-        ckpt_post.count()
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    streamed = read_log_or_empty(
+        spark, post_log, base_post.select("_cell", "neighbor_id", "cv").schema
+    ).select("_cell", "neighbor_id", "cv")
+    ckpt_post = standing_table(
+        spark,
+        f"msdf_stage_ivfckptpost_{loc}",
+        fp2,
+        lambda: base_post.unionByName(streamed),
+        ["_cell"],
+        16,
+        ["_cell", "neighbor_id"],
+    )
+    # force materialization before the staging log vanishes (a
+    # warm re-run never reads it at all)
+    ckpt_post.count()
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )

@@ -875,74 +875,92 @@ def q228_streaming_outer_join_parity(spark, sf_dir):
     hash-checks eviction correctness, not just matched pairs. Scale:
     state is watermark-bounded per the operator contract; the
     driver-side snapshot holds O(touch types)."""
-    import os
     import shutil
-    import time
     import uuid
-    from datetime import timedelta
 
     from mindseye_dataframes_spark.sources.staging import staging_dir
+
+    run_id = uuid.uuid4().hex[:12]
+    src = staging_dir(spark, f"msdf_stream_oj_{run_id}_")
+    try:
+        oj_stage(spark, sf_dir, src)
+        return oj_drain(spark, src)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def oj_stage(spark, sf_dir: str, src: str) -> None:
+    """STAGE half of q228's harness (split so the drain probe can pay
+    this once per session, VERDICT r9 item 4): write the 32-file aged
+    drop plus the strictly-newest sentinel pair into ``src``."""
+    import os
+    import time
+    from datetime import timedelta
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    events = load_table(spark, sf_dir, "events").select(*cols)
+    mx = events.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    events.repartition(32).write.mode("overwrite").parquet(src)
+    # age the main drop so the sentinel file is strictly newest —
+    # the file source orders triggers by modification time
+    old = time.time() - 600
+    for name in os.listdir(src):
+        os.utime(os.path.join(src, name), (old, old))
+    sent = spark.createDataFrame(
+        [
+            (-1, mx + timedelta(days=500), -1, "purchase", 0.0, None),
+            (-2, mx + timedelta(days=510), -1, "sentinel", 0.0, None),
+        ],
+        schema=events.schema,
+    )
+    sent.coalesce(1).write.mode("append").parquet(src)
+
+
+def oj_drain(spark, src: str):
+    """DRAIN half of q228: the multi-trigger bounded stream join over
+    an already-staged drop, plus the rollup snapshot — the part that
+    IS the operator measurement."""
+    import uuid
+
     from mindseye_dataframes_spark.streaming.events import (
         interval_join_streams,
         read_event_stream,
         run_bounded,
     )
 
-    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
-    events = load_table(spark, sf_dir, "events").select(*cols)
-    mx = events.agg(F.max("ts").alias("m")).collect()[0]["m"]
-    run_id = uuid.uuid4().hex[:12]
-    src = staging_dir(spark, f"msdf_stream_oj_{run_id}_")
-    try:
-        events.repartition(32).write.mode("overwrite").parquet(src)
-        # age the main drop so the sentinel file is strictly newest —
-        # the file source orders triggers by modification time
-        old = time.time() - 600
-        for name in os.listdir(src):
-            os.utime(os.path.join(src, name), (old, old))
-        sent = spark.createDataFrame(
-            [
-                (-1, mx + timedelta(days=500), -1, "purchase", 0.0, None),
-                (-2, mx + timedelta(days=510), -1, "sentinel", 0.0, None),
-            ],
-            schema=events.schema,
+    stream = read_event_stream(spark, src)
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    touches = stream.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("touch_type"),
+        F.col("event_id").alias("touch_id"),
+    )
+    joined = interval_join_streams(
+        purchases,
+        touches,
+        tolerance_seconds=3600,
+        watermark="400 days",
+        how="left_outer",
+    )
+    table = f"q228_oj_{uuid.uuid4().hex[:12]}"
+    pairs = run_bounded(
+        joined, table, output_mode="append", shuffle_partitions=32
+    )
+    rollup = (
+        pairs.filter(F.col("event_id") >= 0)
+        .groupBy(
+            F.coalesce("touch_type", F.lit("(none)")).alias("touch_type")
         )
-        sent.coalesce(1).write.mode("append").parquet(src)
-        stream = read_event_stream(spark, src)
-        purchases = stream.filter(F.col("event_type") == "purchase").select(
-            "event_id", "user_id", "ts"
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("event_id").alias("n_purchases"),
+            F.countDistinct("touch_id").alias("n_touches"),
         )
-        touches = stream.filter(F.col("event_type") != "purchase").select(
-            F.col("user_id").alias("t_user"),
-            F.col("ts").alias("touch_ts"),
-            F.col("event_type").alias("touch_type"),
-            F.col("event_id").alias("touch_id"),
-        )
-        joined = interval_join_streams(
-            purchases,
-            touches,
-            tolerance_seconds=3600,
-            watermark="400 days",
-            how="left_outer",
-        )
-        table = f"q228_oj_{run_id}"
-        pairs = run_bounded(
-            joined, table, output_mode="append", shuffle_partitions=32
-        )
-        rollup = (
-            pairs.filter(F.col("event_id") >= 0)
-            .groupBy(
-                F.coalesce("touch_type", F.lit("(none)")).alias("touch_type")
-            )
-            .agg(
-                F.count(F.lit(1)).alias("n_pairs"),
-                F.countDistinct("event_id").alias("n_purchases"),
-                F.countDistinct("touch_id").alias("n_touches"),
-            )
-            .orderBy("touch_type")
-        )
-        snap = spark.createDataFrame(rollup.collect(), schema=rollup.schema)
-        spark.catalog.dropTempView(table)
-        return snap.orderBy("touch_type")
-    finally:
-        shutil.rmtree(src, ignore_errors=True)
+        .orderBy("touch_type")
+    )
+    snap = spark.createDataFrame(rollup.collect(), schema=rollup.schema)
+    spark.catalog.dropTempView(table)
+    return snap.orderBy("touch_type")
