@@ -313,3 +313,28 @@ def test_merge_upsert_rejects_unknown_update_columns(spark):
     upd = spark.createDataFrame([(1, "b", 9)], "k long, v string, extra long")
     with pytest.raises(ValueError, match="extra"):
         merge_upsert(base, upd, on=["k"])
+
+
+def test_read_log_or_empty_missing_and_present(spark, tmp_path):
+    """ADVICE r9: a drained stream over an EMPTY delta leaves the
+    foreachBatch log path unwritten; the post-drain read must yield an
+    empty frame with the expected schema (base-only results), not an
+    AnalysisException — and must be a plain read when batches exist."""
+    from pyspark.sql import types as T
+
+    from mindseye_dataframes_spark.sources.staging import read_log_or_empty
+
+    schema = T.StructType(
+        [
+            T.StructField("token", T.StringType()),
+            T.StructField("tf", T.LongType()),
+        ]
+    )
+    missing = read_log_or_empty(spark, str(tmp_path / "never_written"), schema)
+    assert missing.count() == 0
+    assert missing.schema == schema
+
+    log = str(tmp_path / "log")
+    spark.createDataFrame([("a", 3)], schema).write.parquet(f"{log}/batch=0")
+    present = read_log_or_empty(spark, log, schema)
+    assert {r["token"]: r["tf"] for r in present.collect()} == {"a": 3}
