@@ -964,3 +964,107 @@ def oj_drain(spark, src: str):
     snap = spark.createDataFrame(rollup.collect(), schema=rollup.schema)
     spark.catalog.dropTempView(table)
     return snap.orderBy("touch_type")
+
+
+@query(
+    "q236_streaming_full_outer_join_parity",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    t AS (SELECT user_id AS t_user, ts AS touch_ts,
+                 event_type AS touch_type, event_id AS touch_id
+          FROM events WHERE event_type <> 'purchase'),
+    j AS (
+      SELECT p.event_id, t.touch_type, t.touch_id
+      FROM p FULL OUTER JOIN t ON t_user = user_id
+                              AND touch_ts <= ts
+                              AND touch_ts >= ts - INTERVAL 3600 SECOND)
+    SELECT CASE WHEN touch_id IS NULL THEN 'purchase_only'
+                WHEN event_id IS NULL THEN 'touch_only'
+                ELSE 'matched' END AS side,
+           COALESCE(touch_type, '(none)') AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_purchases,
+           CAST(COUNT(DISTINCT touch_id) AS BIGINT) AS n_touches
+    FROM j GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("streaming", "join", "parity:stream-full-outer-join"),
+)
+def q236_streaming_full_outer_join_parity(spark, sf_dir):
+    """FULL OUTER stream-stream interval join — BOTH eviction paths in
+    one drain, completing the outer-join matrix q195 (inner) and q228
+    (left) started: an unmatched purchase emits null-padded when the
+    global watermark proves no touch can arrive (q228's path), AND an
+    unmatched touch emits null-padded when no purchase can still claim
+    it — the state-eviction direction q228 never exercises. Same
+    harness discipline: 400-day watermark makes the 32-file drop
+    order-proof, the strictly-newest sentinel pair (a far-future
+    purchase and a far-future touch, 10 days apart so they cannot
+    join each other) pushes BOTH sides' watermarks past every data
+    row, and the terminating no-data batch flushes both outer sides.
+    The oracle is the identical batch FULL OUTER JOIN; the
+    'purchase_only' and 'touch_only' groups pin each eviction
+    direction under the driver hash. Scale: state is
+    watermark-bounded on both sides per the operator contract; the
+    snapshot holds O(touch types)."""
+    import shutil
+    import uuid
+
+    from mindseye_dataframes_spark.sources.staging import staging_dir
+    from mindseye_dataframes_spark.streaming.events import (
+        interval_join_streams,
+        read_event_stream,
+        run_bounded,
+    )
+
+    run_id = uuid.uuid4().hex[:12]
+    src = staging_dir(spark, f"msdf_stream_foj_{run_id}_")
+    try:
+        oj_stage(spark, sf_dir, src)
+        stream = read_event_stream(spark, src)
+        purchases = stream.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        touches = stream.filter(F.col("event_type") != "purchase").select(
+            F.col("user_id").alias("t_user"),
+            F.col("ts").alias("touch_ts"),
+            F.col("event_type").alias("touch_type"),
+            F.col("event_id").alias("touch_id"),
+        )
+        joined = interval_join_streams(
+            purchases,
+            touches,
+            tolerance_seconds=3600,
+            watermark="400 days",
+            how="full_outer",
+        )
+        table = f"q236_foj_{run_id}"
+        pairs = run_bounded(
+            joined, table, output_mode="append", shuffle_partitions=32
+        )
+        # sentinels carry negative ids on EITHER side; a full-outer row
+        # may have only one side populated, so the filter coalesces
+        rollup = (
+            pairs.filter(
+                (F.coalesce("event_id", F.lit(0)) >= 0)
+                & (F.coalesce("touch_id", F.lit(0)) >= 0)
+            )
+            .groupBy(
+                F.when(F.col("touch_id").isNull(), "purchase_only")
+                .when(F.col("event_id").isNull(), "touch_only")
+                .otherwise("matched")
+                .alias("side"),
+                F.coalesce("touch_type", F.lit("(none)")).alias("touch_type"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("event_id").alias("n_purchases"),
+                F.countDistinct("touch_id").alias("n_touches"),
+            )
+            .orderBy("side", "touch_type")
+        )
+        snap = spark.createDataFrame(rollup.collect(), schema=rollup.schema)
+        spark.catalog.dropTempView(table)
+        return snap.orderBy("side", "touch_type")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
