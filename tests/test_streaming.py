@@ -628,3 +628,42 @@ def test_ann_ingest_multi_trigger_and_idempotent_replay(spark, sf_dir, tmp_path)
         ).collect()
     }
     assert log_postings() == one_shot
+
+
+def test_oj_stage_sentinel_files_are_strictly_newest(spark, tmp_path):
+    """The q228/q236 outer-join harness contract: the sentinel pair
+    must land in the file(s) with the strictly newest mtime, so the
+    maxFilesPerTrigger file source consumes it in the FINAL trigger
+    and its event time pushes the watermark past every data row. Both
+    sentinel rows carry negative ids (filtered before the rollup) and
+    sit 10 days apart so they cannot join each other."""
+    import os
+
+    from mindseye_dataframes_spark.queries.timeseries import oj_stage
+
+    src = str(tmp_path / "oj_src")
+    oj_stage(spark, "/root/testdata/sf0.001", src)
+
+    parts = [
+        os.path.join(src, f)
+        for f in os.listdir(src)
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    newest = max(parts, key=os.path.getmtime)
+    older = [p for p in parts if p != newest]
+    assert all(
+        os.path.getmtime(newest) > os.path.getmtime(p) for p in older
+    )
+    sent = spark.read.parquet(newest).filter("event_id < 0")
+    rows = {r["event_id"]: r for r in sent.collect()}
+    assert set(rows) == {-1, -2}
+    assert rows[-1]["event_type"] == "purchase"
+    assert rows[-2]["event_type"] == "sentinel"
+    # 10 days apart: the two sentinels can never interval-join
+    gap = abs(
+        rows[-2]["ts"].timestamp() - rows[-1]["ts"].timestamp()
+    )
+    assert gap >= 9 * 86400
+    # no negative ids anywhere else in the drop
+    others = spark.read.parquet(*older).filter("event_id < 0")
+    assert others.count() == 0
