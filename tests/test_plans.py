@@ -212,6 +212,19 @@ def test_ngram_inverted_index_is_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ngram_verify_join_keeps_user_numbered_repartition(spark, sf_dir):
+    """The candidate-pair relation feeding the verify join is
+    byte-small but each row does O(|grams|) intersection work, so
+    spread_for_compute pins a user-NUMBERED repartition there —
+    exempt from AQE size-based coalescing, which would otherwise
+    serialize the verify onto one core (the q213 cold-path guard).
+    The pin: a REPARTITION_BY_NUM shuffle origin must survive into
+    both n-gram pair plans."""
+    for name in ("q80_ngram_jaccard_pairs", "q213_ngram_containment_pairs"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "REPARTITION_BY_NUM" in plan, name
+
+
 def test_video_frame_sample_is_pure_map(spark, sf_dir):
     """Frame sampling is a map over payload partitions — no
     hash-partition exchange anywhere in the plan."""
