@@ -46,3 +46,23 @@ def test_priority_estimator_dominates_weights():
     weights = [(i, 10 + i % 7) for i in range(100)]
     est = _estimate(weights, 20, "fixed")
     assert est >= sum(sorted((w for _, w in weights), reverse=True)[:20])
+
+
+def test_query_emits_tau_zero_on_small_corpus(spark, tmp_path):
+    """Engine-path pin of the Duffield-Lund-Thorup τ=0 edge (ADVICE
+    r9): with ≤ k docs the whole corpus IS the sample, so τ must be 0
+    and every ŵ must equal w exactly — the pre-fix rule (τ = smallest
+    sampled priority) biased every estimate upward on small corpora."""
+    from mindseye_dataframes_spark.queries import load_all
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(i, "t" * (10 * (i + 1)), "en", "s", 10 * (i + 1)) for i in range(5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    rows = load_all()["q231_priority_sample"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5  # all docs sampled
+    assert all(r["w_hat"] == r["w"] for r in rows), [
+        (r["w"], r["w_hat"]) for r in rows
+    ]
