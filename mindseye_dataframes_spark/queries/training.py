@@ -404,3 +404,56 @@ def q232_block_manifest(spark, sf_dir):
         )
         .orderBy("block_id", "blk_from")
     )
+
+
+def manifest_segments(packed):
+    """Segment explode for the INCREMENTAL manifest path (and its
+    equivalence test): ``packed`` carries (doc_id, n, s) with ``s``
+    the doc's global token offset; emits one
+    (block_id, doc_id, doc_from, blk_from, seg_len) row per block the
+    doc touches — fan-out n/BLOCK + 1, all integer interval math.
+    Deliberately DUPLICATES q232's inline segment arithmetic for now:
+    the r10 driver window is exactly full (4 refresh + 2 new + the 44
+    r4-stale rotations), so refactoring the proven q232 body onto this
+    helper — a refresh-slot-worthy change — waits for r11, when the
+    planned q237 incremental-manifest query registers and both paths
+    unify."""
+    b = F.explode(
+        F.sequence(
+            F.expr(f"s DIV {_BLOCK}"), F.expr(f"(s + n - 1) DIV {_BLOCK}")
+        )
+    ).alias("block_id")
+    seg_lo = F.greatest("s", F.expr(f"block_id * {_BLOCK}"))
+    seg_hi = F.least(
+        F.expr("s + n"), F.expr(f"(block_id + 1) * {_BLOCK}")
+    )
+    return packed.select("doc_id", "n", "s", b).select(
+        F.col("block_id").cast("long").alias("block_id"),
+        "doc_id",
+        (seg_lo - F.col("s")).alias("doc_from"),
+        (seg_lo - F.expr(f"block_id * {_BLOCK}")).alias("blk_from"),
+        (seg_hi - seg_lo).alias("seg_len"),
+    )
+
+
+def manifest_append(base_manifest, base_total_tokens, delta_docs, count_col, order_keys):
+    """INCREMENTAL manifest maintenance — the append-only inverse of
+    re-running q232 over the whole corpus: new docs always pack AFTER
+    the existing token stream (the manifest order is doc-id order and
+    appends carry larger ids), so the maintenance job prefix-sums ONLY
+    the delta, offsets it by the standing corpus's total token count,
+    and unions the new segment rows onto the standing manifest — the
+    standing rows are untouched (a straddling base doc's partial
+    segment in the boundary block was already emitted when it was
+    manifested). Cost is O(delta), not O(corpus): at 100 TB this is
+    the difference between re-manifesting a day's ingest and
+    re-scanning the lake. Equivalence to the full rebuild is pinned in
+    tests/test_training_ops.py."""
+    delta_packed = pack_sequences(
+        delta_docs, count_col, order_keys, _BLOCK
+    ).select(
+        *order_keys,
+        F.col(count_col).alias("n"),
+        (F.col("start_offset") + F.lit(int(base_total_tokens))).alias("s"),
+    )
+    return base_manifest.unionByName(manifest_segments(delta_packed))

@@ -263,3 +263,49 @@ def test_curriculum_schedule_tiers_and_permutation(spark, sf_dir):
     score_tier = {}
     for r in rows:
         assert score_tier.setdefault(r["score"], r["tier"]) == r["tier"]
+
+
+def test_manifest_append_equals_full_rebuild(spark):
+    """Incremental block-manifest maintenance (manifest_append) must
+    equal re-manifesting the whole corpus: appended docs pack after
+    the standing token stream, so prefix-summing ONLY the delta with
+    the base total as offset reproduces the full rebuild exactly —
+    including the boundary block a straddling base doc partially
+    fills. O(delta) maintenance, proven row-identical."""
+    from mindseye_dataframes_spark.operators.packing import pack_sequences
+    from mindseye_dataframes_spark.queries.training import (
+        _BLOCK,
+        manifest_append,
+        manifest_segments,
+    )
+
+    # token counts chosen to straddle: doc 3 crosses a block boundary,
+    # doc 4 (first delta doc) lands mid-block
+    docs = spark.createDataFrame(
+        [(i, 100 + 37 * i) for i in range(8)], "doc_id long, n_tokens long"
+    )
+    base = docs.filter("doc_id < 4")
+    delta = docs.filter("doc_id >= 4")
+
+    def manifest(d):
+        packed = pack_sequences(d, "n_tokens", ["doc_id"], _BLOCK).select(
+            "doc_id",
+            F.col("n_tokens").alias("n"),
+            F.col("start_offset").alias("s"),
+        )
+        return manifest_segments(packed)
+
+    full = {tuple(r) for r in manifest(docs).collect()}
+    base_manifest = manifest(base)
+    base_total = base.agg(F.sum("n_tokens")).collect()[0][0]
+    incr = manifest_append(
+        base_manifest, base_total, delta, "n_tokens", ["doc_id"]
+    )
+    got = {tuple(r) for r in incr.collect()}
+    assert got == full and len(full) > 0
+    # sanity: the boundary block genuinely mixes base and delta docs
+    by_block = {}
+    for bid, doc, *_ in full:
+        by_block.setdefault(bid, set()).add(doc)
+    boundary = [b for b, ds in by_block.items() if ds & {0, 1, 2, 3} and ds & {4, 5, 6, 7}]
+    assert boundary, "fixture must exercise a base/delta straddling block"
