@@ -56,31 +56,43 @@ def main() -> None:
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - start, 4)
 
-    def time_phase(names_to_queries: dict[str, object]) -> dict[str, float]:
+    def time_phase(
+        names_to_queries: dict[str, object],
+    ) -> tuple[dict[str, float], list[float]]:
         """Warm once (JVM codegen, shuffle services, Python workers,
         parquet footer caches — the metric is steady-state execution,
         not first-JIT), then min of 3 timed runs per query: single
         runs at this scale are dominated by GC/scheduling noise
         (observed 1.3s vs 7.5s for the same plan, and a 1.9× min-of-2
         outlier for q35 in r3); the minimum is the reproducible
-        steady-state cost."""
+        steady-state cost. Also returns the three PER-PASS totals so
+        the recorded artifact carries the host-noise spread, not just
+        a point (VERDICT r10 item 8: three consecutive rounds of
+        headline deltas were re-litigated as drift-vs-regression;
+        a spread settles it at read time)."""
         for q in names_to_queries.values():
             run_once(q)
         timings: dict[str, float] = {}
+        pass_totals: list[float] = []
         for _ in range(3):
             # drop operator-internal caches so every timed run pays
             # its own materialization cost (no cross-run cache flattery)
             spark.catalog.clearCache()
+            pass_total = 0.0
             for name, q in names_to_queries.items():
                 elapsed = run_once(q)
                 timings[name] = min(timings.get(name, elapsed), elapsed)
-        return timings
+                pass_total += elapsed
+            pass_totals.append(round(pass_total, 4))
+        return timings, pass_totals
 
     # Phase (a): headline, in a session that has run nothing else.
-    timings = time_phase(bench_queries)
+    timings, headline_passes = time_phase(bench_queries)
     # Phase (b): extended, strictly after the headline metric is final.
     spark.catalog.clearCache()
-    extended = time_phase({n: registry[n] for n in extended_names})
+    extended, extended_passes = time_phase(
+        {n: registry[n] for n in extended_names}
+    )
 
     result = {
         "metric": "headline_queries_total_sec",
@@ -88,8 +100,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # per-pass totals (3 timed passes over the suite): the spread
+        # IS the host-noise budget; "value" stays sum of per-query
+        # minimums, the round-over-round comparable
+        "headline_passes_sec": headline_passes,
         "extended": extended,
         "extended_total_sec": round(sum(extended.values()), 4),
+        "extended_passes_sec": extended_passes,
     }
     print(json.dumps(result))
     sys.stdout.flush()

@@ -108,9 +108,10 @@ def _sample_boundaries(
     try:
         from mindseye_dataframes_spark.compat import session_key
 
+        # public API (3.1+, Connect since 3.5) — no JVM handle
         cache_key = (
             session_key(df.sparkSession),
-            df._jdf.queryExecution().analyzed().semanticHash(),
+            df.semanticHash(),
             tuple(order_keys),
             parts,
         )

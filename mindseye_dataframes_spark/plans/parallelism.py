@@ -40,7 +40,11 @@ def default_parallelism(spark) -> int:
     try:
         return spark.sparkContext.defaultParallelism
     except Exception:
-        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        try:
+            return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        except (TypeError, ValueError):
+            # deployments may set the conf non-numeric (e.g. "auto")
+            return 200
 
 
 def scan_partitions(df: DataFrame) -> int:
@@ -48,13 +52,11 @@ def scan_partitions(df: DataFrame) -> int:
     semantically-equal analyzed plan."""
     wide_enough = default_parallelism(df.sparkSession)
     try:
-        key = (
-            session_key(df.sparkSession),
-            df._jdf.queryExecution().analyzed().semanticHash(),
-        )
+        # public API (3.1+, Connect since 3.5) — no JVM plan handle
+        key = (session_key(df.sparkSession), df.semanticHash())
     except Exception:
-        # Connect: no JVM plan handle to memoize on — one probe,
-        # which itself degrades to the "wide enough" default there
+        # no usable plan hash — one probe, which itself degrades to
+        # the "wide enough" default on Connect
         return scan_partition_count(df, wide_enough)
     n = _PARTS_CACHE.get(key)
     if n is None:

@@ -287,30 +287,73 @@ REFRESH_R10: set[str] = {
     "q218_ann_index_checkpoint",         # stage/fold split (item 4)
 }
 
+PROVEN_R10 = {
+    # green in CORRECTNESS_r10.json (50/50): the 44 r4-stale rotations
+    # VERDICT r9 asked for, the four REFRESH_R10 re-proofs, and the two
+    # round-10 additions (q235/q236).
+    "q118_pmi_collocations", "q119_vocab_oov_rate",
+    "q120_simhash_hamming_pairs", "q121_retention_cohorts",
+    "q122_last_touch_attribution", "q123_langid_confusion",
+    "q124_stratified_exact_sample", "q125_copurchase_degrees",
+    "q126_triangle_count", "q127_int8_quantize", "q129_salted_hot_agg",
+    "q130_target_encoding", "q131_group_split", "q132_association_rules",
+    "q133_conversion_latency", "q134_snapshot_diff",
+    "q135_quantile_binning", "q136_event_transitions",
+    "q137_balanced_resample", "q138_contribution_margins",
+    "q139_mom_growth", "q140_kmeans_clusters", "q141_bloom_prefilter_join",
+    "q142_ewma_smoothing", "q143_pareto_frontier", "q144_table_fingerprint",
+    "q145_rolling_active_users", "q146_pagerank_fixed_point",
+    "q147_bpe_pair_counts", "q148_price_decile_lift", "q149_session_paths",
+    "q150_cross_source_dup_matrix", "q151_shard_balance",
+    "q152_gap_percentiles", "q153_join_key_skew_profile",
+    "q154_incremental_corpus_dedup", "q155_cohort_ltv_curve",
+    "q159_referential_integrity", "q160_mixture_token_plan",
+    "q161_interval_union", "q218_ann_index_checkpoint",
+    "q228_streaming_outer_join_parity", "q231_priority_sample",
+    "q234_hll_overlap_gate", "q235_eval_preview_zip",
+    "q236_streaming_full_outer_join_parity", "q61_token_count_bpe",
+    "q62_winnow_fingerprints", "q64_analytic_ranks", "q66_image_resize",
+}
+
+# Queries whose IMPLEMENTATION changes in round 11 AFTER their last
+# green driver check: q232's segment arithmetic was unified onto the
+# shared ``manifest_segments`` helper (VERDICT r10 item 1), so its r9
+# green row proves superseded code and it re-proves at the head. The
+# round-11 zip_frames cache-key change (retiring ``df._jdf``) and the
+# staging/parallelism guards are value-preserving and do not burn a
+# slot.
+REFRESH_R11: set[str] = {
+    "q232_block_manifest",  # body now routes through manifest_segments
+}
+
 # Stalest-first staleness: a query's group is its LAST proven round
 # (newest membership wins), so re-verification coverage rotates.
 STALE_R02 = (
     ((((PROVEN_R02 - PROVEN_R03) - PROVEN_R04) - PROVEN_R05) - PROVEN_R06)
     - PROVEN_R07
-) - PROVEN_R09
+) - PROVEN_R09 - PROVEN_R10
 STALE_R03 = (
     (((PROVEN_R03 - PROVEN_R04) - PROVEN_R05) - PROVEN_R06) - PROVEN_R07
-) - PROVEN_R09
+) - PROVEN_R09 - PROVEN_R10
 STALE_R04 = (
     ((PROVEN_R04 - PROVEN_R05) - PROVEN_R06) - PROVEN_R07
-) - PROVEN_R09
-STALE_R05 = ((PROVEN_R05 - PROVEN_R06) - PROVEN_R07) - PROVEN_R09
-STALE_R06 = (PROVEN_R06 - PROVEN_R07) - PROVEN_R09
+) - PROVEN_R09 - PROVEN_R10
+STALE_R05 = (
+    ((PROVEN_R05 - PROVEN_R06) - PROVEN_R07) - PROVEN_R09
+) - PROVEN_R10
+STALE_R06 = ((PROVEN_R06 - PROVEN_R07) - PROVEN_R09) - PROVEN_R10
 
 
 def _order_key(item: tuple[str, Query]) -> tuple[int, str]:
     name, q = item
-    if name in REFRESH_R10:
+    if name in REFRESH_R11:
         group = 0  # changed-after-check: head the window
     elif q.oracle is None:
         group = 99  # rows-only checks last — never burn a window slot
+    elif name in PROVEN_R10:
+        group = 10  # freshest evidence: verify last
     elif name in PROVEN_R09:
-        group = 9  # freshest evidence: verify last
+        group = 9
     elif name in PROVEN_R07:
         group = 7
     elif name in PROVEN_R06:

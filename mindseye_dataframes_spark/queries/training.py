@@ -384,40 +384,17 @@ def q232_block_manifest(spark, sf_dir):
         F.col("n_tokens").alias("n"),
         F.col("start_offset").alias("s"),
     )
-    b = F.explode(
-        F.sequence(
-            F.expr(f"s DIV {_BLOCK}"), F.expr(f"(s + n - 1) DIV {_BLOCK}")
-        )
-    ).alias("block_id")
-    seg_lo = F.greatest("s", F.expr(f"block_id * {_BLOCK}"))
-    seg_hi = F.least(
-        F.expr("s + n"), F.expr(f"(block_id + 1) * {_BLOCK}")
-    )
-    return (
-        packed.select("doc_id", "n", "s", b)
-        .select(
-            F.col("block_id").cast("long").alias("block_id"),
-            "doc_id",
-            (seg_lo - F.col("s")).alias("doc_from"),
-            (seg_lo - F.expr(f"block_id * {_BLOCK}")).alias("blk_from"),
-            (seg_hi - seg_lo).alias("seg_len"),
-        )
-        .orderBy("block_id", "blk_from")
-    )
+    return manifest_segments(packed).orderBy("block_id", "blk_from")
 
 
 def manifest_segments(packed):
-    """Segment explode for the INCREMENTAL manifest path (and its
-    equivalence test): ``packed`` carries (doc_id, n, s) with ``s``
-    the doc's global token offset; emits one
+    """Segment explode shared by the FULL manifest build (q232) and
+    the INCREMENTAL append path (q237): ``packed`` carries
+    (doc_id, n, s) with ``s`` the doc's global token offset; emits one
     (block_id, doc_id, doc_from, blk_from, seg_len) row per block the
     doc touches — fan-out n/BLOCK + 1, all integer interval math.
-    Deliberately DUPLICATES q232's inline segment arithmetic for now:
-    the r10 driver window is exactly full (4 refresh + 2 new + the 44
-    r4-stale rotations), so refactoring the proven q232 body onto this
-    helper — a refresh-slot-worthy change — waits for r11, when the
-    planned q237 incremental-manifest query registers and both paths
-    unify."""
+    Single source of truth for the interval arithmetic since r11
+    (VERDICT r10 item 1); both q232 and q237 route through it."""
     b = F.explode(
         F.sequence(
             F.expr(f"s DIV {_BLOCK}"), F.expr(f"(s + n - 1) DIV {_BLOCK}")
@@ -436,7 +413,14 @@ def manifest_segments(packed):
     )
 
 
-def manifest_append(base_manifest, base_total_tokens, delta_docs, count_col, order_keys):
+def manifest_append(
+    base_manifest,
+    base_total_tokens,
+    delta_docs,
+    count_col,
+    order_keys,
+    check_order=True,
+):
     """INCREMENTAL manifest maintenance — the append-only inverse of
     re-running q232 over the whole corpus: new docs always pack AFTER
     the existing token stream (the manifest order is doc-id order and
@@ -448,7 +432,32 @@ def manifest_append(base_manifest, base_total_tokens, delta_docs, count_col, ord
     manifested). Cost is O(delta), not O(corpus): at 100 TB this is
     the difference between re-manifesting a day's ingest and
     re-scanning the lake. Equivalence to the full rebuild is pinned in
-    tests/test_training_ops.py."""
+    tests/test_training_ops.py and driver-hashed as q237.
+
+    The equivalence REQUIRES every delta row to sort after every base
+    row under ``order_keys``; ``check_order=True`` (default) verifies
+    it with two O(1)-result scalar aggregates (max base key from the
+    standing manifest, min delta key) and raises ``ValueError`` on an
+    interleaving delta — at 100 TB both aggregates are map-side-
+    combined single-row jobs, negligible next to the manifest build.
+    Pass ``check_order=False`` only when the caller enforces the
+    ordering structurally (e.g. monotone ingest ids)."""
+    if check_order:
+        base_max = base_manifest.agg(
+            F.max(F.struct(*order_keys)).alias("k")
+        ).collect()[0]["k"]
+        delta_min = delta_docs.agg(
+            F.min(F.struct(*order_keys)).alias("k")
+        ).collect()[0]["k"]
+        if base_max is not None and delta_min is not None:
+            if tuple(delta_min) <= tuple(base_max):
+                raise ValueError(
+                    "manifest_append precondition violated: delta keys "
+                    f"must sort strictly after base keys under "
+                    f"{list(order_keys)} (base max={tuple(base_max)}, "
+                    f"delta min={tuple(delta_min)}); an interleaving "
+                    "delta requires a full q232 rebuild"
+                )
     delta_packed = pack_sequences(
         delta_docs, count_col, order_keys, _BLOCK
     ).select(
@@ -457,3 +466,68 @@ def manifest_append(base_manifest, base_total_tokens, delta_docs, count_col, ord
         (F.col("start_offset") + F.lit(int(base_total_tokens))).alias("s"),
     )
     return base_manifest.unionByName(manifest_segments(delta_packed))
+
+
+@query(
+    "q237_manifest_incremental_append",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents),
+    o AS (
+      SELECT doc_id, n,
+             CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS s
+      FROM t),
+    m AS (
+      SELECT b.b AS block_id, doc_id,
+             GREATEST(s, b.b * {_BLOCK}) - s AS doc_from,
+             GREATEST(s, b.b * {_BLOCK}) - b.b * {_BLOCK} AS blk_from,
+             LEAST(s + n, (b.b + 1) * {_BLOCK})
+               - GREATEST(s, b.b * {_BLOCK}) AS seg_len
+      FROM o, LATERAL (
+        SELECT unnest(generate_series(s // {_BLOCK},
+                                      (s + n - 1) // {_BLOCK})) AS b) b)
+    SELECT CAST(block_id AS BIGINT) AS block_id, doc_id,
+           CAST(doc_from AS BIGINT) AS doc_from,
+           CAST(blk_from AS BIGINT) AS blk_from,
+           CAST(seg_len AS BIGINT) AS seg_len
+    FROM m ORDER BY block_id, blk_from
+    """,
+    tags=("training", "packing", "incremental", "parity:block-manifest"),
+)
+def q237_manifest_incremental_append(spark, sf_dir):
+    """O(delta) INCREMENTAL block-manifest maintenance, driver-proven
+    equivalent to the O(corpus) full rebuild: the corpus is split at
+    the 90th-percentile doc_id into a standing base and a simulated
+    day's ingest; the base is manifested once (q232's path), then
+    ``manifest_append`` prefix-sums ONLY the delta, offsets it by the
+    standing total-token count (O(1) manifest metadata in a real
+    deployment), and unions the new segment rows on. The ORACLE is the
+    full single-pass rebuild over all documents — hash equality IS the
+    base+delta == rebuild theorem, on real data, under the driver.
+    Both paths share ``manifest_segments`` for the interval
+    arithmetic; the delta-after-base precondition is asserted by two
+    scalar aggregates inside ``manifest_append``. Scale shape: the
+    incremental job touches delta rows only — no window, no shuffle of
+    the standing manifest (union is exchange-free), same two-phase
+    prefix sum as q81 on the delta."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    n_docs = docs.count()
+    cut = max(1, (n_docs * 9) // 10)
+    base = docs.filter(F.col("doc_id") < F.lit(cut))
+    delta = docs.filter(F.col("doc_id") >= F.lit(cut))
+    base_packed = pack_sequences(base, "n_tokens", ["doc_id"], _BLOCK).select(
+        "doc_id",
+        F.col("n_tokens").alias("n"),
+        F.col("start_offset").alias("s"),
+    )
+    base_manifest = manifest_segments(base_packed)
+    base_total = base.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"] or 0
+    return manifest_append(
+        base_manifest, base_total, delta, "n_tokens", ["doc_id"]
+    ).orderBy("block_id", "blk_from")

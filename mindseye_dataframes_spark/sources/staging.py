@@ -92,10 +92,28 @@ def read_log_or_empty(spark, path: str, like_schema) -> DataFrame:
     downstream unions expect. Catching the read error (rather than
     probing the filesystem) keeps this Spark-Connect-safe: no JVM
     handles, no driver-local ``os.path`` assumption about a possibly
-    remote staging root."""
+    remote staging root.
+
+    Only the error classes that MEAN "no batches yet"
+    (``PATH_NOT_FOUND``; ``UNABLE_TO_INFER_SCHEMA`` for a created-but-
+    empty dir) map to empty — any other AnalysisException (corrupt
+    footer, schema-merge conflict, permission failure surfaced as
+    AnalysisException) re-raises, so a genuinely broken log fails
+    loudly instead of silently yielding base-only results
+    (ADVICE r10)."""
     from pyspark.errors import AnalysisException
 
+    empty_log_classes = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
     try:
         return spark.read.parquet(path)
-    except AnalysisException:
-        return spark.createDataFrame([], like_schema)
+    except AnalysisException as exc:
+        try:
+            err_class = exc.getErrorClass()
+        except Exception:
+            err_class = None
+        msg = str(exc)
+        if err_class in empty_log_classes or any(
+            f"[{c}]" in msg for c in empty_log_classes
+        ):
+            return spark.createDataFrame([], like_schema)
+        raise

@@ -133,6 +133,11 @@ ALLOWED_CLASSIC_SITES = {
     # classic fast paths with in-function Connect fallbacks (tested
     # above): default_parallelism, scan_partitions
     "plans/parallelism.py",
+    # two guarded JVM-plan-introspection fast paths (_rescan_cheap →
+    # False, _common_source_keys → generic path, both on ANY
+    # exception); the boundary-cache key's _jdf touch was retired in
+    # r11 for public df.semanticHash() (VERDICT r10 item 7)
+    "operators/zip_frames.py",
     # hadoop_lister raises an actionable error pointing at
     # connect_lister; session.py's log-muting is try/excepted cosmetic
     "sources/bucketing.py",
@@ -140,7 +145,7 @@ ALLOWED_CLASSIC_SITES = {
 }
 
 _CLASSIC_PATTERNS = re.compile(
-    r"sparkContext\.|\.rdd\.getNumPartitions|\._jvm\b|\._jsc\b"
+    r"sparkContext\.|\.rdd\.getNumPartitions|\._jvm\b|\._jsc\b|\._jdf\b"
 )
 
 

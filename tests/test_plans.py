@@ -991,3 +991,40 @@ def test_priority_sample_is_pruned_takeordered(spark, sf_dir):
     exec_plan = plan_of(spark, sf_dir, "q231_priority_sample")
     assert "TakeOrderedAndProject" in exec_plan
     assert "BroadcastNestedLoopJoin" in exec_plan or "BroadcastHashJoin" in exec_plan
+
+
+def test_priority_sample_no_data_shuffle(spark, sf_dir):
+    """q231's docstring claims "nothing shuffles": the only exchanges
+    allowed are broadcast (the 1-row τ onto the sample) — no
+    hash-partitioned or single-partition shuffle of corpus rows
+    (VERDICT r10 item 6: pin the docstring's plan claims)."""
+    plan = plan_of(spark, sf_dir, "q231_priority_sample")
+    for line in plan.splitlines():
+        if "Exchange" in line and "BroadcastExchange" not in line:
+            raise AssertionError(f"unexpected data shuffle: {line}")
+
+
+def test_block_manifest_no_single_partition_window(spark, sf_dir):
+    """q232's two-phase distributed prefix sum must never run a
+    window over a SinglePartition exchange — the whole point of the
+    two-phase shape is that only O(partitions) boundary sums funnel
+    to one task, never corpus rows (VERDICT r10 item 6)."""
+    plan = plan_of(spark, sf_dir, "q232_block_manifest")
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "SinglePartition" not in line, line
+
+
+def test_manifest_append_delta_only_and_no_single_partition_window(
+    spark, sf_dir
+):
+    """q237 (incremental manifest append): same no-single-partition-
+    window guarantee as q232 on the delta's prefix sum, and the
+    standing-manifest side unions in without a shuffle of its own
+    (Union is exchange-free; the only exchanges are the two prefix-sum
+    paths' O(partitions) boundary aggregations)."""
+    plan = plan_of(spark, sf_dir, "q237_manifest_incremental_append")
+    assert "Union" in plan, plan
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "SinglePartition" not in line, line

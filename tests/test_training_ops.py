@@ -309,3 +309,40 @@ def test_manifest_append_equals_full_rebuild(spark):
         by_block.setdefault(bid, set()).add(doc)
     boundary = [b for b, ds in by_block.items() if ds & {0, 1, 2, 3} and ds & {4, 5, 6, 7}]
     assert boundary, "fixture must exercise a base/delta straddling block"
+
+
+def test_manifest_append_rejects_interleaving_delta(spark):
+    """The O(delta) append is only equivalent to a rebuild when every
+    delta key sorts after every base key; an interleaving delta must
+    fail loudly (ValueError from the precondition aggregates), not
+    silently produce a manifest that diverges from the rebuild
+    (ADVICE r10)."""
+    import pytest
+
+    from mindseye_dataframes_spark.operators.packing import pack_sequences
+    from mindseye_dataframes_spark.queries.training import (
+        _BLOCK,
+        manifest_append,
+        manifest_segments,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 100 + 37 * i) for i in range(8)], "doc_id long, n_tokens long"
+    )
+    base = docs.filter("doc_id >= 4")  # WRONG side: base holds the larger ids
+    delta = docs.filter("doc_id < 4")
+    packed = pack_sequences(base, "n_tokens", ["doc_id"], _BLOCK).select(
+        "doc_id",
+        F.col("n_tokens").alias("n"),
+        F.col("start_offset").alias("s"),
+    )
+    base_manifest = manifest_segments(packed)
+    base_total = base.agg(F.sum("n_tokens")).collect()[0][0]
+    with pytest.raises(ValueError, match="precondition"):
+        manifest_append(base_manifest, base_total, delta, "n_tokens", ["doc_id"])
+    # the caller-enforced escape hatch still works
+    out = manifest_append(
+        base_manifest, base_total, delta, "n_tokens", ["doc_id"],
+        check_order=False,
+    )
+    assert out.count() > 0

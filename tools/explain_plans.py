@@ -56,6 +56,23 @@ def main() -> None:
             "q226_lsh_dedup_eval",
             "q227_cluster_balanced_sample",
             "q229_python_datasource",
+            # r11: batch-expressible r9/r10/r11 additions (VERDICT r10
+            # item 6). The streaming harness queries (q212/q218/q219/
+            # q228/q230/q236) are excluded — their fns DRAIN a stream,
+            # so "explain" would run the whole harness; their state-
+            # store shape is pinned by the drain probes instead.
+            "q210_bm25_compaction",
+            "q211_ann_compaction",
+            "q213_ngram_containment_pairs",
+            "q214_bitext_margin_mining",
+            "q217_rendezvous_sharding",
+            "q223_kcenter_coreset",
+            "q231_priority_sample",
+            "q232_block_manifest",
+            "q233_bloom_fpr_gate",
+            "q234_hll_overlap_gate",
+            "q235_eval_preview_zip",
+            "q237_manifest_incremental_append",
         )
         if n in registry
     ]

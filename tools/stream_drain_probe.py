@@ -18,6 +18,16 @@ session, then times the drain/fold alone, min-of-N:
 Each timed result is also sanity-checked (rollup rows / probe rows
 non-empty) so a probe can't go green on a short-circuited run.
 
+Statistical protocol (VERDICT r10 item 3 — the r10 sf1 numbers spanned
+a ±2× band, useless as a regression tracker): one UNTIMED warm-up run
+per family first (the r10 spread's worst outliers were cold JVM/
+codegen/state-store initialization on run 1), then median-of-N
+(default 5) with the full run list and the max/min spread ratio
+recorded; a jvm System.gc() between runs drains collector debt so one
+run's garbage doesn't bill the next. Trigger count is already pinned
+by the staged layout (32 aged files + 1 sentinel at
+maxFilesPerTrigger=8 → 5 triggers, every run).
+
 Usage:  python tools/stream_drain_probe.py [sf_dir] [n_runs]
 Writes docs/probes/stream_drain_<sfname>.json.
 """
@@ -27,8 +37,16 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import time
+
+
+def _jvm_gc(spark) -> None:
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
 
 
 def main() -> None:
@@ -36,7 +54,7 @@ def main() -> None:
     sys.path.insert(0, repo)
     os.chdir(repo)
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    n_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    n_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 
     from pyspark.sql import SparkSession
 
@@ -64,14 +82,20 @@ def main() -> None:
         t0 = time.monotonic()
         oj_stage(spark, sf_dir, src)
         t_stage = round(time.monotonic() - t0, 2)
+        assert oj_drain(spark, src).count() > 0  # warm-up, untimed
         runs = []
         for _ in range(n_runs):
+            _jvm_gc(spark)
             t0 = time.monotonic()
             snap = oj_drain(spark, src)
             assert snap.count() > 0
             runs.append(round(time.monotonic() - t0, 2))
         out["results"]["q228_drain"] = {
-            "stage_once": t_stage, "drain_min": min(runs), "runs": runs,
+            "stage_once": t_stage,
+            "drain_median": round(statistics.median(runs), 2),
+            "drain_min": min(runs),
+            "spread_max_over_min": round(max(runs) / min(runs), 2),
+            "runs": runs,
         }
         print("q228", out["results"]["q228_drain"], flush=True)
     finally:
@@ -84,14 +108,21 @@ def main() -> None:
         t0 = time.monotonic()
         ann_ckpt_stage_log(spark, sf_dir, post_log)
         t_stage = round(time.monotonic() - t0, 2)
+        # warm-up, untimed (distinct salt so it performs a real fold)
+        assert ann_ckpt_fold(spark, sf_dir, post_log, salt=":warm").count() > 0
         runs = []
         for i in range(n_runs):
+            _jvm_gc(spark)
             t0 = time.monotonic()
             probe = ann_ckpt_fold(spark, sf_dir, post_log, salt=f":probe{i}")
             assert probe.count() > 0
             runs.append(round(time.monotonic() - t0, 2))
         out["results"]["q218_fold"] = {
-            "stage_once": t_stage, "fold_min": min(runs), "runs": runs,
+            "stage_once": t_stage,
+            "fold_median": round(statistics.median(runs), 2),
+            "fold_min": min(runs),
+            "spread_max_over_min": round(max(runs) / min(runs), 2),
+            "runs": runs,
         }
         print("q218", out["results"]["q218_fold"], flush=True)
     finally:
