@@ -916,10 +916,12 @@ def oj_stage(spark, sf_dir: str, src: str) -> None:
     sent.coalesce(1).write.mode("append").parquet(src)
 
 
-def oj_drain(spark, src: str):
+def oj_drain(spark, src: str, timeout_sec: int = 120):
     """DRAIN half of q228: the multi-trigger bounded stream join over
     an already-staged drop, plus the rollup snapshot — the part that
-    IS the operator measurement."""
+    IS the operator measurement. ``timeout_sec`` passes through to the
+    bounded drain (the probes raise it: a cold first sf1 drain on a
+    contended host can exceed the 120 s query-path default)."""
     import uuid
 
     from mindseye_dataframes_spark.streaming.events import (
@@ -947,7 +949,11 @@ def oj_drain(spark, src: str):
     )
     table = f"q228_oj_{uuid.uuid4().hex[:12]}"
     pairs = run_bounded(
-        joined, table, output_mode="append", shuffle_partitions=32
+        joined,
+        table,
+        output_mode="append",
+        shuffle_partitions=32,
+        timeout_sec=timeout_sec,
     )
     rollup = (
         pairs.filter(F.col("event_id") >= 0)
