@@ -640,10 +640,13 @@ class _NoJdf:
 def test_connect_degradation_falls_back_gracefully(spark):
     """VERDICT r4 item 5: without py4j internals (`_jdf`), the zip
     operators must degrade to their conservative paths — persisted
-    range index, no common-source fusion, no boundary caching — and
-    still produce correct results. The except arms at
-    zip_frames._rescan_cheap / _sample_boundaries / _common_source_keys
-    are the code under test."""
+    range index, no common-source fusion — and still produce correct
+    results. The except arms at zf._rescan_cheap /
+    _common_source_keys are the code under test. Since r11 the
+    boundary cache keys on PUBLIC ``df.semanticHash()`` (Connect-
+    supported since Spark 3.5), so boundary caching now WORKS without
+    ``_jdf`` — the test asserts the cache populates and hits through
+    the proxy rather than being skipped."""
     import importlib
 
     zf = importlib.import_module(
@@ -662,10 +665,12 @@ def test_connect_degradation_falls_back_gracefully(spark):
     # (the real frames DO fuse — the proxy is what disables it)
     assert zf._common_source_keys([a, b], [["event_id"], ["_bid"]])
 
-    # boundary sampling still works, just uncached
+    # boundary sampling works AND caches via public semanticHash
     before = dict(zf._BOUNDS_CACHE)
     bounds_proxy = zf._sample_boundaries(pa, ["event_id"], 8)
-    assert zf._BOUNDS_CACHE == before  # no cache key without _jdf
+    assert len(zf._BOUNDS_CACHE) == len(before) + 1  # key needs no _jdf
+    assert zf._sample_boundaries(pa, ["event_id"], 8) == bounds_proxy
+    assert len(zf._BOUNDS_CACHE) == len(before) + 1  # second call hit
     bounds_real = zf._compute_boundaries(a, ["event_id"], 8)
     assert bounds_proxy == bounds_real
 
