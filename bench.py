@@ -58,7 +58,7 @@ def main() -> None:
 
     def time_phase(
         names_to_queries: dict[str, object],
-    ) -> tuple[dict[str, float], list[float]]:
+    ) -> tuple[dict[str, float], list[float], dict[str, list[float]]]:
         """Warm once (JVM codegen, shuffle services, Python workers,
         parquet footer caches — the metric is steady-state execution,
         not first-JIT), then min of 3 timed runs per query: single
@@ -69,11 +69,16 @@ def main() -> None:
         the recorded artifact carries the host-noise spread, not just
         a point (VERDICT r10 item 8: three consecutive rounds of
         headline deltas were re-litigated as drift-vs-regression;
-        a spread settles it at read time)."""
+        a spread settles it at read time). Also returns PER-QUERY
+        per-pass arrays (VERDICT r11 item 8: the per-query minima come
+        from mixed passes, so a single query's round-over-round delta
+        needs its own error bar — q188's r11 +21%-on-no-code-change
+        took a diff read to adjudicate; the pass array settles it)."""
         for q in names_to_queries.values():
             run_once(q)
         timings: dict[str, float] = {}
         pass_totals: list[float] = []
+        query_passes: dict[str, list[float]] = {n: [] for n in names_to_queries}
         for _ in range(3):
             # drop operator-internal caches so every timed run pays
             # its own materialization cost (no cross-run cache flattery)
@@ -82,15 +87,16 @@ def main() -> None:
             for name, q in names_to_queries.items():
                 elapsed = run_once(q)
                 timings[name] = min(timings.get(name, elapsed), elapsed)
+                query_passes[name].append(elapsed)
                 pass_total += elapsed
             pass_totals.append(round(pass_total, 4))
-        return timings, pass_totals
+        return timings, pass_totals, query_passes
 
     # Phase (a): headline, in a session that has run nothing else.
-    timings, headline_passes = time_phase(bench_queries)
+    timings, headline_passes, query_passes = time_phase(bench_queries)
     # Phase (b): extended, strictly after the headline metric is final.
     spark.catalog.clearCache()
-    extended, extended_passes = time_phase(
+    extended, extended_passes, extended_query_passes = time_phase(
         {n: registry[n] for n in extended_names}
     )
 
@@ -104,9 +110,14 @@ def main() -> None:
         # IS the host-noise budget; "value" stays sum of per-query
         # minimums, the round-over-round comparable
         "headline_passes_sec": headline_passes,
+        # per-query per-pass timings: each query's own 3-run spread,
+        # so a single query's round-over-round delta carries its
+        # error bar (VERDICT r11 item 8)
+        "query_passes_sec": query_passes,
         "extended": extended,
         "extended_total_sec": round(sum(extended.values()), 4),
         "extended_passes_sec": extended_passes,
+        "extended_query_passes_sec": extended_query_passes,
     }
     print(json.dumps(result))
     sys.stdout.flush()

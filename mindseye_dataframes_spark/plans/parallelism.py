@@ -42,8 +42,11 @@ def default_parallelism(spark) -> int:
     except Exception:
         try:
             return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-        except (TypeError, ValueError):
-            # deployments may set the conf non-numeric (e.g. "auto")
+        except Exception:
+            # non-numeric conf values (e.g. "auto") raise from int();
+            # a restricted Connect session can raise from conf.get
+            # itself (ADVICE r11) — degrade to the Spark default either
+            # way rather than escaping from a parallelism HINT
             return 200
 
 

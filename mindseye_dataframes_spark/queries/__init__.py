@@ -321,9 +321,43 @@ PROVEN_R10 = {
 # green row proves superseded code and it re-proves at the head. The
 # round-11 zip_frames cache-key change (retiring ``df._jdf``) and the
 # staging/parallelism guards are value-preserving and do not burn a
-# slot.
+# slot. Superseded by REFRESH_R12.
 REFRESH_R11: set[str] = {
     "q232_block_manifest",  # body now routes through manifest_segments
+}
+
+PROVEN_R11 = {
+    # green in CORRECTNESS_r11.json (50/50): the q232 refresh re-proof,
+    # the new q237, and the 48 r5-stale rotations (q02–q18/q25/q43–q74/
+    # q163–q173 families)
+    "q02_filter_project", "q03_staging_cast", "q04_topk_orders",
+    "q05_revenue_by_region", "q06_dictionary_keys", "q07_group_moments",
+    "q08_semi_join", "q09_anti_join", "q10_outer_join_agg",
+    "q11_union_groups", "q12_intersect_except", "q13_zip_positional",
+    "q14_count_distinct", "q15_rollup", "q16_window_topn",
+    "q17_window_lag_delta", "q18_running_sum", "q25_sessionization",
+    "q43_string_functions", "q44_date_functions", "q45_math_functions",
+    "q46_percentiles", "q47_cube", "q51_full_outer_join",
+    "q52_right_and_cross", "q53_json_extraction", "q54_supplier_volume",
+    "q55_sliding_window", "q56_curation_funnel", "q57_pivot",
+    "q59_grouping_sets", "q67_audio_features", "q68_csv_roundtrip",
+    "q69_json_roundtrip", "q70_scalar_subquery", "q71_conditional_agg",
+    "q72_orc_roundtrip", "q73_map_column", "q74_exact_stats",
+    "q163_semdedup", "q164_topp_quality_curation",
+    "q165_source_divergence", "q166_temperature_mixture",
+    "q168_distribution_drift", "q170_shared_span_stats",
+    "q171_corpus_admission_pipeline", "q172_label_centroid_similarity",
+    "q173_mixture_materialized", "q232_block_manifest",
+    "q237_manifest_incremental_append",
+}
+
+# Queries whose IMPLEMENTATION changes in round 12 AFTER their last
+# green driver check: q237 now passes ``base_keys`` (the pre-explode
+# base docs) into manifest_append's precondition so the base manifest
+# plan executes exactly once (ADVICE r11) — its r11 green row proves
+# superseded code, so it re-proves at the head.
+REFRESH_R12: set[str] = {
+    "q237_manifest_incremental_append",
 }
 
 # Stalest-first staleness: a query's group is its LAST proven round
@@ -331,27 +365,31 @@ REFRESH_R11: set[str] = {
 STALE_R02 = (
     ((((PROVEN_R02 - PROVEN_R03) - PROVEN_R04) - PROVEN_R05) - PROVEN_R06)
     - PROVEN_R07
-) - PROVEN_R09 - PROVEN_R10
+) - PROVEN_R09 - PROVEN_R10 - PROVEN_R11
 STALE_R03 = (
     (((PROVEN_R03 - PROVEN_R04) - PROVEN_R05) - PROVEN_R06) - PROVEN_R07
-) - PROVEN_R09 - PROVEN_R10
+) - PROVEN_R09 - PROVEN_R10 - PROVEN_R11
 STALE_R04 = (
     ((PROVEN_R04 - PROVEN_R05) - PROVEN_R06) - PROVEN_R07
-) - PROVEN_R09 - PROVEN_R10
+) - PROVEN_R09 - PROVEN_R10 - PROVEN_R11
 STALE_R05 = (
     ((PROVEN_R05 - PROVEN_R06) - PROVEN_R07) - PROVEN_R09
-) - PROVEN_R10
-STALE_R06 = ((PROVEN_R06 - PROVEN_R07) - PROVEN_R09) - PROVEN_R10
+) - PROVEN_R10 - PROVEN_R11
+STALE_R06 = (
+    ((PROVEN_R06 - PROVEN_R07) - PROVEN_R09) - PROVEN_R10
+) - PROVEN_R11
 
 
 def _order_key(item: tuple[str, Query]) -> tuple[int, str]:
     name, q = item
-    if name in REFRESH_R11:
+    if name in REFRESH_R12:
         group = 0  # changed-after-check: head the window
     elif q.oracle is None:
         group = 99  # rows-only checks last — never burn a window slot
+    elif name in PROVEN_R11:
+        group = 11  # freshest evidence: verify last
     elif name in PROVEN_R10:
-        group = 10  # freshest evidence: verify last
+        group = 10
     elif name in PROVEN_R09:
         group = 9
     elif name in PROVEN_R07:

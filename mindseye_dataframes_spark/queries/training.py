@@ -420,6 +420,7 @@ def manifest_append(
     count_col,
     order_keys,
     check_order=True,
+    base_keys=None,
 ):
     """INCREMENTAL manifest maintenance — the append-only inverse of
     re-running q232 over the whole corpus: new docs always pack AFTER
@@ -436,14 +437,23 @@ def manifest_append(
 
     The equivalence REQUIRES every delta row to sort after every base
     row under ``order_keys``; ``check_order=True`` (default) verifies
-    it with two O(1)-result scalar aggregates (max base key from the
-    standing manifest, min delta key) and raises ``ValueError`` on an
-    interleaving delta — at 100 TB both aggregates are map-side-
-    combined single-row jobs, negligible next to the manifest build.
+    it with two O(1)-result scalar aggregates (max base key, min delta
+    key) and raises ``ValueError`` on an interleaving delta — both are
+    map-side-combined single-row jobs. The base-side aggregate runs
+    against ``base_keys`` when given (the PRE-EXPLODE base docs, or
+    any cheap relation carrying the base ``order_keys`` — a
+    column-pruned scan, never the segment fan-out); only when
+    ``base_keys`` is None does it fall back to aggregating
+    ``base_manifest`` itself, which is O(1)-result but re-executes the
+    manifest PLAN if the caller passed an unmaterialized one — in a
+    real deployment the standing manifest is a stored table so the
+    fallback is a scan, but plan-composed callers (q237's shape) must
+    pass ``base_keys`` or persist the manifest first (ADVICE r11).
     Pass ``check_order=False`` only when the caller enforces the
     ordering structurally (e.g. monotone ingest ids)."""
     if check_order:
-        base_max = base_manifest.agg(
+        base_key_src = base_keys if base_keys is not None else base_manifest
+        base_max = base_key_src.agg(
             F.max(F.struct(*order_keys)).alias("k")
         ).collect()[0]["k"]
         delta_min = delta_docs.agg(
@@ -509,10 +519,14 @@ def q237_manifest_incremental_append(spark, sf_dir):
     base+delta == rebuild theorem, on real data, under the driver.
     Both paths share ``manifest_segments`` for the interval
     arithmetic; the delta-after-base precondition is asserted by two
-    scalar aggregates inside ``manifest_append``. Scale shape: the
-    incremental job touches delta rows only — no window, no shuffle of
-    the standing manifest (union is exchange-free), same two-phase
-    prefix sum as q81 on the delta."""
+    scalar aggregates inside ``manifest_append`` — the base side runs
+    on the PRE-EXPLODE base docs (``base_keys=base``), so the check is
+    a column-pruned scan aggregate and the base manifest PLAN executes
+    exactly once, in the returned union (ADVICE r11: aggregating the
+    unmaterialized manifest itself would re-run its full build for the
+    precondition). Scale shape: the incremental job touches delta rows
+    only — no window, no shuffle of the standing manifest (union is
+    exchange-free), same two-phase prefix sum as q81 on the delta."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
@@ -529,5 +543,6 @@ def q237_manifest_incremental_append(spark, sf_dir):
     base_manifest = manifest_segments(base_packed)
     base_total = base.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"] or 0
     return manifest_append(
-        base_manifest, base_total, delta, "n_tokens", ["doc_id"]
+        base_manifest, base_total, delta, "n_tokens", ["doc_id"],
+        base_keys=base,
     ).orderBy("block_id", "blk_from")

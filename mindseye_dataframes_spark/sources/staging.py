@@ -112,8 +112,13 @@ def read_log_or_empty(spark, path: str, like_schema) -> DataFrame:
         except Exception:
             err_class = None
         msg = str(exc)
-        if err_class in empty_log_classes or any(
-            f"[{c}]" in msg for c in empty_log_classes
+        # pre-3.3 classic sessions carry no error class and no
+        # [CLASS] bracket — only the legacy message text (ADVICE r11)
+        legacy_msgs = ("Path does not exist", "Unable to infer schema")
+        if (
+            err_class in empty_log_classes
+            or any(f"[{c}]" in msg for c in empty_log_classes)
+            or any(m in msg for m in legacy_msgs)
         ):
             return spark.createDataFrame([], like_schema)
         raise

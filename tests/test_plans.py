@@ -1028,3 +1028,65 @@ def test_manifest_append_delta_only_and_no_single_partition_window(
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "SinglePartition" not in line, line
+
+
+def test_hybrid_rrf_warm_plan_is_corpus_free(spark, sf_dir):
+    """q199's docstring claims hybrid retrieval costs exactly its two
+    standing-index probes: the warm plan must read BOTH standing
+    tables (BM25 postings + IVF cell postings), never scan
+    documents.parquet (the corpus text lives only in the indexes),
+    keep every join broadcast-shaped, and touch embeddings.parquet
+    only for the query vectors — with the query-id predicate pushed
+    into that scan (VERDICT r11 item 5: pin the docstring's plan
+    claims for the lifecycle families)."""
+    REGISTRY["q199_hybrid_rrf_retrieval"].fn(spark, sf_dir).count()  # cold
+    plan = plan_of(spark, sf_dir, "q199_hybrid_rrf_retrieval")
+    assert "msdf_stage_bm25post" in plan, plan
+    assert "msdf_stage_ivfpost" in plan, plan
+    assert "documents.parquet" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    emb_scans = [
+        ln for ln in plan.splitlines() if "embeddings.parquet" in ln
+    ]
+    assert emb_scans, plan
+    assert "LessThan(vec_id" in plan, plan  # query-vector pushdown
+
+
+def test_bigram_lm_model_broadcasts_one_corpus_pass(spark, sf_dir):
+    """q206's docstring claims the hashing-trick bound: the bigram
+    model (≤256² cells), context table, and 1-row threshold are
+    corpus-size-independent BROADCASTS; the corpus reduces to one
+    bigram-bucket aggregate (a single documents scan feeds train and
+    test branches), and no corpus-wide window exists anywhere."""
+    plan = plan_of(spark, sf_dir, "q206_bigram_lm_perplexity_filter")
+    assert plan.count("documents.parquet") <= 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row threshold
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+
+
+def test_packed_wav_decode_is_container_scan_pure_map(spark, sf_dir):
+    """q215's docstring claims the q188 container shape for audio: the
+    decode side is one splittable columnar scan of the packed parquet
+    container shards (no per-blob binaryFile listing) feeding one
+    Arrow-batched decode pass — a pure map with NO join and no
+    exchange other than the final presentation sort and the explicit
+    REPARTITION_BY_NUM parallelism spread (a byte-small container
+    scan would otherwise serialize the decode onto too few cores —
+    the q213 AQE-coalescing lesson, `plans/parallelism.py`)."""
+    plan = plan_of(spark, sf_dir, "q215_packed_wav_decode")
+    assert "msdf_wav_packed_" in plan, plan
+    assert "binaryFile" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
+    exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln
+        and "rangepartitioning" not in ln
+        and "REPARTITION_BY_NUM" not in ln
+    ]
+    assert not exchanges, exchanges

@@ -646,7 +646,16 @@ def test_connect_degradation_falls_back_gracefully(spark):
     boundary cache keys on PUBLIC ``df.semanticHash()`` (Connect-
     supported since Spark 3.5), so boundary caching now WORKS without
     ``_jdf`` — the test asserts the cache populates and hits through
-    the proxy rather than being skipped."""
+    the proxy rather than being skipped.
+
+    Known limitation (ADVICE r11): the proxy DELEGATES semanticHash to
+    the wrapped classic DataFrame, whose own implementation goes
+    through ``_jdf`` internally — so this proves the CACHE code no
+    longer touches ``_jdf`` directly, not that a real Connect
+    semanticHash behaves identically. The closing evidence for real
+    Connect is running ``tools/connect_smoke.py`` (q13 exercises this
+    path) on a host with grpcio; see
+    ``docs/probes/connect_smoke.json`` for the standing blocker."""
     import importlib
 
     zf = importlib.import_module(

@@ -303,6 +303,14 @@ def test_manifest_append_equals_full_rebuild(spark):
     )
     got = {tuple(r) for r in incr.collect()}
     assert got == full and len(full) > 0
+    # the cheap-precondition path (ADVICE r11): base_keys = the
+    # PRE-EXPLODE base docs, so the check never aggregates the
+    # manifest plan — result must be identical
+    incr_cheap = manifest_append(
+        base_manifest, base_total, delta, "n_tokens", ["doc_id"],
+        base_keys=base,
+    )
+    assert {tuple(r) for r in incr_cheap.collect()} == full
     # sanity: the boundary block genuinely mixes base and delta docs
     by_block = {}
     for bid, doc, *_ in full:
@@ -340,6 +348,12 @@ def test_manifest_append_rejects_interleaving_delta(spark):
     base_total = base.agg(F.sum("n_tokens")).collect()[0][0]
     with pytest.raises(ValueError, match="precondition"):
         manifest_append(base_manifest, base_total, delta, "n_tokens", ["doc_id"])
+    # the cheap base_keys precondition path must reject it too
+    with pytest.raises(ValueError, match="precondition"):
+        manifest_append(
+            base_manifest, base_total, delta, "n_tokens", ["doc_id"],
+            base_keys=base,
+        )
     # the caller-enforced escape hatch still works
     out = manifest_append(
         base_manifest, base_total, delta, "n_tokens", ["doc_id"],

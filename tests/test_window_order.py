@@ -1,17 +1,17 @@
 """The driver checks only the FIRST 50 entries of queries() — the
 registry ordering IS the verification strategy (queries/__init__.py).
-These tests pin the round-11 window so a rotation mistake (stale
+These tests pin the round-12 window so a rotation mistake (stale
 queries pushed out, rows-only burning slots) fails loudly instead of
 silently shrinking coverage.
 
-Round-11 shape (VERDICT r10 item 2): the round-10 driver window
-re-proved the full REFRESH_R10 set, the 44 r4-stale rotations, and
-the two r10 additions — so STALE_R04 is now empty and the 48 r5-stale
-queries (q02–q13 families, last driver-hashed in round 5) ARE the
-window: they must all fit, with only this round's refresh set
-(REFRESH_R11: q232, re-proving the manifest_segments unification) and
-the never-proven q237 ahead of them. Every registered query remains
-oracle-bearing.
+Round-12 shape (VERDICT r11 item 1): the round-11 driver window
+re-proved the q232 refresh, the new q237, and the 48 r5-stale rows —
+so STALE_R05 is now empty and the 49 r6-stale queries (q100–q115/
+q128/q156/q169/q174–q187/q19/q40–q85 families, last driver-hashed in
+round 6) ARE the window, behind only this round's refresh set
+(REFRESH_R12: q237, re-proving the base_keys precondition change).
+After r12 no query's latest driver row may be older than r7. Every
+registered query remains oracle-bearing.
 """
 
 from __future__ import annotations
@@ -25,11 +25,13 @@ from mindseye_dataframes_spark.queries import (
     PROVEN_R07,
     PROVEN_R09,
     PROVEN_R10,
-    REFRESH_R11,
+    PROVEN_R11,
+    REFRESH_R12,
     STALE_R02,
     STALE_R03,
     STALE_R04,
     STALE_R05,
+    STALE_R06,
     load_all,
 )
 
@@ -45,7 +47,7 @@ def test_refresh_set_heads_the_window():
     window = list(qs)[:50]
     # the changed-after-check queries occupy the first slots, before
     # anything else — their green rows prove superseded code
-    assert set(window[: len(REFRESH_R11)]) == REFRESH_R11
+    assert set(window[: len(REFRESH_R12)]) == REFRESH_R12
 
 
 def test_every_registered_query_is_oracle_bearing():
@@ -67,19 +69,20 @@ def test_unproven_and_stale_queries_fit_the_window():
         if q.oracle is not None and n not in window and _group(n, qs) == 1
     ]
     assert not unproven, f"unproven oracle queries outside the window: {unproven}"
-    # r2/r3/r4-stale are exhausted after the r6/r9/r10 rotations; the
-    # 48-query r5-stale block is the re-verification front (VERDICT
-    # r10 item 2: after r11 no query's latest driver row may be older
-    # than r6) and must fit entirely unless refresh + new overflow the
+    # r2-r5-stale are exhausted after the r6/r9/r10/r11 rotations; the
+    # 49-query r6-stale block is the re-verification front (VERDICT
+    # r11 item 1: after r12 no query's latest driver row may be older
+    # than r7) and must fit entirely unless refresh + new overflow the
     # window
     assert not STALE_R02, "r2-stale should be empty after round 6"
     assert not STALE_R03, "r3-stale should be empty after round 9"
     assert not STALE_R04, "r4-stale should be empty after round 10"
-    n_head = len(REFRESH_R11) + sum(1 for n in qs if _group(n, qs) == 1)
-    allowed_overflow = max(0, n_head + len(STALE_R05 - REFRESH_R11) - 50)
-    missing_stale = (STALE_R05 - REFRESH_R11) - set(window)
+    assert not STALE_R05, "r5-stale should be empty after round 11"
+    n_head = len(REFRESH_R12) + sum(1 for n in qs if _group(n, qs) == 1)
+    allowed_overflow = max(0, n_head + len(STALE_R06 - REFRESH_R12) - 50)
+    missing_stale = (STALE_R06 - REFRESH_R12) - set(window)
     assert len(missing_stale) <= allowed_overflow, (
-        f"r5-stale queries rotated out beyond the overflow: {missing_stale}"
+        f"r6-stale queries rotated out beyond the overflow: {missing_stale}"
     )
 
 
@@ -94,6 +97,7 @@ def test_proven_sets_cover_only_registered_oracle_queries():
         | PROVEN_R07
         | PROVEN_R09
         | PROVEN_R10
+        | PROVEN_R11
     )
     unknown = proven - set(qs)
     assert not unknown, f"proven sets name unregistered queries: {unknown}"
@@ -101,13 +105,32 @@ def test_proven_sets_cover_only_registered_oracle_queries():
     assert not rows_only, f"proven sets contain oracle-less queries: {rows_only}"
 
 
+def test_readme_query_count():
+    """README's architecture block quotes the registry size; a stale
+    literal survived two rounds of registry growth (VERDICT r11 item
+    4: '232 named queries' at registry 235), so the count is now
+    pinned to len(load_all()) — it can't rot without failing here."""
+    import os
+    import re
+
+    readme = os.path.join(os.path.dirname(__file__), "..", "README.md")
+    with open(readme) as fh:
+        text = fh.read()
+    m = re.search(r"(\d+) named queries", text)
+    assert m, "README no longer states the query count"
+    assert int(m.group(1)) == len(load_all()), (
+        f"README says {m.group(1)} named queries; registry has "
+        f"{len(load_all())} — update README.md"
+    )
+
+
 def test_window_is_exactly_refresh_plus_unproven_plus_stalest():
     qs = load_all()
     window = set(list(qs)[:50])
-    # no slot may be wasted on a query proven more recently than r5
+    # no slot may be wasted on a query proven more recently than r6
     # while a staler or unproven one waits outside
-    outside = [n for n in qs if n not in window and _group(n, qs) <= 5]
-    wasted = [n for n in window if _group(n, qs) > 5]
+    outside = [n for n in qs if n not in window and _group(n, qs) <= 6]
+    wasted = [n for n in window if _group(n, qs) > 6]
     assert not (outside and wasted), (
         f"window wastes slots {wasted} while {outside} wait outside"
     )

@@ -73,6 +73,23 @@ def main() -> None:
             "q234_hll_overlap_gate",
             "q235_eval_preview_zip",
             "q237_manifest_incremental_append",
+            # r12: the remaining batch-expressible standing-index /
+            # incremental / curation families whose docstrings make
+            # plan claims (VERDICT r11 item 5) — the warm plans below
+            # are what the claims assert (corpus-free probes,
+            # delta-only scans, broadcast-bounded models)
+            "q154_incremental_corpus_dedup",
+            "q175_ingest_novelty",
+            "q184_knn_label_eval",
+            "q185_split_leakage_audit",
+            "q186_leakage_eviction",
+            "q187_incremental_paragraph_dedup",
+            "q199_hybrid_rrf_retrieval",
+            "q200_cross_source_quality_calibration",
+            "q204_incremental_ann_update",
+            "q206_bigram_lm_perplexity_filter",
+            "q207_substring_dedup_rewrite",
+            "q215_packed_wav_decode",
         )
         if n in registry
     ]

@@ -83,13 +83,15 @@ def _drop_probe_views(spark, prefix: str) -> None:
         pass
 
 
-def _warm_to_steady(run, spark, *, max_warm: int = 6, tol: float = 0.10):
+def _warm_to_steady(run, *, max_warm: int = 6, tol: float = 0.10):
     """Run untimed warm-ups until two consecutive runs agree within
     ``tol`` (or ``max_warm`` runs) — a single warm-up is not enough
     for the stateful-join drain, whose generated code keeps getting
     C2-compiled across the first few full drains (the r11 sf0.1
     five-run series decayed 42 → 19 s monotonically after ONE
-    warm-up). Returns the warm-up timings for the probe record."""
+    warm-up). Returns the warm-up timings for the probe record.
+    The divisor floors at 0.01 s so a drain fast enough to round to
+    0.00 can't abort the probe with ZeroDivisionError (ADVICE r11)."""
     warm = []
     prev = None
     for _ in range(max_warm):
@@ -97,7 +99,7 @@ def _warm_to_steady(run, spark, *, max_warm: int = 6, tol: float = 0.10):
         run()
         t = round(time.monotonic() - t0, 2)
         warm.append(t)
-        if prev is not None and abs(t - prev) / prev < tol:
+        if prev is not None and abs(t - prev) / max(prev, 0.01) < tol:
             break
         prev = t
     return warm
@@ -148,7 +150,7 @@ def main() -> None:
             assert oj_drain(spark, src, timeout_sec=300).count() > 0
             _drop_probe_views(spark, "q228_oj_")
 
-        warm = _warm_to_steady(_one_drain, spark)
+        warm = _warm_to_steady(_one_drain)
         runs = []
         for _ in range(n_runs):
             _jvm_gc(spark)
@@ -184,7 +186,7 @@ def main() -> None:
             s = f":w{next(salt_seq)}"
             assert ann_ckpt_fold(spark, sf_dir, post_log, salt=s).count() > 0
 
-        warm = _warm_to_steady(_one_fold, spark)
+        warm = _warm_to_steady(_one_fold)
         runs = []
         for i in range(n_runs):
             _jvm_gc(spark)
