@@ -376,6 +376,17 @@ _SH_MAXDIST = 2
     ORDER BY id_a, id_b
     """,
     tags=("dedup", "simhash", "north-star"),
+    # at sf1 the 16-bit space emits ~6.5e8 qualifying pairs — past a
+    # driver collect (maxResultSize kill that also poisons the session
+    # for subsequent sweep queries, the r8/r12 lesson); above the
+    # threshold the sweep compares (count, Σhamming, md5-32 checksum)
+    # computed inside each engine instead — the exact reduction the
+    # r9-r11 sf1 value evidence used (docs/probes/bounded_pairs_sf1)
+    bounded_compare={
+        "cols": ["id_a", "id_b", "hamming"],
+        "metric": "hamming",
+        "threshold_rows": 20_000_000,
+    },
 )
 def q120_simhash_hamming_pairs(spark, sf_dir):
     """Near-duplicate pairs at hamming distance ≤ 2 between 16-bit

@@ -19,21 +19,11 @@ from mindseye_dataframes_spark.sources.readers import TABLES
 
 
 def duckdb_oracle(sql: str, sf_dir: str):
-    con = duckdb.connect()
+    # Spark-written tables are DIRECTORIES of part files
+    # (tools/make_benchdata.py output) — _duckdb_connect_views globs
+    # them; the driver's single-file drops take the plain path
+    con = _duckdb_connect_views(sf_dir)
     try:
-        for t in TABLES:
-            path = os.path.join(sf_dir, f"{t}.parquet")
-            if os.path.isdir(path):
-                # Spark-written table = a DIRECTORY of part files
-                # (tools/make_benchdata.py output) — DuckDB needs the
-                # glob; the driver's single-file drops take the plain
-                # path below, unchanged
-                path = os.path.join(path, "*.parquet")
-            elif not os.path.exists(path):
-                continue
-            con.execute(
-                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
-            )
         # The driver fetches oracle results through pandas, where
         # DuckDB HUGEINT (e.g. SUM over integers without an outer
         # CAST) degrades to float64 — fetchall() would hide that by
@@ -100,7 +90,89 @@ def canonicalize(cols, rows):
     return [cols[i] for i in order], out
 
 
-def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str, name: str = "query"):
+def _duckdb_connect_views(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(path):
+            path = os.path.join(path, "*.parquet")
+        elif not os.path.exists(path):
+            continue
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+        )
+    return con
+
+
+def assert_matches_oracle_bounded(
+    spark_df, oracle_sql: str, sf_dir: str, spec: dict, name: str = "query"
+):
+    """Order-insensitive AGGREGATE comparison for results too large to
+    collect (a Query's opt-in ``bounded_compare`` spec): exact
+    cardinality, the summed metric column, and a SUM over per-row
+    2^32-bucket md5 digests of the spec's columns — any changed,
+    missing, or extra row moves the checksum, and n·2^32 < 2^63 keeps
+    the BIGINT sum exact below 2^31 rows. Column names are still
+    checked (DESCRIBE plans the oracle without running it). This is
+    the same reduction tools/bounded_pair_check.py proved engine-equal
+    at sf1 in rounds 9-11; requires non-null int/string columns.
+    Digest parity pair (verify-skill gotcha): Spark
+    ``conv(substr(md5(x),1,8),16,10)`` cast BIGINT ≡ DuckDB
+    ``CAST(('0x' || substr(md5(x),1,8)) AS BIGINT)``."""
+    import pyspark.sql.functions as F
+
+    cols, metric = spec["cols"], spec["metric"]
+    joined = ", ".join(cols)
+    sp_digest = F.expr(
+        f"CAST(conv(substr(md5(concat_ws(':', {joined})), 1, 8), 16, 10)"
+        " AS BIGINT)"
+    )
+    srow = spark_df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(metric).alias("sum_metric"),
+        F.sum(sp_digest).alias("checksum"),
+    ).collect()[0]
+    got = (int(srow["n_rows"]), int(srow["sum_metric"]), int(srow["checksum"]))
+
+    con = _duckdb_connect_views(sf_dir)
+    try:
+        db_cols = [
+            r[0] for r in con.execute(f"DESCRIBE {oracle_sql}").fetchall()
+        ]
+        assert sorted(spark_df.columns) == sorted(db_cols), (
+            f"{name}: column names differ: spark={sorted(spark_df.columns)}"
+            f" duckdb={sorted(db_cols)}"
+        )
+        # the registered oracle ends with ORDER BY — irrelevant under
+        # aggregation and a huge sort on the DuckDB side
+        rel_sql = oracle_sql.rsplit("ORDER BY", 1)[0]
+        db_joined = " || ':' || ".join(cols)
+        orow = con.execute(
+            f"WITH rel AS ({rel_sql}) SELECT"
+            f" CAST(count(*) AS BIGINT),"
+            f" CAST(sum({metric}) AS BIGINT),"
+            f" CAST(sum(CAST(('0x' || substr(md5({db_joined}), 1, 8))"
+            f" AS BIGINT)) AS BIGINT) FROM rel"
+        ).fetchone()
+    finally:
+        con.close()
+    want = (int(orow[0]), int(orow[1]), int(orow[2]))
+    assert got == want, (
+        f"{name}: bounded aggregates differ "
+        f"(n_rows, sum_{metric}, checksum): spark={got} duckdb={want}"
+    )
+
+
+def assert_matches_oracle(
+    spark_df, oracle_sql: str, sf_dir: str, name: str = "query", bounded=None
+):
+    if bounded is not None:
+        n = spark_df.count()
+        if n > bounded.get("threshold_rows", 20_000_000):
+            assert_matches_oracle_bounded(
+                spark_df, oracle_sql, sf_dir, bounded, name=name
+            )
+            return
     sp_cols = spark_df.columns
     sp_rows = [tuple(r) for r in spark_df.collect()]
     db_cols, db_rows = duckdb_oracle(oracle_sql, sf_dir)

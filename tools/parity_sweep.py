@@ -92,9 +92,15 @@ def main() -> None:
         .getOrCreate()
     )
     import __spark_entry__ as e
+    from mindseye_dataframes_spark.queries import load_all
     from tests.helpers import assert_matches_oracle
 
     qs, osql = e.queries(), e.oracle_sql()
+    # opt-in bounded-aggregate comparison for results too large to
+    # collect at big SF (q120's ~6.5e8 sf1 pairs killed the r8/r12
+    # collect AND poisoned the session for the queries after it);
+    # below each spec's row threshold the exact compare runs unchanged
+    bounded = {n: q.bounded_compare for n, q in load_all().items()}
     names = sorted(qs)[args.lo : args.hi]
     if only:
         names = [n for n in names if any(n.startswith(o) for o in only)]
@@ -111,7 +117,8 @@ def main() -> None:
         try:
             if name in osql:
                 assert_matches_oracle(
-                    qs[name](spark, args.sf_dir), osql[name], args.sf_dir, name=name
+                    qs[name](spark, args.sf_dir), osql[name], args.sf_dir,
+                    name=name, bounded=bounded.get(name),
                 )
                 status = "ok"
             else:
