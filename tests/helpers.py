@@ -166,13 +166,18 @@ def assert_matches_oracle_bounded(
 def assert_matches_oracle(
     spark_df, oracle_sql: str, sf_dir: str, name: str = "query", bounded=None
 ):
+    """Returns the comparison mode that ran — "exact" (collect + full
+    value compare) or "bounded" (aggregate checksums; only when a
+    ``bounded`` spec is given AND the result exceeds its row
+    threshold) — so sweep artifacts can record which evidence form
+    each green row carries."""
     if bounded is not None:
         n = spark_df.count()
         if n > bounded.get("threshold_rows", 20_000_000):
             assert_matches_oracle_bounded(
                 spark_df, oracle_sql, sf_dir, bounded, name=name
             )
-            return
+            return "bounded"
     sp_cols = spark_df.columns
     sp_rows = [tuple(r) for r in spark_df.collect()]
     db_cols, db_rows = duckdb_oracle(oracle_sql, sf_dir)
@@ -194,3 +199,4 @@ def assert_matches_oracle(
         + "\n".join(f"  row {i}:\n    spark : {s}\n    duckdb: {d}" for i, s, d in mismatches[:3])
         + f"\n  (columns: {sp_cols_c})"
     )
+    return "exact"
