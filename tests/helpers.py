@@ -104,21 +104,12 @@ def _duckdb_connect_views(sf_dir: str):
     return con
 
 
-def assert_matches_oracle_bounded(
-    spark_df, oracle_sql: str, sf_dir: str, spec: dict, name: str = "query"
-):
-    """Order-insensitive AGGREGATE comparison for results too large to
-    collect (a Query's opt-in ``bounded_compare`` spec): exact
-    cardinality, the summed metric column, and a SUM over per-row
-    2^32-bucket md5 digests of the spec's columns — any changed,
-    missing, or extra row moves the checksum, and n·2^32 < 2^63 keeps
-    the BIGINT sum exact below 2^31 rows. Column names are still
-    checked (DESCRIBE plans the oracle without running it). This is
-    the same reduction tools/bounded_pair_check.py proved engine-equal
-    at sf1 in rounds 9-11; requires non-null int/string columns.
-    Digest parity pair (verify-skill gotcha): Spark
-    ``conv(substr(md5(x),1,8),16,10)`` cast BIGINT ≡ DuckDB
-    ``CAST(('0x' || substr(md5(x),1,8)) AS BIGINT)``."""
+def _bounded_spark_agg(spark_df, spec: dict) -> tuple:
+    """ONE aggregation pass over ``spark_df``: (n_rows, sum_metric,
+    checksum). Shared by the engage decision and the comparison so a
+    6.5e8-row relation executes once, never once-to-count plus
+    once-to-digest (the r12 chunk-A lesson: the extra full pass is
+    ~900 s of pure GC pressure at sf1)."""
     import pyspark.sql.functions as F
 
     cols, metric = spec["cols"], spec["metric"]
@@ -132,7 +123,39 @@ def assert_matches_oracle_bounded(
         F.sum(metric).alias("sum_metric"),
         F.sum(sp_digest).alias("checksum"),
     ).collect()[0]
-    got = (int(srow["n_rows"]), int(srow["sum_metric"]), int(srow["checksum"]))
+    return (
+        int(srow["n_rows"]),
+        int(srow["sum_metric"] or 0),
+        int(srow["checksum"] or 0),
+    )
+
+
+def assert_matches_oracle_bounded(
+    spark_df,
+    oracle_sql: str,
+    sf_dir: str,
+    spec: dict,
+    name: str = "query",
+    spark_agg: tuple | None = None,
+):
+    """Order-insensitive AGGREGATE comparison for results too large to
+    collect (a Query's opt-in ``bounded_compare`` spec): exact
+    cardinality, the summed metric column, and a SUM over per-row
+    2^32-bucket md5 digests of the spec's columns — any changed,
+    missing, or extra row moves the checksum, and n·2^32 < 2^63 keeps
+    the BIGINT sum exact below 2^31 rows. Column names are still
+    checked (DESCRIBE plans the oracle without running it). This is
+    the same reduction tools/bounded_pair_check.py proved engine-equal
+    at sf1 in rounds 9-11; requires non-null int/string columns.
+    ``spark_agg`` lets the caller pass an already-computed Spark-side
+    triple so the relation is never executed twice. Digest parity pair
+    (verify-skill gotcha): Spark ``conv(substr(md5(x),1,8),16,10)``
+    cast BIGINT ≡ DuckDB
+    ``CAST(('0x' || substr(md5(x),1,8)) AS BIGINT)``."""
+    cols, metric = spec["cols"], spec["metric"]
+    got = spark_agg if spark_agg is not None else _bounded_spark_agg(
+        spark_df, spec
+    )
 
     con = _duckdb_connect_views(sf_dir)
     try:
@@ -156,7 +179,7 @@ def assert_matches_oracle_bounded(
         ).fetchone()
     finally:
         con.close()
-    want = (int(orow[0]), int(orow[1]), int(orow[2]))
+    want = (int(orow[0]), int(orow[1] or 0), int(orow[2] or 0))
     assert got == want, (
         f"{name}: bounded aggregates differ "
         f"(n_rows, sum_{metric}, checksum): spark={got} duckdb={want}"
@@ -172,10 +195,15 @@ def assert_matches_oracle(
     threshold) — so sweep artifacts can record which evidence form
     each green row carries."""
     if bounded is not None:
-        n = spark_df.count()
-        if n > bounded.get("threshold_rows", 20_000_000):
+        # ONE pass decides AND digests: the triple's n_rows is the
+        # engage decision, so the huge case never pays a separate
+        # count() execution of the full relation before the digest
+        # aggregate (r12 chunk-A lesson)
+        agg = _bounded_spark_agg(spark_df, bounded)
+        if agg[0] > bounded.get("threshold_rows", 20_000_000):
             assert_matches_oracle_bounded(
-                spark_df, oracle_sql, sf_dir, bounded, name=name
+                spark_df, oracle_sql, sf_dir, bounded, name=name,
+                spark_agg=agg,
             )
             return "bounded"
     sp_cols = spark_df.columns

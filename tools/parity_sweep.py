@@ -86,8 +86,16 @@ def main() -> None:
 
     spark = (
         SparkSession.builder.master("local[24]")
-        .config("spark.driver.memory", "48g")
+        .config("spark.driver.memory", "64g")
         .config("spark.sql.shuffle.partitions", "24")
+        # q120's sf1 digest aggregate (6.5e8 rows) can stall the
+        # single local-mode JVM in long GC pauses; stock tolerances
+        # (10s heartbeats, 120s network timeout) declare the executor
+        # dead mid-aggregate and poison the rest of the chunk — give
+        # the heavy chunks the same survival margin the r11
+        # bounded-pair probe had, plus heap headroom over its 48g
+        .config("spark.network.timeout", "800s")
+        .config("spark.executor.heartbeatInterval", "30s")
         .appName("parity-sweep")
         .getOrCreate()
     )
