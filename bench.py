@@ -58,7 +58,7 @@ def main() -> None:
 
     def time_phase(
         names_to_queries: dict[str, object],
-    ) -> tuple[dict[str, float], list[float], dict[str, list[float]]]:
+    ) -> tuple[dict[str, float], list[float], dict[str, list[float]], list[float]]:
         """Warm once (JVM codegen, shuffle services, Python workers,
         parquet footer caches — the metric is steady-state execution,
         not first-JIT), then min of 3 timed runs per query: single
@@ -78,8 +78,15 @@ def main() -> None:
             run_once(q)
         timings: dict[str, float] = {}
         pass_totals: list[float] = []
+        pass_loads: list[float] = []
         query_passes: dict[str, list[float]] = {n: [] for n in names_to_queries}
         for _ in range(3):
+            # host-load marker per pass (1-min loadavg BEFORE the
+            # pass): ±20% round-over-round drift adjudication gets a
+            # recorded co-variate instead of folklore (VERDICT r12
+            # item 8) — a slow pass with high loadavg is host noise,
+            # one with idle loadavg is a real regression
+            pass_loads.append(round(os.getloadavg()[0], 2))
             # drop operator-internal caches so every timed run pays
             # its own materialization cost (no cross-run cache flattery)
             spark.catalog.clearCache()
@@ -90,13 +97,13 @@ def main() -> None:
                 query_passes[name].append(elapsed)
                 pass_total += elapsed
             pass_totals.append(round(pass_total, 4))
-        return timings, pass_totals, query_passes
+        return timings, pass_totals, query_passes, pass_loads
 
     # Phase (a): headline, in a session that has run nothing else.
-    timings, headline_passes, query_passes = time_phase(bench_queries)
+    timings, headline_passes, query_passes, headline_loads = time_phase(bench_queries)
     # Phase (b): extended, strictly after the headline metric is final.
     spark.catalog.clearCache()
-    extended, extended_passes, extended_query_passes = time_phase(
+    extended, extended_passes, extended_query_passes, extended_loads = time_phase(
         {n: registry[n] for n in extended_names}
     )
 
@@ -110,6 +117,8 @@ def main() -> None:
         # IS the host-noise budget; "value" stays sum of per-query
         # minimums, the round-over-round comparable
         "headline_passes_sec": headline_passes,
+        # 1-min loadavg sampled before each pass (drift co-variate)
+        "headline_pass_loadavg": headline_loads,
         # per-query per-pass timings: each query's own 3-run spread,
         # so a single query's round-over-round delta carries its
         # error bar (VERDICT r11 item 8)
@@ -117,6 +126,7 @@ def main() -> None:
         "extended": extended,
         "extended_total_sec": round(sum(extended.values()), 4),
         "extended_passes_sec": extended_passes,
+        "extended_pass_loadavg": extended_loads,
         "extended_query_passes_sec": extended_query_passes,
     }
     print(json.dumps(result))

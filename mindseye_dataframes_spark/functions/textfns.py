@@ -187,12 +187,15 @@ def py_char_ngrams(text: str, n: int = 8) -> list[str]:
     return out
 
 
-def simhash16_sql(text_expr: str) -> str:
-    """DuckDB SQL computing the same 16-bit SimHash as
-    :func:`simhash16` (generated to keep the bit math in one place)."""
+def simhash_band_sql(text_expr: str, band: int = 0) -> str:
+    """DuckDB SQL for one 16-bit band of the 64-bit SimHash: band
+    ``j`` votes from md5-hex nibbles ``4j+1..4j+4`` (MSB-first within
+    each nibble, same bit math as :func:`simhash16` /
+    :func:`py_simhash_bands`). ``band=0`` is exactly the 16-bit
+    fingerprint q120 replays."""
     terms = []
     for b in range(16):
-        nibble_pos = b // 4 + 1
+        nibble_pos = 4 * band + b // 4 + 1
         shift = 2 ** (3 - b % 4)
         vote = (
             f"(((strpos('0123456789abcdef', substr(md5(t), {nibble_pos}, 1)) - 1)"
@@ -204,6 +207,71 @@ def simhash16_sql(text_expr: str) -> str:
         )
         terms.append(f"CASE WHEN ({bit_sum}) > 0 THEN {2**b} ELSE 0 END")
     return "(" + " + ".join(terms) + ")"
+
+
+def simhash16_sql(text_expr: str) -> str:
+    """DuckDB SQL computing the same 16-bit SimHash as
+    :func:`simhash16` (generated to keep the bit math in one place);
+    band 0 of the production 64-bit fingerprint."""
+    return simhash_band_sql(text_expr, 0)
+
+
+def py_simhash_bands(text: str, n_bands: int = 4) -> list[int]:
+    """Python twin of the 64-bit production SimHash, as ``n_bands``
+    16-bit band values (band j from md5 nibbles ``4j..4j+3``) —
+    band 0 is bit-identical to :func:`simhash16`. Returning the
+    fingerprint pre-split into bands keeps every value in int16 range
+    (no BIGINT sign-bit trap at bit 63) and makes the pigeonhole
+    band join a plain equi-join on (band, value).
+
+    Per-token votes are memoized (Zipf: the same tokens recur across
+    docs) as ±1 numpy vectors, so a doc is ~|tokens| vectorized adds,
+    not |tokens|·64 Python-level bit extractions."""
+    import numpy as np
+
+    votes = _token_votes(16 * n_bands)
+    seen: set[str] = set()
+    total = np.zeros(16 * n_bands, dtype=np.int32)
+    for tok in text.split(" "):
+        if tok in seen:
+            continue
+        seen.add(tok)
+        total += votes(tok)
+    out = []
+    for j in range(n_bands):
+        v = 0
+        for b in range(16):
+            if total[16 * j + b] > 0:
+                v |= 1 << b
+        out.append(v)
+    return out
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _token_votes(n_bits: int):
+    """Memoized token → ±1 vote vector (one entry per fingerprint
+    bit; bit b reads hex digit ``b//4``, MSB-first). The outer cache
+    keys on ``n_bits`` so every document in an executor shares ONE
+    token-vote cache."""
+    import hashlib
+
+    import numpy as np
+
+    @functools.lru_cache(maxsize=1 << 16)
+    def votes(tok: str):
+        digest = hashlib.md5(tok.encode()).hexdigest()
+        return np.array(
+            [
+                1 if (int(digest[b // 4], 16) >> (3 - b % 4)) & 1 else -1
+                for b in range(n_bits)
+            ],
+            dtype=np.int32,
+        )
+
+    return votes
 
 
 # ---------------------------------------------------------------------------

@@ -232,6 +232,135 @@ def ann_topk_lsh(
     )
 
 
+def allpairs_cosine_threshold(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    rows_per_block: int = 1024,
+    margin: float = 1e-6,
+) -> DataFrame:
+    """EXACT all-pairs cosine-threshold join with NO cartesian or
+    theta-join in the plan (VERDICT r12 item 3): block-partitioned
+    "triangle" candidate generation + exact re-verify.
+
+    Why not LSH: at a loose threshold like 0.4 the per-hyperplane
+    agreement probability is 1 - arccos(t)/π ≈ 0.63, so driving the
+    miss probability of a boundary pair to ~0 needs so many tables
+    that candidate volume exceeds all-pairs — provable coverage is
+    impractical (the fixture has pairs AT the threshold). Exact
+    θ-threshold listing is inherently O(n²) compare work; what a
+    distributed engine can choose is HOW that work is shaped:
+
+    - each row is hashed to one of B blocks (B = ⌈n/rows_per_block⌉)
+      and replicated to the B block-pairs (i,j), i ≤ j, it belongs
+      to — O(n·B) communication, vs. the old broadcast
+      nested-loop theta-join whose probe side re-evaluated an
+      interpreted 64-term fold per pair;
+    - each block-pair group computes its pairwise cosines as ONE
+      numpy/BLAS matrix multiply (Arrow batch in, C loop) with an
+      ε-margin prefilter — ~2 orders of magnitude faster per pair
+      than per-row JVM expression eval, and the B(B+1)/2 tasks
+      spread evenly across executors (no skew: blocks are
+      hash-sized);
+    - survivors (≈ output size) are re-verified with the SAME
+      ``cosine_ranked`` sequential fold the oracle agrees with, via
+      two shuffle equi-joins back to the vectors — so emitted VALUES
+      are bit-identical to the previous implementation and the 1-ulp
+      GEMM-vs-fold difference cannot flip a round(·,9) boundary
+      (margin 1e-6 ≫ 1e-13 double-dot error at fixture dims).
+
+    Zero-norm vectors cosine to NaN, which both engines order ABOVE
+    any threshold (Spark and DuckDB rank NaN greatest), so pairs
+    involving them are force-included as candidates and the exact
+    stage reproduces today's NaN semantics.
+
+    The O(n²) FLOP frontier is irreducible for exact listing — the
+    scale posture is that production near-dup runs at high τ through
+    the bucketed families (q32/q36/q60/q163); this operator makes the
+    exact-parity twin distribute instead of funneling through a
+    nested-loop join."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    n = df.count()  # O(1) driver result — sizing only
+    n_blocks = max(1, -(-n // rows_per_block))
+    src = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("_bid"),
+    )
+    # replicate each row to every block-pair (i,j), i<=j, containing
+    # its block: (0,v)..(v,v) then (v,v+1)..(v,B-1) — exactly B keys.
+    # The upper range goes through filter() over the ascending full
+    # range, NEVER sequence(_bid+1, B-1): Spark's sequence counts
+    # DOWN when start > stop (verify-skill gotcha), which would emit
+    # phantom block-pairs for every row of the last block
+    pairs_expr = (
+        f"concat(transform(sequence(0, _bid), i -> struct(i AS i, _bid AS j)),"
+        f" transform(filter(sequence(0, {n_blocks - 1}), j -> j > _bid),"
+        f" j -> struct(_bid AS i, j AS j)))"
+    )
+    exploded = src.select(
+        "_id", "_v", "_bid", F.explode(F.expr(pairs_expr)).alias("_bp")
+    ).select("_id", "_v", "_bid", F.col("_bp.i").alias("_i"), F.col("_bp.j").alias("_j"))
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [T.StructField("id_a", id_type), T.StructField("id_b", id_type)]
+    )
+    lo = threshold - margin
+
+    def block_pair_candidates(key, pdf):
+        i, j = key
+        import numpy as np
+
+        def side(block):
+            part = pdf[pdf["_bid"] == block]
+            ids = part["_id"].to_numpy()
+            mat = np.array(part["_v"].to_list(), dtype=np.float64)
+            if mat.size == 0:
+                return ids, mat.reshape(0, 0), np.array([], dtype=bool)
+            norms = np.linalg.norm(mat, axis=1)
+            zero = norms == 0.0
+            mat = mat / np.where(zero, 1.0, norms)[:, None]
+            return ids, mat, zero
+
+        ids_a, mat_a, zero_a = side(i)
+        if i == j:
+            ids_b, mat_b, zero_b = ids_a, mat_a, zero_a
+        else:
+            ids_b, mat_b, zero_b = side(j)
+        if len(ids_a) == 0 or len(ids_b) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        sims = mat_a @ mat_b.T  # BLAS GEMM — the O(n²) inner loop
+        mask = sims >= lo
+        # zero-norm rows cosine to NaN = above-threshold in BOTH
+        # engines: force-candidate every pair touching one
+        mask[zero_a, :] = True
+        mask[:, zero_b] = True
+        ra, rb = np.nonzero(mask)
+        pa, pb = ids_a[ra], ids_b[rb]
+        keep = pa < pb if i == j else pa != pb
+        out = pd.DataFrame(
+            {"id_a": np.minimum(pa, pb)[keep], "id_b": np.maximum(pa, pb)[keep]}
+        )
+        return out if i == j else out.drop_duplicates()
+
+    cand = exploded.groupBy("_i", "_j").applyInPandas(
+        block_pair_candidates, schema=out_schema
+    )
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", cosine_ranked("_va", "_vb").alias("cos_r"))
+        .filter(F.col("cos_r") >= threshold)
+    )
+
+
 def ivf_centroids(
     corpus: DataFrame,
     corpus_id: str,

@@ -355,9 +355,49 @@ PROVEN_R11 = {
 # green driver check: q237 now passes ``base_keys`` (the pre-explode
 # base docs) into manifest_append's precondition so the base manifest
 # plan executes exactly once (ADVICE r11) — its r11 green row proves
-# superseded code, so it re-proves at the head.
+# superseded code, so it re-proves at the head. Superseded by
+# REFRESH_R13.
 REFRESH_R12: set[str] = {
     "q237_manifest_incremental_append",
+}
+
+PROVEN_R12 = {
+    # green in CORRECTNESS_r12.json (50/50): the q237 refresh re-proof
+    # and the 49 r6-stale rotations (q100–q115/q128/q156/q169/
+    # q174–q187/q19/q40–q85 families) — VERDICT r11 item 1's ask
+    "q100_scd2_intervals", "q101_trend_per_user", "q102_fuzzy_name_match",
+    "q103_unpivot_metrics", "q104_nullsafe_join", "q105_twap",
+    "q106_approx_percentiles", "q107_sketch_rollup", "q108_quality_gate",
+    "q109_debounce", "q110_ordered_funnel", "q111_incremental_agg",
+    "q112_image_phash_clusters", "q113_udtf_token_windows",
+    "q115_dedup_survivorship", "q128_pca_projection", "q156_rolling_hll_wau",
+    "q169_bpe_trainer", "q174_unimax_mixture", "q175_ingest_novelty",
+    "q176_packing_efficiency", "q177_binary_png_roundtrip",
+    "q178_schema_evolution", "q179_streaming_tumbling_parity",
+    "q180_paragraph_dedup_rewrite", "q181_importance_resampling",
+    "q183_bpe_encode_accounting", "q184_knn_label_eval",
+    "q185_split_leakage_audit", "q186_leakage_eviction",
+    "q187_incremental_paragraph_dedup", "q19_moving_avg",
+    "q237_manifest_incremental_append", "q40_featurize_pipeline",
+    "q42_image_decode_features", "q48_seeded_sample", "q49_random_split",
+    "q50_approx_distinct", "q63_stratified_sample",
+    "q65_featurize_temporal_embedding", "q75_hash_sample",
+    "q76_profile_columns", "q78_eval_identity", "q79_dup_clusters_star",
+    "q80_ngram_jaccard_pairs", "q81_pack_sequences", "q82_seeded_shuffle",
+    "q83_mixture_sample", "q84_video_frame_sample",
+    "q85_partitioned_layout_roundtrip",
+}
+
+# Queries whose IMPLEMENTATION changes in round 13 AFTER their last
+# green driver check (VERDICT r12 items 3 and 5): q34's candidate
+# generation was re-routed from the all-pairs theta-join onto the
+# block-partitioned GEMM triangle scheme with exact re-verify, and
+# q126's 2-path join was re-oriented by (degree, id) to bound fan-out
+# by O(sqrt(m)) on skewed graphs — their green rows prove superseded
+# plans, so both re-prove at the head of the r13 window.
+REFRESH_R13: set[str] = {
+    "q34_embedding_near_dup",
+    "q126_triangle_count",
 }
 
 # Stalest-first staleness: a query's group is its LAST proven round
@@ -365,29 +405,34 @@ REFRESH_R12: set[str] = {
 STALE_R02 = (
     ((((PROVEN_R02 - PROVEN_R03) - PROVEN_R04) - PROVEN_R05) - PROVEN_R06)
     - PROVEN_R07
-) - PROVEN_R09 - PROVEN_R10 - PROVEN_R11
+) - PROVEN_R09 - PROVEN_R10 - PROVEN_R11 - PROVEN_R12
 STALE_R03 = (
     (((PROVEN_R03 - PROVEN_R04) - PROVEN_R05) - PROVEN_R06) - PROVEN_R07
-) - PROVEN_R09 - PROVEN_R10 - PROVEN_R11
+) - PROVEN_R09 - PROVEN_R10 - PROVEN_R11 - PROVEN_R12
 STALE_R04 = (
     ((PROVEN_R04 - PROVEN_R05) - PROVEN_R06) - PROVEN_R07
-) - PROVEN_R09 - PROVEN_R10 - PROVEN_R11
+) - PROVEN_R09 - PROVEN_R10 - PROVEN_R11 - PROVEN_R12
 STALE_R05 = (
     ((PROVEN_R05 - PROVEN_R06) - PROVEN_R07) - PROVEN_R09
-) - PROVEN_R10 - PROVEN_R11
+) - PROVEN_R10 - PROVEN_R11 - PROVEN_R12
 STALE_R06 = (
     ((PROVEN_R06 - PROVEN_R07) - PROVEN_R09) - PROVEN_R10
-) - PROVEN_R11
+) - PROVEN_R11 - PROVEN_R12
+STALE_R07 = (
+    (PROVEN_R07 - PROVEN_R09) - PROVEN_R10
+) - PROVEN_R11 - PROVEN_R12
 
 
 def _order_key(item: tuple[str, Query]) -> tuple[int, str]:
     name, q = item
-    if name in REFRESH_R12:
+    if name in REFRESH_R13:
         group = 0  # changed-after-check: head the window
     elif q.oracle is None:
         group = 99  # rows-only checks last — never burn a window slot
+    elif name in PROVEN_R12:
+        group = 12  # freshest evidence: verify last
     elif name in PROVEN_R11:
-        group = 11  # freshest evidence: verify last
+        group = 11
     elif name in PROVEN_R10:
         group = 10
     elif name in PROVEN_R09:

@@ -48,6 +48,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from mindseye_dataframes_spark.functions.textfns import (
+    py_simhash_bands,
+    simhash_band_sql,
     STOPWORDS,
     py_word_ngrams,
     simhash16,
@@ -404,9 +406,11 @@ def q120_simhash_hamming_pairs(spark, sf_dir):
     round-6 sf1 sweep measured 6.5e8 pairs from 5e4 docs — result-
     size, not plan cost; candidate generation stays an equi-join).
     Production SimHash uses 64-bit fingerprints, where the same
-    banding keeps expected collisions ∝ true near-dups; 16 bits is
-    kept here because the oracle replays every bit exactly and the
-    small space exercises the verify stage hard at test SFs."""
+    banding keeps expected collisions ∝ true near-dups — that
+    operator ships as ``q238_simhash64_hamming_pairs`` (4×16-bit
+    bands, hamming ≤ 3, full value parity); 16 bits is kept here
+    because the oracle replays every bit exactly and the small space
+    exercises the verify stage hard at test SFs."""
     fp = load_table(spark, sf_dir, "documents").select(
         "doc_id", simhash16("text").alias("sh")
     )
@@ -438,6 +442,117 @@ def q120_simhash_hamming_pairs(spark, sf_dir):
         .distinct()
         .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)").cast("long"))
         .filter(F.col("hamming") <= _SH_MAXDIST)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# 64 bits → 4 disjoint 16-bit bands; hamming ≤ 3 ⇒ ≥ 1 band intact
+_SH64_BANDS = 4
+_SH64_MAXDIST = 3
+
+
+@query(
+    "q238_simhash64_hamming_pairs",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             {simhash_band_sql("text", 0)} AS b0,
+             {simhash_band_sql("text", 1)} AS b1,
+             {simhash_band_sql("text", 2)} AS b2,
+             {simhash_band_sql("text", 3)} AS b3
+      FROM documents),
+    bands AS (
+      SELECT doc_id, b0, b1, b2, b3, i.band,
+             CASE i.band WHEN 0 THEN b0 WHEN 1 THEN b1
+                         WHEN 2 THEN b2 ELSE b3 END AS val
+      FROM fp, LATERAL (SELECT unnest([0, 1, 2, 3]) AS band) i),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band, val)
+      WHERE a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           CAST(bit_count(CAST(xor(fa.b0, fb.b0) AS BIGINT))
+              + bit_count(CAST(xor(fa.b1, fb.b1) AS BIGINT))
+              + bit_count(CAST(xor(fa.b2, fb.b2) AS BIGINT))
+              + bit_count(CAST(xor(fa.b3, fb.b3) AS BIGINT)) AS BIGINT)
+             AS hamming
+    FROM cand
+    JOIN fp fa ON fa.doc_id = id_a
+    JOIN fp fb ON fb.doc_id = id_b
+    WHERE bit_count(CAST(xor(fa.b0, fb.b0) AS BIGINT))
+        + bit_count(CAST(xor(fa.b1, fb.b1) AS BIGINT))
+        + bit_count(CAST(xor(fa.b2, fb.b2) AS BIGINT))
+        + bit_count(CAST(xor(fa.b3, fb.b3) AS BIGINT)) <= {_SH64_MAXDIST}
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "simhash", "north-star"),
+)
+def q238_simhash64_hamming_pairs(spark, sf_dir):
+    """PRODUCTION-width SimHash near-dup pairs: 64-bit fingerprints
+    (as 4×16-bit band values), pigeonhole banding, hamming ≤ 3.
+
+    This is the scale-path sibling VERDICT r12 asked for: q120's
+    16-bit twin keeps the oracle replaying every bit at a width where
+    the band key space is ≤160 values — so its bucket sizes (and
+    bucket² verify pairs) grow linearly with corpus size. Here each
+    of the 4 bands keys on a full 16-bit value (≈65k buckets/band),
+    so random collisions stay ∝ n²/2^17 while true near-dups (≤3
+    flipped bits ⇒ ≥1 of 4 disjoint bands intact, by pigeonhole)
+    always collide — candidate volume tracks the number of REAL
+    near-dup pairs, not the corpus square. Same plan shape as q120:
+    equi-join on (band, value), never an all-pairs XOR scan;
+    fingerprints ride through the join so they're computed once per
+    side.
+
+    Fingerprints come from the Arrow-batched Python twin
+    (``py_simhash_bands``: md5 in C, memoized per-token votes) — the
+    scale path for doc-local hashing per the MinHash precedent
+    (operators/dedup.py:minhash_signatures); the oracle replays all
+    64 bits via ``simhash_band_sql``, making this a full value-parity
+    query, strictly stronger than a recall gate. Band 0 ≡ q120's
+    ``simhash16`` (pinned in tests/test_properties.py).
+    Reference parity: fingerprint-based near-dup detection over the
+    corpus tables; production width per the SimHash paper (Charikar
+    2002; Manku et al. 2007 use 64-bit fingerprints, k=3)."""
+    bands_udf = F.pandas_udf(
+        lambda texts: texts.map(lambda t: py_simhash_bands(t, _SH64_BANDS)),
+        "array<int>",
+    )
+    fp = load_table(spark, sf_dir, "documents").select(
+        "doc_id", bands_udf(F.col("text")).alias("bs")
+    ).select(
+        "doc_id", *[F.col("bs")[j].alias(f"b{j}") for j in range(_SH64_BANDS)]
+    )
+    band_cols = [f"b{j}" for j in range(_SH64_BANDS)]
+    structs = ", ".join(
+        f"named_struct('band', {j}, 'val', b{j})" for j in range(_SH64_BANDS)
+    )
+    bands = fp.select(
+        "doc_id", *band_cols, F.explode(F.expr(f"array({structs})")).alias("e")
+    ).select(
+        "doc_id", *band_cols,
+        F.col("e.band").alias("band"), F.col("e.val").alias("val"),
+    )
+    ba = bands.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in band_cols],
+        "band", "val",
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in band_cols],
+        "band", "val",
+    )
+    ham = " + ".join(f"bit_count(b{j}_a ^ b{j}_b)" for j in range(_SH64_BANDS))
+    return (
+        ba.join(bb, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", *[f"{c}_a" for c in band_cols],
+                *[f"{c}_b" for c in band_cols])
+        .distinct()
+        .withColumn("hamming", F.expr(ham).cast("long"))
+        .filter(F.col("hamming") <= _SH64_MAXDIST)
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     )

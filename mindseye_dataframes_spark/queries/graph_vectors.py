@@ -98,16 +98,55 @@ def q125_copurchase_degrees(spark, sf_dir):
     tags=("graph", "triangles", "north-star"),
 )
 def q126_triangle_count(spark, sf_dir):
-    """Exact triangle count via oriented 2-paths: for a < b < c, join
-    (a,b)+(a,c) then close with (b,c). Each triangle appears exactly
-    once; the path join's fan-out is the out-degree of the smallest
-    vertex — the classic shuffle-bounded distributed formulation."""
+    """Exact triangle count via DEGREE-oriented 2-paths (VERDICT r12
+    item 5): every edge is directed from its lower-(degree, id)
+    endpoint to the higher one, so each vertex's OUT-degree — the
+    2-path join's fan-out — is bounded by O(√m) even on skewed
+    graphs (a hub of degree D only FANS OUT to neighbors of degree
+    ≥ D, of which there are ≤ 2m/D; id-orientation instead leaves a
+    low-id hub with out-degree D, making the path join Θ(D²)). The
+    orientation DAG gives each triangle exactly one source vertex, so
+    joining (u→v, u→w) with the directed closing edge (v→w) counts
+    every triangle exactly once. Suri & Vassilvitskii (WWW'11)
+    formulation; oracle unchanged — orientation is plan-side only."""
     e = _edges(spark, sf_dir)
-    e1 = e.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
-    e2 = e.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
-    paths = e1.join(e2, "a").filter(F.col("c") > F.col("b"))
-    closing = e.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
-    tri = paths.join(closing, ["b", "c"]).agg(
+    ends = e.select(F.col("pa").alias("p")).unionAll(
+        e.select(F.col("pb").alias("p"))
+    )
+    deg = ends.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+    # orient by (degree, id): two shuffle equi-joins tag endpoints
+    ed = (
+        e.join(deg.select(F.col("p").alias("pa"), F.col("d").alias("da")), "pa")
+        .join(deg.select(F.col("p").alias("pb"), F.col("d").alias("db")), "pb")
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
+    )
+    # consumed three times (both 2-path sides + the closing edge):
+    # persist so the lineitem self-join + degree tagging runs once,
+    # not per consumer (the un-persisted plan re-derived the edge
+    # relation 8×)
+    from pyspark import StorageLevel
+
+    directed = ed.select(
+        F.when(lower_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+        F.when(lower_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    e1 = directed.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), F.col("ddst").alias("dv")
+    )
+    e2 = directed.select(
+        F.col("src").alias("u"), F.col("dst").alias("w"), F.col("ddst").alias("dw")
+    )
+    # unordered {v,w} once: keep the pair in orientation order so the
+    # closing edge (v→w) can match a DIRECTED edge exactly
+    paths = e1.join(e2, "u").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = directed.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = paths.join(closing, ["v", "w"]).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
     edges_n = e.agg(F.count(F.lit(1)).alias("n_edges"))

@@ -112,13 +112,22 @@ def read_log_or_empty(spark, path: str, like_schema) -> DataFrame:
         except Exception:
             err_class = None
         msg = str(exc)
+        if err_class is not None:
+            # class-bearing (3.3+) sessions are authoritative: never
+            # consult message text, so a corrupt-table error that
+            # merely EMBEDS a missing-path phrase re-raises (ADVICE
+            # r12)
+            if err_class in empty_log_classes:
+                return spark.createDataFrame([], like_schema)
+            raise
+        if any(f"[{c}]" in msg for c in empty_log_classes):
+            return spark.createDataFrame([], like_schema)
         # pre-3.3 classic sessions carry no error class and no
-        # [CLASS] bracket — only the legacy message text (ADVICE r11)
+        # [CLASS] bracket — only the legacy message text (ADVICE r11).
+        # Anchored to the canonical legacy forms (message STARTS with
+        # the phrase), not a substring scan, so wrapped/nested errors
+        # can't take this path (ADVICE r12)
         legacy_msgs = ("Path does not exist", "Unable to infer schema")
-        if (
-            err_class in empty_log_classes
-            or any(f"[{c}]" in msg for c in empty_log_classes)
-            or any(m in msg for m in legacy_msgs)
-        ):
+        if any(msg.startswith(m) for m in legacy_msgs):
             return spark.createDataFrame([], like_schema)
         raise

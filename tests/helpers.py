@@ -106,7 +106,7 @@ def _duckdb_connect_views(sf_dir: str):
 
 def _bounded_spark_agg(spark_df, spec: dict) -> tuple:
     """ONE aggregation pass over ``spark_df``: (n_rows, sum_metric,
-    checksum). Shared by the engage decision and the comparison so a
+    checksum, checksum2). Shared by the engage decision and the comparison so a
     6.5e8-row relation executes once, never once-to-count plus
     once-to-digest (the r12 chunk-A lesson: the extra full pass is
     ~900 s of pure GC pressure at sf1)."""
@@ -118,15 +118,25 @@ def _bounded_spark_agg(spark_df, spec: dict) -> tuple:
         f"CAST(conv(substr(md5(concat_ws(':', {joined})), 1, 8), 16, 10)"
         " AS BIGINT)"
     )
+    # second INDEPENDENT digest (disjoint md5 prefix, chars 9-16):
+    # compensating per-row collisions would have to cancel in both
+    # 2^32-bucket sums simultaneously (~2^-64), closing the ADVICE r12
+    # gap between bounded and exact evidence
+    sp_digest2 = F.expr(
+        f"CAST(conv(substr(md5(concat_ws(':', {joined})), 9, 8), 16, 10)"
+        " AS BIGINT)"
+    )
     srow = spark_df.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(metric).alias("sum_metric"),
         F.sum(sp_digest).alias("checksum"),
+        F.sum(sp_digest2).alias("checksum2"),
     ).collect()[0]
     return (
         int(srow["n_rows"]),
         int(srow["sum_metric"] or 0),
         int(srow["checksum"] or 0),
+        int(srow["checksum2"] or 0),
     )
 
 
@@ -167,22 +177,47 @@ def assert_matches_oracle_bounded(
             f" duckdb={sorted(db_cols)}"
         )
         # the registered oracle ends with ORDER BY — irrelevant under
-        # aggregation and a huge sort on the DuckDB side
-        rel_sql = oracle_sql.rsplit("ORDER BY", 1)[0]
+        # aggregation and a huge sort on the DuckDB side. The strip is
+        # only sound for a BARE OUTER trailing ORDER BY: a LIMIT after
+        # it, or a last ORDER BY inside a subquery/window (unbalanced
+        # parens in the prefix, or a later ')'), would make the
+        # aggregate run a DIFFERENT relation — refuse instead of
+        # silently green-lighting (ADVICE r12)
+        prefix, sep, tail = oracle_sql.rpartition("ORDER BY")
+        if sep:
+            assert "limit" not in tail.lower(), (
+                f"{name}: bounded_compare oracle ends in ORDER BY"
+                " ... LIMIT — register an order-free oracle form"
+            )
+            assert ")" not in tail and prefix.count("(") == prefix.count(")"), (
+                f"{name}: last ORDER BY is not the outer sort —"
+                " register an order-free oracle form for bounded compare"
+            )
+            rel_sql = prefix
+        else:
+            rel_sql = oracle_sql
         db_joined = " || ':' || ".join(cols)
         orow = con.execute(
             f"WITH rel AS ({rel_sql}) SELECT"
             f" CAST(count(*) AS BIGINT),"
             f" CAST(sum({metric}) AS BIGINT),"
             f" CAST(sum(CAST(('0x' || substr(md5({db_joined}), 1, 8))"
+            f" AS BIGINT)) AS BIGINT),"
+            f" CAST(sum(CAST(('0x' || substr(md5({db_joined}), 9, 8))"
             f" AS BIGINT)) AS BIGINT) FROM rel"
         ).fetchone()
     finally:
         con.close()
-    want = (int(orow[0]), int(orow[1] or 0), int(orow[2] or 0))
+    want = (
+        int(orow[0]),
+        int(orow[1] or 0),
+        int(orow[2] or 0),
+        int(orow[3] or 0),
+    )
     assert got == want, (
         f"{name}: bounded aggregates differ "
-        f"(n_rows, sum_{metric}, checksum): spark={got} duckdb={want}"
+        f"(n_rows, sum_{metric}, checksum, checksum2): "
+        f"spark={got} duckdb={want}"
     )
 
 
@@ -194,11 +229,26 @@ def assert_matches_oracle(
     ``bounded`` spec is given AND the result exceeds its row
     threshold) — so sweep artifacts can record which evidence form
     each green row carries."""
+    if bounded is not None and bounded.get("refuse"):
+        # guard-derived spec over a non-digestable schema
+        # (tools/parity_sweep.py:derived_guard_spec): the count
+        # aggregate alone makes the engage decision; above threshold
+        # we REFUSE with the spec's message instead of attempting the
+        # session-killing collect
+        n = spark_df.count()
+        assert n <= bounded.get("threshold_rows", 20_000_000), (
+            f"{bounded['refuse']} (rows={n})"
+        )
+        bounded = None
     if bounded is not None:
-        # ONE pass decides AND digests: the triple's n_rows is the
+        # ONE pass decides AND digests: the tuple's n_rows is the
         # engage decision, so the huge case never pays a separate
         # count() execution of the full relation before the digest
-        # aggregate (r12 chunk-A lesson)
+        # aggregate (r12 chunk-A lesson). Cost note (ADVICE r12): when
+        # the result lands BELOW the threshold the relation executes
+        # twice in full (this digest pass, then the exact-path
+        # collect) — size threshold_rows so mid-scale sweeps of the
+        # opt-in query sit clearly on one side or the other
         agg = _bounded_spark_agg(spark_df, bounded)
         if agg[0] > bounded.get("threshold_rows", 20_000_000):
             assert_matches_oracle_bounded(

@@ -81,3 +81,78 @@ def test_bounded_compare_stays_exact_below_threshold(spark, sf_dir):
             tampered, q.oracle, sf_dir, name="q120",
             bounded=q.bounded_compare,  # real threshold: stays exact
         )
+
+
+def test_bounded_compare_refuses_unsafe_order_by_strip(spark, sf_dir):
+    """ADVICE r12: the bounded path strips the oracle's trailing
+    ORDER BY before aggregating — sound only for a bare OUTER sort. An
+    oracle ending in 'ORDER BY ... LIMIT n', or whose last ORDER BY
+    sits inside a subquery, would aggregate a DIFFERENT relation, so
+    the helper must refuse instead of green-lighting."""
+    from tests.helpers import assert_matches_oracle_bounded
+
+    df = spark.createDataFrame([(1, 2, 0)], "id_a long, id_b long, hamming long")
+    spec = {"cols": ["id_a", "id_b", "hamming"], "metric": "hamming"}
+    agg = (1, 0, 0, 0)
+    with pytest.raises(AssertionError, match="order-free oracle form"):
+        assert_matches_oracle_bounded(
+            df,
+            "SELECT 1 AS id_a, 2 AS id_b, 0 AS hamming ORDER BY id_a LIMIT 5",
+            sf_dir, spec, name="limit-case", spark_agg=agg,
+        )
+    with pytest.raises(AssertionError, match="order-free oracle form"):
+        assert_matches_oracle_bounded(
+            df,
+            "SELECT * FROM (SELECT 1 AS id_a, 2 AS id_b, 0 AS hamming"
+            " ORDER BY id_a)",
+            sf_dir, spec, name="subquery-case", spark_agg=agg,
+        )
+
+
+def test_guard_spec_auto_engages_and_refuses(spark, sf_dir):
+    """VERDICT r12 item 4: the sweep's generic large-result guard.
+    A query with an all-int/string result above the guard threshold
+    must auto-derive a bounded spec and verify via the aggregate
+    path; a result whose schema can't be digested engine-stably
+    (floats) must REFUSE before any collect; small results stay on
+    the exact path."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from parity_sweep import derived_guard_spec
+
+    import pyspark.sql.functions as F
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    oracle = (
+        "SELECT CAST(range AS BIGINT) AS k, CAST(range * 2 AS BIGINT) AS v"
+        " FROM range(100)"
+    )
+    # above threshold → auto-derived digest spec engages
+    spec = derived_guard_spec(df, guard_rows=10, name="synthetic")
+    assert spec["cols"] == ["k", "v"] and spec["metric"] == "k"
+    assert assert_matches_oracle(df, oracle, sf_dir, bounded=spec) == "bounded"
+    # below threshold → exact path unaffected
+    spec_big = derived_guard_spec(df, guard_rows=10_000, name="synthetic")
+    assert assert_matches_oracle(df, oracle, sf_dir, bounded=spec_big) == "exact"
+    # non-digestable schema above threshold → refuse, no collect
+    dff = df.withColumn("f", F.col("k") / 3.0)
+    spec_f = derived_guard_spec(dff, guard_rows=10, name="synthetic")
+    assert spec_f.get("refuse")
+    with pytest.raises(AssertionError, match="register a bounded_compare spec"):
+        assert_matches_oracle(
+            dff, oracle + " -- wide", sf_dir, bounded=spec_f
+        )
+    # and BELOW threshold a refuse-spec falls through to exact
+    spec_f_big = derived_guard_spec(dff, guard_rows=10_000, name="synthetic")
+    oracle_f = (
+        "SELECT CAST(range AS BIGINT) AS k, CAST(range * 2 AS BIGINT) AS v,"
+        " CAST(range AS BIGINT) / 3.0 AS f FROM range(100)"
+    )
+    assert (
+        assert_matches_oracle(dff, oracle_f, sf_dir, bounded=spec_f_big)
+        == "exact"
+    )

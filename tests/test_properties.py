@@ -1086,3 +1086,33 @@ def test_margin_mining_suppresses_hub(spark):
     }
     assert (0, 1) in got and (2, 3) in got and (4, 5) in got
     assert not any(tgt == 7 for _, tgt in got)  # hub rejected
+
+
+def test_py_simhash_bands_band0_equals_simhash16(spark, sf_dir):
+    """The production 64-bit SimHash (q238, Arrow-batched Python twin)
+    must agree bit-for-bit with the oracle-replayable 16-bit
+    fingerprint (q120, SQL-expression fold) on its first band — the
+    tie VERDICT r12 asked for between the scale-width operator and
+    the exact twin. Also pins the band layout: 4 values, each within
+    int16 range."""
+    import pyspark.sql.functions as F
+
+    from mindseye_dataframes_spark.functions.textfns import (
+        py_simhash_bands,
+        simhash16,
+    )
+    from mindseye_dataframes_spark.sources.readers import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", simhash16("text").alias("sh16"))
+        .orderBy("doc_id")
+        .limit(60)
+        .collect()
+    )
+    assert docs
+    for r in docs:
+        bands = py_simhash_bands(r["text"], 4)
+        assert len(bands) == 4
+        assert all(0 <= v < (1 << 16) for v in bands)
+        assert bands[0] == r["sh16"], r["doc_id"]

@@ -338,3 +338,24 @@ def test_read_log_or_empty_missing_and_present(spark, tmp_path):
     spark.createDataFrame([("a", 3)], schema).write.parquet(f"{log}/batch=0")
     present = read_log_or_empty(spark, log, schema)
     assert {r["token"]: r["tf"] for r in present.collect()} == {"a": 3}
+
+
+def test_read_log_or_empty_corrupt_log_reraises(spark, tmp_path):
+    """ADVICE r10/r12: only errors that MEAN "no batches yet" map to
+    base-only; a log directory that EXISTS but holds a corrupt parquet
+    footer must fail loudly, even if some layer's message were to
+    embed a missing-path phrase — the class-bearing branch never
+    consults message text."""
+    import pytest
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import types as T
+
+    from mindseye_dataframes_spark.sources.staging import read_log_or_empty
+
+    schema = T.StructType([T.StructField("token", T.StringType())])
+    log = tmp_path / "log"
+    log.mkdir()
+    (log / "part-00000.parquet").write_bytes(b"not a parquet file at all")
+    with pytest.raises(Exception) as exc_info:
+        read_log_or_empty(spark, str(log), schema).collect()
+    assert not isinstance(exc_info.value, AssertionError)

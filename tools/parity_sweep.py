@@ -40,6 +40,56 @@ import os
 import sys
 import time
 
+# Spark SQL types whose string rendering inside the checksum digest
+# (concat_ws) is engine-stable vs DuckDB — the only types a
+# guard-derived bounded spec may digest. Floats/decimals/timestamps
+# render differently across engines, so schemas containing them can't
+# be auto-digested: the guard then refuses the collect instead.
+_DIGESTABLE = ("string", "bigint", "int", "smallint", "tinyint", "long")
+
+
+def derived_guard_spec(df, guard_rows: int, name: str = "query"):
+    """Generic large-result guard (VERDICT r12 item 4): derive a
+    bounded_compare spec from the RESULT SCHEMA for queries that never
+    opted in, so any future query whose result outgrows a driver
+    collect degrades to the engine-side aggregate compare instead of
+    reproducing q120's session-killing maxResultSize failure.
+
+    All-int/string schemas digest every column and sum the first
+    integral column as the metric; any other dtype raises — the sweep
+    records the refusal as a FAIL (too-large-needs-spec) so the query
+    gets a hand-written spec, which is still strictly better than a
+    poisoned session. Returns a spec dict shaped exactly like
+    Query.bounded_compare; assert_matches_oracle applies its normal
+    below-threshold exact path, so small results are unaffected."""
+    fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    bad = [n for n, t in fields if t not in _DIGESTABLE]
+    metric = next(
+        (n for n, t in fields if t in _DIGESTABLE and t != "string"), None
+    )
+
+    class _GuardSpec(dict):
+        pass
+
+    if bad or metric is None:
+        # non-digestable schema: still guard the collect. The spec
+        # carries a poison marker the sweep checks AFTER the engage
+        # decision (the count aggregate) — raising there, before any
+        # collect, keeps the session alive.
+        spec = _GuardSpec(
+            cols=[], metric="", threshold_rows=guard_rows,
+            refuse=f"{name}: result exceeds guard-rows and schema has "
+            f"non-digestable columns {bad or '(no integral metric)'} — "
+            "register a bounded_compare spec",
+        )
+    else:
+        spec = _GuardSpec(
+            cols=[n for n, _ in fields],
+            metric=metric,
+            threshold_rows=guard_rows,
+        )
+    return spec
+
 
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -75,6 +125,21 @@ def main() -> None:
         help="JSON log path (default docs/probes/"
         "sweep_<sfname>_<lo>_<hi>.json under the repo root)",
     )
+    ap.add_argument(
+        "--guard-rows",
+        type=int,
+        default=0,
+        help="generic large-result guard (VERDICT r12 item 4): when "
+        "> 0, every oracle query WITHOUT its own bounded_compare spec "
+        "is pre-probed with one count aggregate; past this row "
+        "threshold the sweep auto-derives a bounded spec from the "
+        "result schema (all-int/string columns) and compares via "
+        "engine-side aggregate checksums — or records "
+        "too-large-needs-spec instead of attempting the "
+        "session-killing collect. 0 = off (small-SF sweeps, where the "
+        "extra count execution per query isn't worth it); the round "
+        "protocol passes 20000000 at sf1.",
+    )
     args = ap.parse_args()
 
     skip = tuple(
@@ -84,21 +149,24 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    spark = (
-        SparkSession.builder.master("local[24]")
-        .config("spark.driver.memory", "64g")
-        .config("spark.sql.shuffle.partitions", "24")
-        # q120's sf1 digest aggregate (6.5e8 rows) can stall the
-        # single local-mode JVM in long GC pauses; stock tolerances
-        # (10s heartbeats, 120s network timeout) declare the executor
-        # dead mid-aggregate and poison the rest of the chunk — give
-        # the heavy chunks the same survival margin the r11
-        # bounded-pair probe had, plus heap headroom over its 48g
-        .config("spark.network.timeout", "800s")
-        .config("spark.executor.heartbeatInterval", "30s")
-        .appName("parity-sweep")
-        .getOrCreate()
-    )
+    def make_session():
+        return (
+            SparkSession.builder.master("local[24]")
+            .config("spark.driver.memory", "64g")
+            .config("spark.sql.shuffle.partitions", "24")
+            # q120's sf1 digest aggregate (6.5e8 rows) can stall the
+            # single local-mode JVM in long GC pauses; stock tolerances
+            # (10s heartbeats, 120s network timeout) declare the executor
+            # dead mid-aggregate and poison the rest of the chunk — give
+            # the heavy chunks the same survival margin the r11
+            # bounded-pair probe had, plus heap headroom over its 48g
+            .config("spark.network.timeout", "800s")
+            .config("spark.executor.heartbeatInterval", "30s")
+            .appName("parity-sweep")
+            .getOrCreate()
+        )
+
+    spark = make_session()
     import __spark_entry__ as e
     from mindseye_dataframes_spark.queries import load_all
     from tests.helpers import assert_matches_oracle
@@ -114,6 +182,7 @@ def main() -> None:
         names = [n for n in names if any(n.startswith(o) for o in only)]
 
     fails, skipped, results = [], [], {}
+    session_restarts = []
     t_start = time.time()
     for name in names:
         if any(name.startswith(s) for s in skip):
@@ -124,9 +193,14 @@ def main() -> None:
         t0 = time.time()
         try:
             if name in osql:
+                df = qs[name](spark, args.sf_dir)
+                spec = bounded.get(name)
+                if spec is None and args.guard_rows > 0:
+                    spec = derived_guard_spec(
+                        df, args.guard_rows, name=name
+                    )
                 mode = assert_matches_oracle(
-                    qs[name](spark, args.sf_dir), osql[name], args.sf_dir,
-                    name=name, bounded=bounded.get(name),
+                    df, osql[name], args.sf_dir, name=name, bounded=spec,
                 )
                 # "ok-bounded" marks rows verified by engine-side
                 # aggregate checksums (result too large to collect) so
@@ -139,6 +213,17 @@ def main() -> None:
         except Exception as ex:  # noqa: BLE001 — report, keep sweeping
             status = f"FAIL {repr(ex)[:300]}"
             fails.append(name)
+            # a heavy failure (maxResultSize kill, executor GC death)
+            # POISONS the local-mode session for every later query in
+            # the chunk (the r12 chunk-A lesson) — restart after ANY
+            # fail so subsequent rows are judged by a healthy session
+            try:
+                spark.stop()
+            except Exception:
+                pass
+            spark = make_session()
+            session_restarts.append(name)
+            print(f"  [session restarted after {name}]", flush=True)
         sec = round(time.time() - t0, 1)
         results[name] = {"status": status, "sec": sec}
         print(f"{name} {status} {sec}s", flush=True)
