@@ -47,7 +47,13 @@ def main() -> None:
         n
         for n in ("q87_contamination_screen", "q102_fuzzy_name_match",
                   "q114_embedding_normalize", "q163_semdedup",
-                  "q188_packed_png_decode", "q199_hybrid_rrf_retrieval")
+                  "q188_packed_png_decode", "q199_hybrid_rrf_retrieval",
+                  # r13: the new production-width SimHash pair join —
+                  # tracked from birth so its band-join cost has a
+                  # per-round record (extended_total_sec grows by its
+                  # cost this round; per-query arrays keep rounds
+                  # comparable)
+                  "q238_simhash64_hamming_pairs")
         if n in registry
     ]
 

@@ -609,7 +609,27 @@ def q195_streaming_interval_join_parity(spark, sf_dir):
             purchases, touches, tolerance_seconds=3600, watermark="365 days"
         )
         table = f"q195_ivj_{run_id}"
-        pairs = run_bounded(joined, table, output_mode="append")
+        # shuffle_partitions sizes the join's STATE STORE partition
+        # count (see run_bounded's docstring): in a default-conf
+        # session (200 shuffle partitions) the per-trigger state
+        # maintenance pays 200-way per-partition store commits × 4
+        # micro-batches — measured 80-120s+ at sf0.01 on local[8],
+        # which tripped the 120s drain timeout under the r13 driver
+        # sim. Measured drain time is LINEAR in the partition count at
+        # gate scale (8→15s, 16→31s, 32→48s for the same 141 pairs):
+        # per-partition fixed store cost dominates, so size to the
+        # state actually held (state ∝ one watermark horizon of both
+        # sides), not to the core count. timeout_sec=300 is headroom
+        # for loaded hosts, not a semantic bound (the drain either
+        # completes exactly or fails loudly — never a partial
+        # snapshot).
+        pairs = run_bounded(
+            joined,
+            table,
+            output_mode="append",
+            shuffle_partitions=8,
+            timeout_sec=300,
+        )
         # roll up BEFORE snapshotting (VERDICT r7 item 4): the
         # memory sink already holds the drained pairs, but the
         # driver-side pin must hold O(touch types), not O(pairs) —

@@ -1116,3 +1116,53 @@ def test_py_simhash_bands_band0_equals_simhash16(spark, sf_dir):
         assert len(bands) == 4
         assert all(0 <= v < (1 << 16) for v in bands)
         assert bands[0] == r["sh16"], r["doc_id"]
+
+
+def test_allpairs_cosine_threshold_equals_theta_join(spark):
+    """The block-partitioned exact all-pairs operator (q34's engine,
+    operators/similarity.py:allpairs_cosine_threshold) must emit
+    EXACTLY the pairs the naive theta-join emits — including
+    zero-norm vectors (cosine NaN, which both engines order above any
+    threshold) and near-boundary pairs — for several block counts, so
+    block partitioning provably loses/invents nothing."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from mindseye_dataframes_spark.functions.vectors import cosine_ranked
+    from mindseye_dataframes_spark.operators.similarity import (
+        allpairs_cosine_threshold,
+    )
+
+    # 40 deterministic vectors: a cluster of near-dups, a spread of
+    # mid-similarity pairs around the 0.4 threshold, one zero vector
+    rows = []
+    for i in range(40):
+        if i == 7:
+            rows.append((i, [0.0, 0.0, 0.0]))
+            continue
+        ang = i * 0.1
+        rows.append((i, [math.cos(ang), math.sin(ang), 0.01 * i]))
+    df = spark.createDataFrame(rows, "vid long, v array<double>")
+
+    a = df.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
+    b = df.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
+    want = sorted(
+        (r["id_a"], r["id_b"], r["cos_r"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_ranked("va", "vb").alias("cos_r"))
+        .filter(F.col("cos_r") >= 0.4)
+        .collect()
+    )
+    assert want  # fixture sanity: threshold pairs + NaN pairs exist
+    assert any(r[0] == 7 or r[1] == 7 for r in want)  # NaN pairs kept
+    for rows_per_block in (4, 16, 1000):  # B = 10, 3, 1
+        got = sorted(
+            (r["id_a"], r["id_b"], r["cos_r"])
+            for r in allpairs_cosine_threshold(
+                df, "vid", "v", 0.4, rows_per_block=rows_per_block
+            ).collect()
+        )
+        def key(t):  # NaN != NaN, so compare on a normalized key
+            return (t[0], t[1], "NaN" if t[2] != t[2] else t[2])
+        assert [key(t) for t in got] == [key(t) for t in want], rows_per_block

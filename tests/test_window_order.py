@@ -9,9 +9,10 @@ re-proved the q237 refresh and the 49 r6-stale rows — so STALE_R06 is
 now empty and the 41 r7-stale queries (q158/q162/q167/q188–q207/
 q20–q24/q26–q39/q41/q58/q60/q77/q86–q88 families, last driver-hashed
 in round 7) are the re-verification front, behind this round's
-refresh set (REFRESH_R13: q34's de-cartesianed block-GEMM plan and
-q126's degree-oriented 2-path join re-prove at the head) and any
-never-proven round-13 additions. Remaining slots fill from the
+refresh set (REFRESH_R13: q34's de-cartesianed block-GEMM plan,
+q126's degree-oriented 2-path join, and q195's explicitly-sized
+state-store drain re-prove at the head) and any never-proven
+round-13 additions. Remaining slots fill from the
 stalest proven group (r9). Every registered query remains
 oracle-bearing.
 """

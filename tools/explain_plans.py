@@ -90,6 +90,13 @@ def main() -> None:
             "q206_bigram_lm_perplexity_filter",
             "q207_substring_dedup_rewrite",
             "q215_packed_wav_decode",
+            # r13: the de-cartesianed exact all-pairs (block-GEMM),
+            # the degree-oriented triangle join, and the
+            # production-width SimHash band join — each makes a plan
+            # claim its test pins; the warm plan is the evidence
+            "q34_embedding_near_dup",
+            "q126_triangle_count",
+            "q238_simhash64_hamming_pairs",
         )
         if n in registry
     ]
