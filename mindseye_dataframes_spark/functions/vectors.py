@@ -38,7 +38,17 @@ def norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity with the LEGACY division semantics pinned
+    under ANSI mode (Spark 4 default): a zero-norm side yields NaN —
+    which both engines order above any threshold — instead of
+    DIVIDE_BY_ZERO. The guard matters on the exact re-verify path of
+    ``allpairs_cosine_threshold`` (q34), whose zero-norm candidates
+    are force-included; NULL vectors still propagate NULL (a NULL
+    denominator fails the ``when`` and divides into NULL)."""
+    denom = norm(a) * norm(b)
+    return F.when(denom == 0.0, F.lit(float("nan"))).otherwise(
+        dot(a, b) / denom
+    )
 
 
 def l2_sq(a: Column | str, b: Column | str) -> Column:
