@@ -452,7 +452,18 @@ def q179_streaming_tumbling_parity(spark, sf_dir):
     # of accumulating never-dropped memory tables in the session
     table = f"q179_parity_{tag}".replace(".", "_").replace("-", "_")
     spark.catalog.dropTempView(table)
-    result = run_bounded(tumbling_counts(read_event_stream(spark, src)), table)
+    # shuffle_partitions sizes the STATE STORE partition count (the
+    # q195 lesson, measured LINEAR in partition count at gate scale):
+    # the windowed-agg state here is O(windows × types), so 8 store
+    # partitions carry it comfortably while a default-conf session
+    # (200) pays 200-way per-partition store commits per micro-batch —
+    # measured 11.9 s → 3.1 s at sf0.01 under a vanilla local[8] session
+    result = run_bounded(
+        tumbling_counts(read_event_stream(spark, src)),
+        table,
+        shuffle_partitions=8,
+        timeout_sec=300,
+    )
     return result.select(
         F.date_format("window_start", TS_FMT_SPARK).alias("window_start"),
         "event_type",
@@ -527,7 +538,17 @@ def q182_streaming_dedup_parity(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
             dsum("value", 2).alias("sum_value"),
         )
-        result = run_bounded(agg, table, output_mode="complete")
+        # state = one key-store entry per distinct event_id plus an
+        # O(types) aggregate — 8 store partitions (q195's measured
+        # linear-commit-cost lesson); measured 30.1 s → 4.4 s at sf0.01
+        # under a vanilla 200-partition session
+        result = run_bounded(
+            agg,
+            table,
+            output_mode="complete",
+            shuffle_partitions=8,
+            timeout_sec=300,
+        )
         # pin the drained snapshot before the staging files vanish —
         # the memory-sink table is lazy over the (stopped) query's
         # state, but the returned frame must survive src removal
@@ -700,7 +721,18 @@ def q196_streaming_stateful_totals_parity(spark, sf_dir):
             read_event_stream(spark, src), exact_cents=True
         )
         table = f"q196_state_{run_id}"
-        updates = run_bounded(totals, table, output_mode="update")
+        # state = one (long, long) pair per user — 8 store partitions
+        # (q195's measured linear-commit-cost lesson). The
+        # applyInPandasWithState stage inherits the same setting, so a
+        # default-conf session stops paying 200 Python-worker rounds ×
+        # 4 micro-batches for ~1e4 keys; measured 53.5 s → 7.0 s at sf0.01
+        updates = run_bounded(
+            totals,
+            table,
+            output_mode="update",
+            shuffle_partitions=8,
+            timeout_sec=300,
+        )
         # reduce to each user's LAST update BEFORE snapshotting
         # (VERDICT r7 item 4 pattern): the driver pin holds O(users),
         # not O(users · triggers)
@@ -778,7 +810,16 @@ def q197_streaming_session_window_parity(spark, sf_dir):
             read_event_stream(spark, src), gap="30 minutes", watermark="365 days"
         )
         table = f"q197_sess_{run_id}"
-        out = run_bounded(sess, table, output_mode="complete")
+        # state = per (user, open session) — 8 store partitions
+        # (q195's measured linear-commit-cost lesson); measured
+        # 30.8 s → 4.3 s at sf0.01 under a vanilla 200-partition session
+        out = run_bounded(
+            sess,
+            table,
+            output_mode="complete",
+            shuffle_partitions=8,
+            timeout_sec=300,
+        )
         # the complete-mode sink holds exactly one row per merged
         # session, so this snapshot IS bounded by group cardinality
         # (audited per VERDICT r7 item 4) — the query's own answer is
@@ -838,13 +879,25 @@ def q198_streaming_cdc_upsert_parity(spark, sf_dir):
     ckpt = f"{base}/ckpt"
     try:
         events.repartition(32).write.mode("overwrite").parquet(src)
-        q = upsert_stream(
-            read_event_stream(spark, src),
-            target,
-            keys=["user_id"],
-            order_cols=["ts", "event_id"],
-            checkpoint_dir=ckpt,
-        ).start()
+        # the foreachBatch merge runs ONE window + keyed join per
+        # micro-batch under the streaming query's cloned conf — size
+        # its shuffle like the state-store drains (q195 lesson): 8
+        # partitions for a gate-scale batch, not a default-conf 200
+        # (the conf is cloned at start; the session value is restored
+        # immediately after)
+        key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "8")
+        try:
+            q = upsert_stream(
+                read_event_stream(spark, src),
+                target,
+                keys=["user_id"],
+                order_cols=["ts", "event_id"],
+                checkpoint_dir=ckpt,
+            ).start()
+        finally:
+            spark.conf.set(key, prev)
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError("q198 upsert stream did not drain")
@@ -968,11 +1021,15 @@ def oj_drain(spark, src: str, timeout_sec: int = 120):
         how="left_outer",
     )
     table = f"q228_oj_{uuid.uuid4().hex[:12]}"
+    # 8 state-store partitions, matching q195: the outer interval
+    # join's per-batch eviction scan touches EVERY state partition
+    # every trigger, so drain time is linear in the partition count
+    # (q195 measured 8→15 s, 16→31 s, 32→48 s for identical output)
     pairs = run_bounded(
         joined,
         table,
         output_mode="append",
-        shuffle_partitions=32,
+        shuffle_partitions=8,
         timeout_sec=timeout_sec,
     )
     rollup = (
@@ -1065,8 +1122,10 @@ def q236_streaming_full_outer_join_parity(spark, sf_dir):
             how="full_outer",
         )
         table = f"q236_foj_{run_id}"
+        # 8 state-store partitions: same eviction-scan linearity as
+        # q195/q228 (full-outer pays it on both sides)
         pairs = run_bounded(
-            joined, table, output_mode="append", shuffle_partitions=32
+            joined, table, output_mode="append", shuffle_partitions=8
         )
         # sentinels carry negative ids on EITHER side; a full-outer row
         # may have only one side populated, so the filter coalesces
