@@ -52,7 +52,6 @@ from mindseye_dataframes_spark.functions.textfns import (
     simhash_band_sql,
     STOPWORDS,
     py_word_ngrams,
-    simhash16,
     simhash16_sql,
     word_ngrams_udf,
 )
@@ -411,8 +410,23 @@ def q120_simhash_hamming_pairs(spark, sf_dir):
     bands, hamming ≤ 3, full value parity); 16 bits is kept here
     because the oracle replays every bit exactly and the small space
     exercises the verify stage hard at test SFs."""
-    fp = load_table(spark, sf_dir, "documents").select(
-        "doc_id", simhash16("text").alias("sh")
+    from pyspark.storagelevel import StorageLevel
+
+    # fingerprints via the Arrow-batched Python twin (band 0 of
+    # py_simhash_bands is bit-identical to the simhash16 fold —
+    # pinned in tests/test_properties.py): the interpreted JVM
+    # higher-order fold re-evaluates the token array per bit and is
+    # NOT codegen'd (the MinHash lesson, textfns.py header), measured
+    # 8.0 s → 2.6 s at sf0.1. Persisted because the band self-join
+    # consumes the relation on both sides — without pinning, the
+    # fingerprint pass runs once per plan branch.
+    sh16_udf = F.pandas_udf(
+        lambda texts: texts.map(lambda t: py_simhash_bands(t, 1)[0]), "int"
+    )
+    fp = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", sh16_udf(F.col("text")).alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     band_structs = []
     for i, (lo, width) in enumerate(_SH_BANDS):
@@ -421,9 +435,9 @@ def q120_simhash_hamming_pairs(spark, sf_dir):
             f"named_struct('band', {i}, 'val', shiftright(sh, {lo}) & {mask})"
         )
     # the fingerprint rides THROUGH the band join (sh_a/sh_b columns)
-    # so simhash16 — the expensive interpreted fold — evaluates once
-    # per doc instead of three times (bands + two rejoins); measured
-    # 10.9s → its rejoin-free shape at sf0.1
+    # so it's never re-joined after the verify; with fp persisted the
+    # fingerprint pass itself also runs exactly once (was once per
+    # join branch)
     bands = fp.select(
         "doc_id",
         "sh",
@@ -515,14 +529,23 @@ def q238_simhash64_hamming_pairs(spark, sf_dir):
     Reference parity: fingerprint-based near-dup detection over the
     corpus tables; production width per the SimHash paper (Charikar
     2002; Manku et al. 2007 use 64-bit fingerprints, k=3)."""
+    from pyspark.storagelevel import StorageLevel
+
     bands_udf = F.pandas_udf(
         lambda texts: texts.map(lambda t: py_simhash_bands(t, _SH64_BANDS)),
         "array<int>",
     )
-    fp = load_table(spark, sf_dir, "documents").select(
-        "doc_id", bands_udf(F.col("text")).alias("bs")
-    ).select(
-        "doc_id", *[F.col("bs")[j].alias(f"b{j}") for j in range(_SH64_BANDS)]
+    # persisted: the band self-join consumes this relation on BOTH
+    # sides, and without pinning Spark re-runs the fingerprint UDF
+    # subtree once per plan branch (the doc_features precedent,
+    # operators/dedup.py:84) — measured 5.7 s → 3.7 s at sf0.1
+    fp = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", bands_udf(F.col("text")).alias("bs"))
+        .select(
+            "doc_id", *[F.col("bs")[j].alias(f"b{j}") for j in range(_SH64_BANDS)]
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     band_cols = [f"b{j}" for j in range(_SH64_BANDS)]
     structs = ", ".join(
