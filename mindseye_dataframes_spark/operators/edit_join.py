@@ -129,10 +129,31 @@ def edit_distance_join(
 
     # dedupe on bare keys (8/16-byte rows), then rejoin the strings —
     # a distinct over the full name pairs would shuffle 4 string
-    # columns per candidate instead of two longs
+    # columns per candidate instead of two longs.
+    #
+    # The (len, seg_idx, segment) part of the join key is folded into
+    # ONE xxhash64 — the exchanges shuffle (block, long) instead of
+    # (block, int, int, string) and the sort-merge compares a single
+    # long (measured 3.5 s → 2.7 s for q102 at sf0.1, identical
+    # output). Exactness is unconditional, not probabilistic: tuple
+    # equality implies hash equality, so every pigeonhole candidate
+    # survives (no misses), and a hash collision can only ADD a
+    # same-block candidate — which the exact thresholded levenshtein
+    # verify either rejects or admits as a genuinely qualifying pair
+    # (the output spec is "same-block pairs with ed ≤ k", so any
+    # same-block pair passing verify belongs in the result). ``blk``
+    # stays an explicit key precisely so no collision can pair rows
+    # across blocks.
     candidates = (
-        probe.drop("name_a")
-        .join(build.drop("name_b"), ["blk", "len_b", "i", "seg"])
+        probe.select(
+            "key_a", "blk", F.xxhash64("len_b", "i", "seg").alias("hk")
+        )
+        .join(
+            build.select(
+                "key_b", "blk", F.xxhash64("len_b", "i", "seg").alias("hk")
+            ),
+            ["blk", "hk"],
+        )
         .filter(F.col("key_a") != F.col("key_b"))
         .select(
             F.least("key_a", "key_b").alias("key_a"),
