@@ -304,11 +304,22 @@ def q50_approx_distinct(spark, sf_dir):
     groups."""
     li = load_table(spark, sf_dir, "lineitem")
     err = F.abs(F.col("approx_orders") - F.col("exact_orders"))
+    # pre-distinct the (group, key) pairs instead of mixing
+    # countDistinct with the HLL in one aggregate: the mixed form
+    # triggers the distinct-aggregate Expand rewrite, whose first
+    # aggregation keys on (group, key) — ONE rsd-0.01 HLL++ buffer per
+    # DISTINCT KEY (~150k sketches at sf0.1), measured 8.3 s vs 1.6 s
+    # for this shape. HLL insertion is idempotent, so the sketch over
+    # the distinct pairs is bit-identical to the sketch over the raw
+    # multiset (values verified equal), and count(*) over the distinct
+    # pairs IS the exact distinct count.
     return (
-        li.groupBy("l_returnflag")
+        li.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
-            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.count(F.lit(1)).alias("exact_orders"),
         )
         .select(
             "l_returnflag",

@@ -726,20 +726,39 @@ def q234_hll_overlap_gate(spark, sf_dir):
     gate is deterministic for a dataset (HLL++ is), so a green row
     pins it. The exact trio (n_a, n_b, exact_inter — also via
     inclusion–exclusion, but over exact countDistinct) is what the
-    oracle replays. Scale: three map-side-combinable aggregates over
-    one filtered scan; no joins, no distinct materialization."""
+    oracle replays. Scale: one map-side-combinable distinct-element
+    aggregate (the only exchange carries distinct elements, not
+    events) followed by a single-row sketch aggregate; no joins."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
     )
     el = (F.col("user_id") * 1000 + F.dayofyear("ts")).cast("long")
     d = ev.select("event_type", el.alias("el"))
     is_a = F.col("event_type") == "purchase"
-    row = d.agg(
-        F.countDistinct(F.when(is_a, F.col("el"))).alias("n_a"),
-        F.countDistinct(F.when(~is_a, F.col("el"))).alias("n_b"),
-        F.countDistinct("el").alias("n_u"),
-        F.approx_count_distinct(F.when(is_a, F.col("el")), 0.01).alias("e_a"),
-        F.approx_count_distinct(F.when(~is_a, F.col("el")), 0.01).alias("e_b"),
+    # One distinct-element pass with side flags, then a single
+    # expand-free aggregate. The previous form mixed three
+    # countDistinct with three HLLs in ONE aggregate, which triggers
+    # the distinct-aggregate Expand rewrite: its first aggregation
+    # keys on (gid, el), building one rsd-0.01 HLL++ buffer PER
+    # DISTINCT ELEMENT (the q50 pathology ×3) — measured 6.3 s → 2.4 s
+    # at sf0.1 for identical values. Idempotence makes the reshape
+    # exact: the distinct set behind each side's sketch/count is
+    # unchanged ({el with ≥1 purchase row} ≡ {el where has_a}), and
+    # HLL++ over a set equals HLL++ over any multiset with that
+    # distinct set. Both aggregates remain map-side combinable.
+    flags = d.groupBy("el").agg(
+        F.max(is_a).alias("has_a"), F.max(~is_a).alias("has_b")
+    )
+    row = flags.agg(
+        F.sum(F.when(F.col("has_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("has_b"), 1).otherwise(0)).cast("long").alias("n_b"),
+        F.count(F.lit(1)).alias("n_u"),
+        F.approx_count_distinct(
+            F.when(F.col("has_a"), F.col("el")), 0.01
+        ).alias("e_a"),
+        F.approx_count_distinct(
+            F.when(F.col("has_b"), F.col("el")), 0.01
+        ).alias("e_b"),
         F.approx_count_distinct("el", 0.01).alias("e_u"),
     )
     exact_inter = F.col("n_a") + F.col("n_b") - F.col("n_u")
