@@ -34,7 +34,6 @@ cardinality explodes); everything row-shaped stays on executors.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import reduce as _reduce
 
 import numpy as np
 import pandas as pd
@@ -187,16 +186,28 @@ class DataframeModeler:
             else:
                 discover.append(ch)
         if discover:
-            key_frames = [
-                df.select(
+            # ONE scan for every discovered channel: explode each row
+            # into its (path, value) pairs and distinct once. The
+            # previous per-channel distinct-then-union shape scanned
+            # the input once PER categorical channel — at 100 TB that
+            # is C full passes for C dictionary columns; this is one.
+            # The distinct's map-side partial aggregation still dedupes
+            # before the (path, value) exchange, so shuffle volume is
+            # unchanged. Same key set: explode(C pairs)+filter+distinct
+            # ≡ union of per-channel filtered distincts.
+            pair_structs = [
+                F.struct(
                     F.lit(ch.path).alias("path"),
                     F.col(ch.col).cast("string").alias("value"),
                 )
-                .filter(F.col("value").isNotNull())
-                .distinct()
                 for ch in discover
             ]
-            keys = _reduce(lambda a, b: a.unionAll(b), key_frames).distinct()
+            keys = (
+                df.select(F.explode(F.array(*pair_structs)).alias("pv"))
+                .select(F.col("pv.path").alias("path"), F.col("pv.value").alias("value"))
+                .filter(F.col("value").isNotNull())
+                .distinct()
+            )
             # the cardinality probe and the value collect below are
             # two jobs over the same union-of-distincts aggregation —
             # pin it so the dominant shuffle of key discovery runs once
@@ -488,7 +499,9 @@ class DataframeModeler:
                     for layer in net_layers:
                         x, _ = layer.forward(params, x)
                 out = pdf[passthrough].copy() if passthrough else pd.DataFrame(index=pdf.index)
-                out[name] = [row.tolist() for row in x]
+                # bulk C-level conversion: ndarray.tolist() on the
+                # whole matrix, not a Python loop over 10k rows/batch
+                out[name] = x.tolist()
                 yield out
 
         flat = df.select(
