@@ -339,7 +339,15 @@ def q146_pagerank_fixed_point(spark, sf_dir):
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionAll(sym_a.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
-    msgs = sym.join(deg, "src")
+    # the degree-tagged outbox is consumed once PER ITERATION (plus
+    # deg once more for r0) — unpersisted, each consumer re-derives
+    # the lineitem self-join + distinct + degree aggregate (3× here;
+    # 2 extra full edge derivations per additional iteration). Persist
+    # it: the q126 'directed' precedent. Measured 5.1 s → 4.5 s at
+    # sf0.1 (the derivation is ~2 s of the total; iterations dominate).
+    from pyspark import StorageLevel
+
+    msgs = sym.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
 
     def iterate(ranks):
         # ranks: (node, r) — join onto the outbox, floor-divide by
@@ -357,7 +365,13 @@ def q146_pagerank_fixed_point(spark, sf_dir):
             .select(F.col("dst").alias("node"), "r")
         )
 
-    r0 = deg.select(F.col("src").alias("node"), F.lit(1000000).cast("long").alias("r"))
+    # same node set as deg's group keys, but read from the persisted
+    # outbox instead of re-deriving the edge relation a third time
+    r0 = (
+        msgs.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.lit(1000000).cast("long").alias("r"))
+    )
     r2 = iterate(iterate(r0))
     return (
         r2.select("node", F.col("r").alias("rank_fp"))
