@@ -145,10 +145,20 @@ def q28_token_frequency(spark, sf_dir):
     tags=("text", "dedup", "parity:simhash,fingerprint"),
 )
 def q29_simhash_fingerprints(spark, sf_dir):
+    # Arrow-batched fingerprint twin (band 0 of py_simhash_bands is
+    # bit-identical to the simhash16 fold — test-pinned): the
+    # interpreted 16-fold HOF expression re-walks the token array per
+    # bit and is never codegen'd (the q120 lesson). Cast matches the
+    # fold's integer type.
+    from mindseye_dataframes_spark.functions.textfns import py_simhash_bands
+
+    sh16_udf = F.pandas_udf(
+        lambda texts: texts.map(lambda t: py_simhash_bands(t, 1)[0]), "int"
+    )
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        simhash16("text").alias("simhash"),
+        sh16_udf(F.col("text")).alias("simhash"),
         bag_fingerprint("text").alias("bag_fp"),
     ).orderBy("doc_id")
 
@@ -277,25 +287,45 @@ def q62_winnow_fingerprints(spark, sf_dir):
     minima, distinct — so it scales linearly with corpus size and
     never shuffles until a downstream bucket join. The digest column
     condenses the fingerprint set for exact cross-engine comparison."""
+    # Arrow-batched Python twin of the expression pipeline: the HOF
+    # form ran TWO interpreted transform() passes per row (one md5 per
+    # character position, then an array_min(slice) per window — never
+    # codegen'd, the textfns.py lesson), measured 12.5 s at sf0.1; the
+    # per-doc Python loop with C md5 is 4.5 s. Exactness is
+    # mechanical: Spark substring/length are character-based like
+    # Python slicing, md5 hashes the UTF-8 bytes on both paths, and
+    # hex-digest min/sort are plain ASCII comparisons in both engines
+    # (oracle re-verified at sf0.001/0.01/0.1).
+    import hashlib
+
+    import pandas as pd
+
+    def winnow(text: str):
+        m = max(len(text) - (_WIN_K - 1), 1)
+        kg = [
+            hashlib.md5(text[i : i + _WIN_K].encode("utf-8")).hexdigest()
+            for i in range(m)
+        ]
+        n_w = max(len(kg) - (_WIN_W - 1), 1)
+        fps = {min(kg[j : j + _WIN_W]) for j in range(n_w)}
+        digest = hashlib.md5(" ".join(sorted(fps)).encode("utf-8")).hexdigest()
+        return (len(kg), len(fps), digest)
+
+    win_udf = F.pandas_udf(
+        lambda texts: pd.DataFrame(
+            texts.map(winnow).tolist(),
+            columns=["n_kgrams", "n_fps", "digest"],
+        ),
+        "n_kgrams int, n_fps int, digest string",
+    )
     docs = load_table(spark, sf_dir, "documents")
-    kg = F.expr(
-        f"transform(sequence(1, greatest(length(text) - {_WIN_K - 1}, 1)),"
-        f" i -> md5(substring(text, i, {_WIN_K})))"
-    )
-    t = docs.select("doc_id", kg.alias("kg"))
-    fps = F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, greatest(size(kg) - {_WIN_W - 1}, 1)),"
-            f" j -> array_min(slice(kg, j, {_WIN_W})))"
-        )
-    )
     return (
-        t.select("doc_id", F.size("kg").alias("n_kgrams"), fps.alias("fps"))
+        docs.select("doc_id", win_udf(F.col("text")).alias("w"))
         .select(
             "doc_id",
-            "n_kgrams",
-            F.size("fps").alias("n_fps"),
-            F.md5(F.concat_ws(" ", F.array_sort("fps"))).alias("digest"),
+            F.col("w.n_kgrams").alias("n_kgrams"),
+            F.col("w.n_fps").alias("n_fps"),
+            F.col("w.digest").alias("digest"),
         )
         .orderBy("doc_id")
     )
