@@ -49,15 +49,19 @@ def asof_join(
     inside the payload struct), so the plan is unchanged — still ONE
     shuffle, no extra join.
     """
-    # deterministic right side: one row per (keys, ts)
+    # Tiebreak (one deterministic winner per (keys, ts)) is folded
+    # into the FILL window's ordering instead of a separate
+    # row_number-dedup pass: the dedup window partitioned by
+    # (keys, ts) while the fill partitions by (keys), so the right
+    # side paid a second full exchange + sort just to drop tied rows.
+    # Ordering the fill by (ts, side, tiebreak) makes the running
+    # ``last()`` see the max-tiebreak right row as the LAST row of any
+    # tied group — every left row (side=1 sorts after all side=0 rows
+    # at equal ts) therefore fills with exactly the row the dedup
+    # used to keep. One exchange total, unchanged output (nulls lose
+    # the tie in both forms: asc-nulls-first here, desc-nulls-last in
+    # the old rank).
     r = right
-    if tiebreak is not None:
-        w_dedup = Window.partitionBy(*on, right_ts).orderBy(F.col(tiebreak).desc())
-        r = (
-            r.withColumn("_asof_rn", F.row_number().over(w_dedup))
-            .filter(F.col("_asof_rn") == 1)
-            .drop("_asof_rn")
-        )
 
     out_names = {c: (c + suffix if c in left.columns else c) for c in payload}
     payload_fields = [F.col(c).alias(out_names[c]) for c in payload]
@@ -70,10 +74,19 @@ def asof_join(
         "_asof_payload"
     ].dataType
 
+    tie_cols_l: list = []
+    tie_cols_r: list = []
+    order_cols = ["_asof_ts", "_asof_side"]
+    if tiebreak is not None:
+        tie_type = r.schema[tiebreak].dataType
+        tie_cols_l = [F.lit(None).cast(tie_type).alias("_asof_tie")]
+        tie_cols_r = [F.col(tiebreak).alias("_asof_tie")]
+        order_cols = ["_asof_ts", "_asof_side", "_asof_tie"]
     l_marked = left.select(
         *[F.col(c) for c in left.columns],
         F.col(left_ts).alias("_asof_ts"),
         F.lit(1).alias("_asof_side"),
+        *tie_cols_l,
         F.lit(None).cast(struct_type).alias("_asof_payload"),
     )
     r_marked = r.select(
@@ -85,15 +98,22 @@ def asof_join(
         ],
         F.col(right_ts).alias("_asof_ts"),
         F.lit(0).alias("_asof_side"),
+        *tie_cols_r,
         payload_struct.alias("_asof_payload"),
-    ).select(*left.columns, "_asof_ts", "_asof_side", "_asof_payload")
+    ).select(
+        *left.columns, "_asof_ts", "_asof_side",
+        *(["_asof_tie"] if tiebreak is not None else []),
+        "_asof_payload",
+    )
 
     unioned = l_marked.unionByName(r_marked)
     # right rows (side=0) sort before left rows at equal ts → inclusive;
-    # the whole payload struct fills atomically (one real right row)
+    # tied right rows sort ascending by tiebreak so the running last()
+    # lands on the highest; the whole payload struct fills atomically
+    # (one real right row)
     fill = (
         Window.partitionBy(*on)
-        .orderBy("_asof_ts", "_asof_side")
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(
