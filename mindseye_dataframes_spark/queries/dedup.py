@@ -1198,8 +1198,14 @@ def q226_lsh_dedup_eval(spark, sf_dir):
             .select("id_a", "id_b")
         )
 
-    cand = _candidate_pairs(base, "doc_id", LSH_BANDS, MINHASH_K)
-    ver = verified(cand)
+    # cand feeds the verify AND the n_cand count; ver feeds the
+    # semi-join AND the n_verified count — unpersisted, each consumer
+    # re-ran the band self-join / verify joins from the cached base
+    # (the truth side was already pinned; these two weren't)
+    cand = _candidate_pairs(base, "doc_id", LSH_BANDS, MINHASH_K).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ver = verified(cand).persist(StorageLevel.MEMORY_AND_DISK)
     g = base.select("doc_id", F.explode("feats").alias("g"))
     rare = (
         g.groupBy("g")
