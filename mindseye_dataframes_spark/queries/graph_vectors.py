@@ -156,19 +156,20 @@ def q126_triangle_count(spark, sf_dir):
     # equi-join that follows, so the count is unchanged. Sizing is
     # scale-adaptive, not a local-mode constant: the edge count (the
     # persist materialization the plan needs anyway) picks n_bits for
-    # ~16 bits/key (FPR ≈ 1.4% at k=2), and past a broadcastable
-    # bitset (2^27 bits = 16 MB of words) the prefilter is skipped
-    # outright — the plan degrades to the plain closing join instead
-    # of probing a saturated filter. Measured 8.4 s → 4.8 s at sf0.1
-    # (closing exchange 41M → ~2.5M rows).
+    # ~16 bits/key (FPR ≈ 1.4% at k=2), capped at a broadcastable
+    # bitset (2^28 bits = 32 MB of words; beyond that the prefilter
+    # is skipped outright — the plan degrades to the plain closing
+    # join instead of probing a saturated filter). Measured 8.4 s →
+    # 4.8 s at sf0.1 (closing exchange 41M → ~2.5M rows) and 254 s →
+    # 104 s at sf1 (12M edges, bitset at the 2^28 cap).
     n_edges = directed.count()  # O(1) to the driver; forces the persist
-    if 16 * n_edges <= (1 << 27):
+    if 16 * n_edges <= (1 << 28):
         from mindseye_dataframes_spark.operators.bloom import (
             bloom_build,
             bloom_prefilter,
         )
 
-        n_bits = 1 << max(20, (16 * n_edges - 1).bit_length())
+        n_bits = 1 << max(20, min(28, (16 * n_edges - 1).bit_length()))
         bloom = bloom_build(
             directed.select(F.xxhash64("src", "dst").alias("_ck")),
             "_ck",
@@ -365,12 +366,13 @@ def q146_pagerank_fixed_point(spark, sf_dir):
             .select(F.col("dst").alias("node"), "r")
         )
 
-    # same node set as deg's group keys, but read from the persisted
-    # outbox instead of re-deriving the edge relation a third time
-    r0 = (
-        msgs.select("src")
-        .distinct()
-        .select(F.col("src").alias("node"), F.lit(1000000).cast("long").alias("r"))
+    # r0 stays deg-derived: reading distinct senders from the cached
+    # 2|E|-row outbox instead re-shuffles the full edge relation for a
+    # node-count result — measured a 2-5× sf1 REGRESSION (111 s vs
+    # 22 s for this form; the deg aggregate's exchange is the cheaper
+    # path to the node set even though it re-derives the edges once)
+    r0 = deg.select(
+        F.col("src").alias("node"), F.lit(1000000).cast("long").alias("r")
     )
     r2 = iterate(iterate(r0))
     return (
