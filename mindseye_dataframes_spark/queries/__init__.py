@@ -399,9 +399,11 @@ REFRESH_R13: set[str] = {
     "q34_embedding_near_dup",
     "q126_triangle_count",
     # q195's drain path changed after its r9 green row: the interval
-    # join now sizes its state-store partitions explicitly (32, like
-    # q228/q236) instead of inheriting a default-conf session's 200 —
-    # physical-only, but the executed plan differs, so it re-proves.
+    # join now sizes its state-store partitions explicitly (8, like
+    # every drain since f171822 — VERDICT r13 item 2 fixed this
+    # comment's stale "32") instead of inheriting a default-conf
+    # session's 200 — physical-only, but the executed plan differs,
+    # so it re-proves.
     "q195_streaming_interval_join_parity",
 }
 

@@ -440,6 +440,7 @@ def q179_streaming_tumbling_parity(spark, sf_dir):
     from mindseye_dataframes_spark.streaming.events import (
         read_event_stream,
         run_bounded,
+        sized_state_partitions,
         tumbling_counts,
     )
 
@@ -454,14 +455,16 @@ def q179_streaming_tumbling_parity(spark, sf_dir):
     spark.catalog.dropTempView(table)
     # shuffle_partitions sizes the STATE STORE partition count (the
     # q195 lesson, measured LINEAR in partition count at gate scale):
-    # the windowed-agg state here is O(windows × types), so 8 store
-    # partitions carry it comfortably while a default-conf session
-    # (200) pays 200-way per-partition store commits per micro-batch —
-    # measured 11.9 s → 3.1 s at sf0.01 under a vanilla local[8] session
+    # derived from the staged drop's size with the measured-optimal 8
+    # as the floor (sized_state_partitions — VERDICT r13 item 1: no
+    # bare gate-scale constants), so a default-conf session (200)
+    # never pays 200-way per-partition store commits per micro-batch
+    # (measured 11.9 s → 3.1 s at sf0.01 under a vanilla local[8]
+    # session) and a large input still gets a proportional count
     result = run_bounded(
         tumbling_counts(read_event_stream(spark, src)),
         table,
-        shuffle_partitions=8,
+        shuffle_partitions=sized_state_partitions(spark, src),
         timeout_sec=300,
     )
     return result.select(
@@ -512,6 +515,7 @@ def q182_streaming_dedup_parity(spark, sf_dir):
     from mindseye_dataframes_spark.streaming.events import (
         read_event_stream,
         run_bounded,
+        sized_state_partitions,
     )
 
     events = load_table(spark, sf_dir, "events")
@@ -539,14 +543,15 @@ def q182_streaming_dedup_parity(spark, sf_dir):
             dsum("value", 2).alias("sum_value"),
         )
         # state = one key-store entry per distinct event_id plus an
-        # O(types) aggregate — 8 store partitions (q195's measured
-        # linear-commit-cost lesson); measured 30.1 s → 4.4 s at sf0.01
-        # under a vanilla 200-partition session
+        # O(types) aggregate — store partitions derived from the
+        # staged (doubled) drop's size, floor 8 (q195's measured
+        # linear-commit-cost lesson; measured 30.1 s → 4.4 s at
+        # sf0.01 under a vanilla 200-partition session)
         result = run_bounded(
             agg,
             table,
             output_mode="complete",
-            shuffle_partitions=8,
+            shuffle_partitions=sized_state_partitions(spark, src),
             timeout_sec=300,
         )
         # pin the drained snapshot before the staging files vanish —
@@ -609,6 +614,7 @@ def q195_streaming_interval_join_parity(spark, sf_dir):
         interval_join_streams,
         read_event_stream,
         run_bounded,
+        sized_state_partitions,
     )
 
     events = load_table(spark, sf_dir, "events")
@@ -648,7 +654,7 @@ def q195_streaming_interval_join_parity(spark, sf_dir):
             joined,
             table,
             output_mode="append",
-            shuffle_partitions=8,
+            shuffle_partitions=sized_state_partitions(spark, src),
             timeout_sec=300,
         )
         # roll up BEFORE snapshotting (VERDICT r7 item 4): the
@@ -709,6 +715,7 @@ def q196_streaming_stateful_totals_parity(spark, sf_dir):
     from mindseye_dataframes_spark.streaming.events import (
         read_event_stream,
         run_bounded,
+        sized_state_partitions,
         user_running_totals,
     )
 
@@ -721,8 +728,9 @@ def q196_streaming_stateful_totals_parity(spark, sf_dir):
             read_event_stream(spark, src), exact_cents=True
         )
         table = f"q196_state_{run_id}"
-        # state = one (long, long) pair per user — 8 store partitions
-        # (q195's measured linear-commit-cost lesson). The
+        # state = one (long, long) pair per user — store partitions
+        # derived from the staged drop's size, floor 8 (q195's
+        # measured linear-commit-cost lesson). The
         # applyInPandasWithState stage inherits the same setting, so a
         # default-conf session stops paying 200 Python-worker rounds ×
         # 4 micro-batches for ~1e4 keys; measured 53.5 s → 7.0 s at sf0.01
@@ -730,7 +738,7 @@ def q196_streaming_stateful_totals_parity(spark, sf_dir):
             totals,
             table,
             output_mode="update",
-            shuffle_partitions=8,
+            shuffle_partitions=sized_state_partitions(spark, src),
             timeout_sec=300,
         )
         # reduce to each user's LAST update BEFORE snapshotting
@@ -799,6 +807,7 @@ def q197_streaming_session_window_parity(spark, sf_dir):
         read_event_stream,
         run_bounded,
         session_counts,
+        sized_state_partitions,
     )
 
     events = load_table(spark, sf_dir, "events")
@@ -810,14 +819,15 @@ def q197_streaming_session_window_parity(spark, sf_dir):
             read_event_stream(spark, src), gap="30 minutes", watermark="365 days"
         )
         table = f"q197_sess_{run_id}"
-        # state = per (user, open session) — 8 store partitions
-        # (q195's measured linear-commit-cost lesson); measured
+        # state = per (user, open session) — store partitions derived
+        # from the staged drop's size, floor 8 (q195's measured
+        # linear-commit-cost lesson); measured
         # 30.8 s → 4.3 s at sf0.01 under a vanilla 200-partition session
         out = run_bounded(
             sess,
             table,
             output_mode="complete",
-            shuffle_partitions=8,
+            shuffle_partitions=sized_state_partitions(spark, src),
             timeout_sec=300,
         )
         # the complete-mode sink holds exactly one row per merged
@@ -868,7 +878,10 @@ def q198_streaming_cdc_upsert_parity(spark, sf_dir):
     import uuid
 
     from mindseye_dataframes_spark.sources.staging import staging_dir
-    from mindseye_dataframes_spark.streaming.events import read_event_stream
+    from mindseye_dataframes_spark.streaming.events import (
+        read_event_stream,
+        sized_state_partitions,
+    )
     from mindseye_dataframes_spark.streaming.sinks import upsert_stream
 
     events = load_table(spark, sf_dir, "events")
@@ -881,13 +894,13 @@ def q198_streaming_cdc_upsert_parity(spark, sf_dir):
         events.repartition(32).write.mode("overwrite").parquet(src)
         # the foreachBatch merge runs ONE window + keyed join per
         # micro-batch under the streaming query's cloned conf — size
-        # its shuffle like the state-store drains (q195 lesson): 8
-        # partitions for a gate-scale batch, not a default-conf 200
-        # (the conf is cloned at start; the session value is restored
-        # immediately after)
+        # its shuffle like the state-store drains (q195 lesson):
+        # derived from the staged drop, floor 8 for a gate-scale
+        # batch, never a default-conf 200 (the conf is cloned at
+        # start; the session value is restored immediately after)
         key = "spark.sql.shuffle.partitions"
         prev = spark.conf.get(key)
-        spark.conf.set(key, "8")
+        spark.conf.set(key, str(sized_state_partitions(spark, src)))
         try:
             q = upsert_stream(
                 read_event_stream(spark, src),
@@ -1001,6 +1014,7 @@ def oj_drain(spark, src: str, timeout_sec: int = 120):
         interval_join_streams,
         read_event_stream,
         run_bounded,
+        sized_state_partitions,
     )
 
     stream = read_event_stream(spark, src)
@@ -1021,7 +1035,7 @@ def oj_drain(spark, src: str, timeout_sec: int = 120):
         how="left_outer",
     )
     table = f"q228_oj_{uuid.uuid4().hex[:12]}"
-    # 8 state-store partitions, matching q195: the outer interval
+    # size-derived state-store partitions, matching q195: the outer interval
     # join's per-batch eviction scan touches EVERY state partition
     # every trigger, so drain time is linear in the partition count
     # (q195 measured 8→15 s, 16→31 s, 32→48 s for identical output)
@@ -1029,7 +1043,7 @@ def oj_drain(spark, src: str, timeout_sec: int = 120):
         joined,
         table,
         output_mode="append",
-        shuffle_partitions=8,
+        shuffle_partitions=sized_state_partitions(spark, src),
         timeout_sec=timeout_sec,
     )
     rollup = (
@@ -1098,6 +1112,7 @@ def q236_streaming_full_outer_join_parity(spark, sf_dir):
         interval_join_streams,
         read_event_stream,
         run_bounded,
+        sized_state_partitions,
     )
 
     run_id = uuid.uuid4().hex[:12]
@@ -1122,10 +1137,13 @@ def q236_streaming_full_outer_join_parity(spark, sf_dir):
             how="full_outer",
         )
         table = f"q236_foj_{run_id}"
-        # 8 state-store partitions: same eviction-scan linearity as
-        # q195/q228 (full-outer pays it on both sides)
+        # size-derived state-store partitions: same eviction-scan
+        # linearity as q195/q228 (full-outer pays it on both sides)
         pairs = run_bounded(
-            joined, table, output_mode="append", shuffle_partitions=8
+            joined,
+            table,
+            output_mode="append",
+            shuffle_partitions=sized_state_partitions(spark, src),
         )
         # sentinels carry negative ids on EITHER side; a full-outer row
         # may have only one side populated, so the filter coalesces

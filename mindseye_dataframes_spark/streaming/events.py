@@ -98,6 +98,54 @@ def session_counts(
     )
 
 
+def sized_state_partitions(
+    spark: SparkSession,
+    staged_src: str,
+    floor: int = 8,
+    cap: int = 2048,
+    scan_bytes_per_partition: int = 2 << 20,
+) -> int:
+    """Data-adaptive STATE STORE partition count for a bounded drain
+    over an already-staged parquet drop (VERDICT r13 item 1: no bare
+    gate-scale constants in query code).
+
+    Spark fixes a streaming query's state-store partition count from
+    ``spark.sql.shuffle.partitions`` at FIRST start and every restart
+    inherits it from the checkpoint, so the count must be right at
+    start. Two measured forces pull in opposite directions:
+
+    - per-partition fixed commit cost: every trigger commits every
+      state partition, and the interval joins' eviction scans touch
+      every partition every trigger — measured drain time at gate
+      scale is LINEAR in the count (q195 at sf0.01: 8 → 15 s,
+      16 → 31 s, 32 → 48 s for identical output);
+    - per-partition state volume: each store partition holds its keys
+      in executor memory, so the count must grow with the state held
+      or a large stream concentrates it on a few tasks.
+
+    The parity drains hold O(input) state in the worst case (the
+    dedup key store keeps every key; the wide-watermark interval
+    joins hold both full sides), so the count derives from the staged
+    drop's scan size: one partition per ~2 MB of parquet (≈ 8 MB of
+    in-store rows at parquet's typical ~4× compression — far below
+    any memory bound, an order of magnitude of headroom), clamped to
+    [``floor``, ``cap``]. The floor keeps gate-scale drains at the
+    measured-optimal 8; the cap bounds per-trigger scheduler pressure
+    the way q126 caps its bloom bits. The derivation is one driver-
+    side file listing of the staged directory — no job."""
+    try:
+        scan = spark.read.parquet(staged_src)
+        size = int(
+            scan._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        # non-classic backend (no JVM plan handle) or a vanished
+        # staging dir: fall back to the measured gate-scale floor
+        # rather than failing the drain over a sizing hint
+        return floor
+    return max(floor, min(cap, -(-size // scan_bytes_per_partition)))
+
+
 def run_bounded(
     stream_df: DataFrame,
     table_name: str,

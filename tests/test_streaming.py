@@ -667,3 +667,73 @@ def test_oj_stage_sentinel_files_are_strictly_newest(spark, tmp_path):
     # no negative ids anywhere else in the drop
     others = spark.read.parquet(*older).filter("event_id < 0")
     assert others.count() == 0
+
+
+def test_sized_state_partitions_floor_scale_and_cap(spark, events_dir):
+    """The drain partition count is derived from the staged drop's
+    size (VERDICT r13 item 1): gate-scale inputs sit at the measured
+    floor, larger inputs grow proportionally, the cap clamps."""
+    import os
+
+    from mindseye_dataframes_spark.streaming.events import (
+        sized_state_partitions,
+    )
+
+    # gate-scale drop (sf0.001 events, tens of KB) → the measured floor
+    assert sized_state_partitions(spark, events_dir) == 8
+    # scale-proportional: shrink the per-partition unit to simulate a
+    # proportionally larger input against the same real scan stats
+    size = sum(
+        os.path.getsize(os.path.join(events_dir, f))
+        for f in os.listdir(events_dir)
+        if f.endswith(".parquet")
+    )
+    unit = max(1, size // 20)
+    derived = sized_state_partitions(
+        spark, events_dir, scan_bytes_per_partition=unit
+    )
+    assert derived >= 20
+    # the cap clamps a huge derivation
+    assert (
+        sized_state_partitions(
+            spark, events_dir, scan_bytes_per_partition=1, cap=64
+        )
+        == 64
+    )
+    # a missing staging dir degrades to the floor, never an error
+    assert sized_state_partitions(spark, str(events_dir) + "_gone") == 8
+
+
+def test_run_bounded_pins_state_store_partitions(spark, events_dir, tmp_path):
+    """A future session default must not silently reintroduce the
+    200-partition drain (VERDICT r13 item 7): the conf cloned into
+    the streaming query at start() must carry the explicit
+    shuffle_partitions value — asserted from the checkpoint's offsets
+    log, which records exactly the conf the state store was sized
+    from — and the session value must be restored afterwards."""
+    import glob
+    import json
+    import os
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    ckpt_root = str(tmp_path / "drain_ckpt")
+    spark.conf.set("spark.sql.streaming.checkpointLocation", ckpt_root)
+    try:
+        spark.conf.set(key, "200")
+        run_bounded(
+            tumbling_counts(read_event_stream(spark, events_dir)),
+            "t_conf_probe",
+            shuffle_partitions=8,
+        )
+        assert spark.conf.get(key) == "200"  # restored to session value
+    finally:
+        spark.conf.set(key, prev)
+        spark.conf.unset("spark.sql.streaming.checkpointLocation")
+    offsets = glob.glob(os.path.join(ckpt_root, "**", "offsets", "0"),
+                        recursive=True)
+    assert offsets, "drain checkpoint offsets log not found"
+    with open(offsets[0]) as f:
+        lines = f.read().splitlines()
+    meta = json.loads(lines[1])
+    assert meta["conf"][key] == "8"
