@@ -194,49 +194,62 @@ def jaccard_verified_pairs(
     )
 
 
-def _gram_pair_parts(
-    df: DataFrame, text_col: str, id_col: str, n: int, max_df: int
-):
-    """Shared candidate + decomposed-intersection machinery for the
-    n-gram pair operators (Jaccard and containment).
+# Dense dictionary cap for the common-gram bitmap (bits). Chosen from
+# measured coverage: the top-4096 grams by df already carry 92% of all
+# common-gram postings at sf1 (99.9% at sf0.1, where K=4121 fits
+# entirely), so doubling to 8192 keeps the dense side authoritative
+# while the width stays a bounded 1 KB/doc at ANY corpus size.
+_DENSE_CAP = 8192
 
-    Returns ``(pair_rare, sizes)``:
+
+def _pair_parts_from_feats(feats: DataFrame, id_col: str, max_df: int):
+    """Shared candidate + decomposed-intersection machinery for the
+    exact-candidate pair operators (q80 Jaccard, q213 containment,
+    q226's ground-truth side), over an ALREADY-PERSISTED
+    ``(id, grams)`` relation (grams distinct per doc).
+
+    Returns ``(pair_rare, sizes, n_common)``:
 
     - ``pair_rare``: (id_a, id_b, inter_rare) — candidate pairs
       sharing ≥1 rare gram (document frequency ≤ ``max_df``), with the
-      EXACT count of shared rare grams. Grams are distinct per doc
-      (``py_char_ngrams``), so the posting equi-join emits exactly one
-      row per shared rare gram and the groupBy count replaces the old
-      ``distinct()`` on the same exchange.
-    - ``sizes``: (doc_id, n_grams, cids) — per-doc total gram count
-      and the doc's COMMON grams (df > ``max_df``) as a sorted array
-      of dictionary indices.
+      EXACT count of shared rare grams. Grams are distinct per doc,
+      so the posting equi-join emits exactly one row per shared rare
+      gram and the groupBy count replaces the old ``distinct()`` on
+      the same exchange.
+    - ``sizes``: (id, n_grams, cbm, ctail) — per-doc total gram count
+      and the doc's COMMON grams (df > ``max_df``) split TWO-LEVEL
+      (ADVICE r13): a fixed-width bitmap over the ``_DENSE_CAP`` most
+      frequent common grams (df-descending dictionary order), plus a
+      SPARSE int array for the overflow tail. The dense side keeps
+      the per-pair intersection a vectorized AND+popcount (an
+      uncapped bitmap was the r13 form, but its width is O(K) on
+      every doc however short); the tail keeps the payload O(|doc|)
+      at any corpus size (a pure-sparse form was measured 12× SLOWER
+      cold at sf0.1 — the per-pair merge does O(|common_a|+|common_b|)
+      ≈ 480 elements of sort work where the capped AND does 65
+      vectorized words, and avg common-grams/doc is 241 at sf0.1 /
+      391 at sf1, so pairs dominate docs and compute beats payload).
+      By measured coverage the tail is EMPTY below K=8192 (all gate
+      SFs) and ~31 ints/doc at sf1-scale overflow.
+    - ``n_common``: the dictionary size K (drives the tail-intersect
+      row-key stride).
 
     Why: the full intersection decomposes exactly as
-    ``inter = inter_rare + |common_a ∩ common_b|``. The old verify
-    shuffled every candidate pair's full gram STRING arrays (~8 KB
-    per pair at sf0.1) through two joins and ran a string
-    ``array_intersect`` per pair — measured 45.7 s of q80's 52.7 s at
-    sf0.1 for 1.24M candidates → 256 survivors. Here the pair
-    relation carries 24 bytes, the doc side carries int arrays
-    (≤ one int per gram, ~6× narrower than the strings), and the
-    per-pair intersect runs on ints. The common-gram dictionary is
-    bounded by construction: each common gram has df > max_df, so
-    K < total_postings / max_df — its index assignment is an
-    O(K)-row metadata window, the zip-offsets precedent."""
+    ``inter = inter_rare + |common_a ∩ common_b|``, and the common
+    half further splits exactly by dictionary rank:
+    ``|dense_a ∩ dense_b| + |tail_a ∩ tail_b|`` (every common gram
+    has exactly one rank). The old verify shuffled every candidate
+    pair's full gram STRING arrays (~8 KB per pair at sf0.1) through
+    two joins and ran a string ``array_intersect`` per pair —
+    measured 45.7 s of q80's 52.7 s at sf0.1 for 1.24M candidates →
+    256 survivors. Here the pair relation carries 24 bytes and the
+    doc side ~1 KB. The dictionary is bounded by construction: each
+    common gram has df > max_df, so K < total_postings / max_df —
+    its index assignment is an O(K)-row metadata window, the
+    zip-offsets precedent."""
     from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
 
-    from mindseye_dataframes_spark.functions.textfns import py_char_ngrams
-
-    grams_udf = F.pandas_udf(
-        lambda texts: texts.map(lambda t: py_char_ngrams(t, n)), "array<string>"
-    )
-    feats = (
-        ensure_min_parallelism(df, id_col)
-        .select(F.col(id_col), grams_udf(F.col(text_col)).alias("grams"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
     postings = feats.select(F.col(id_col), F.explode("grams").alias("g"))
     # one document-frequency aggregate feeds BOTH the rare filter and
     # the common dictionary — persist it (O(distinct grams) rows)
@@ -254,44 +267,54 @@ def _gram_pair_parts(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter_rare"))
     )
+    # dictionary rank = df DESCENDING (gram tiebreak): the most
+    # frequent grams — the bulk of every doc's common hits — land in
+    # the capped dense bitmap; the tail overflows to the sparse array
     common = gcounts.filter(F.col("doc_freq") > max_df).select(
         "g",
         (
-            F.row_number().over(Window.orderBy("g")) - 1
+            F.row_number().over(
+                Window.orderBy(F.desc("doc_freq"), "g")
+            )
+            - 1
         ).alias("cidx"),
     )
-    # fixed-width BITMAP per doc over the common-gram dictionary: the
-    # per-pair common intersection then vectorizes to AND + popcount
-    # over (batch, W) int64 matrices — no per-row hash-set build (a
-    # JVM array_intersect per pair measured ~25 µs; the whole-batch
-    # numpy path is ~ns/word). K needs one count on the persisted
-    # doc-frequency relation (O(1) to the driver, sizing only).
+    # K needs one count on the persisted doc-frequency relation
+    # (O(1) to the driver, sizing only).
     n_common = common.count()
-    width = max(1, -(-n_common // 64))
+    width = max(1, -(-min(n_common, _DENSE_CAP) // 64))
 
-    def _to_bitmap(idx_lists):
+    def _pack(idx_lists):
         import numpy as np
         import pandas as pd
 
-        out = []
+        bms, tails = [], []
         for idxs in idx_lists:
             bm = np.zeros(width, dtype=np.int64)
+            tail = []
             if idxs is not None and len(idxs):
-                a = np.asarray(idxs, dtype=np.int64)
+                arr = np.asarray(idxs, dtype=np.int64)
+                d = arr[arr < _DENSE_CAP]
                 np.bitwise_or.at(
-                    bm, a // 64, np.int64(1) << (a % 64).astype(np.int64)
+                    bm, d // 64, np.int64(1) << (d % 64).astype(np.int64)
                 )
-            out.append(bm.tolist())
-        return pd.Series(out)
+                t = arr[arr >= _DENSE_CAP]
+                if len(t):
+                    tail = np.sort(t).astype("int32").tolist()
+            bms.append(bm.tolist())
+            tails.append(tail)
+        return pd.DataFrame({"cbm": bms, "ctail": tails})
 
-    bm_udf = F.pandas_udf(_to_bitmap, "array<bigint>")
+    pack_udf = F.pandas_udf(_pack, "cbm array<bigint>, ctail array<int>")
     doc_common = (
         postings.join(common, "g")
         .groupBy(id_col)
         .agg(F.collect_list("cidx").alias("cidxs"))
-        .select(F.col(id_col), bm_udf("cidxs").alias("cbm"))
+        .select(F.col(id_col), pack_udf("cidxs").alias("_p"))
+        .select(F.col(id_col), F.col("_p.cbm").alias("cbm"), F.col("_p.ctail").alias("ctail"))
     )
     zero_bm = F.array(*[F.lit(0).cast("bigint") for _ in range(width)])
+    empty_tail = F.array().cast("array<int>")
     sizes = (
         feats.select(F.col(id_col), F.size("grams").alias("n_grams"))
         .join(doc_common, id_col, "left")
@@ -299,15 +322,47 @@ def _gram_pair_parts(
             F.col(id_col),
             "n_grams",
             F.coalesce(F.col("cbm"), zero_bm).alias("cbm"),
+            F.coalesce(F.col("ctail"), empty_tail).alias("ctail"),
         )
     )
-    return pair_rare, sizes
+    return pair_rare, sizes, n_common
 
 
-def _popcount_and_udf():
-    """(bitmap_a, bitmap_b) → |a ∩ b| via whole-batch numpy: stack to
-    (rows, W) int64, AND, SWAR popcount (numpy 1.x has no
-    bitwise_count), row-sum. Exact for any bit pattern incl. bit 63."""
+def _gram_pair_parts(
+    df: DataFrame, text_col: str, id_col: str, n: int, max_df: int
+):
+    """Character-n-gram front end of ``_pair_parts_from_feats``: one
+    Arrow-batched gram pass, persisted (candidates and both verify
+    sides all consume it)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from mindseye_dataframes_spark.functions.textfns import py_char_ngrams
+
+    grams_udf = F.pandas_udf(
+        lambda texts: texts.map(lambda t: py_char_ngrams(t, n)), "array<string>"
+    )
+    feats = (
+        ensure_min_parallelism(df, id_col)
+        .select(F.col(id_col), grams_udf(F.col(text_col)).alias("grams"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return _pair_parts_from_feats(feats, id_col, max_df)
+
+
+def _inter_common_udf(n_common: int):
+    """(cbm_a, ctail_a, cbm_b, ctail_b) → |common_a ∩ common_b| via
+    whole-batch numpy, in two exact halves:
+
+    - dense: stack bitmaps to (rows, W) int64, AND, SWAR popcount
+      (numpy 1.x has no bitwise_count), row-sum — exact for any bit
+      pattern incl. bit 63;
+    - tail: both sides' tail values are distinct within a row, so the
+      intersection size is the number of DUPLICATED (row, value) keys
+      in the concatenation — one flatten, one sort, one adjacent-
+      equality scan per batch, no per-row hash set. Row keys stride
+      by ``n_common + 1`` so batch rows never collide (batch ≤ 10⁴
+      rows × stride ≪ 2⁶³). Skipped outright when every tail in the
+      batch is empty (all gate SFs: K ≤ the dense cap)."""
     import numpy as np
     import pandas as pd
 
@@ -315,11 +370,13 @@ def _popcount_and_udf():
     m2 = np.uint64(0x3333333333333333)
     m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
     h01 = np.uint64(0x0101010101010101)
+    stride = np.int64(n_common + 1)
 
     # no type hints: stringified annotations break pandas_udf
     # signature inference (the word_ngrams_udf lesson)
-    def pop(a, b):
-        if not len(a):
+    def inter(a, ta, b, tb):
+        m = len(a)
+        if not m:
             return pd.Series([], dtype="int32")
         x = np.bitwise_and(
             np.stack(a.values).astype(np.int64).view(np.uint64),
@@ -328,10 +385,23 @@ def _popcount_and_udf():
         x = x - ((x >> np.uint64(1)) & m1)
         x = (x & m2) + ((x >> np.uint64(2)) & m2)
         x = (x + (x >> np.uint64(4))) & m4
-        counts = (x * h01) >> np.uint64(56)
-        return pd.Series(counts.sum(axis=1).astype("int32"))
+        counts = ((x * h01) >> np.uint64(56)).sum(axis=1).astype(np.int64)
+        la = np.fromiter((len(t) for t in ta), dtype=np.int64, count=m)
+        lb = np.fromiter((len(t) for t in tb), dtype=np.int64, count=m)
+        if la.sum() and lb.sum():
+            rows_a = np.repeat(np.arange(m, dtype=np.int64), la)
+            rows_b = np.repeat(np.arange(m, dtype=np.int64), lb)
+            flat_a = np.concatenate(list(ta.values)).astype(np.int64)
+            flat_b = np.concatenate(list(tb.values)).astype(np.int64)
+            allk = np.concatenate(
+                (rows_a * stride + flat_a, rows_b * stride + flat_b)
+            )
+            allk.sort()
+            dup = allk[1:][allk[1:] == allk[:-1]]
+            np.add.at(counts, dup // stride, 1)
+        return pd.Series(counts.astype("int32"))
 
-    return F.pandas_udf(pop, "int")
+    return F.pandas_udf(inter, "int")
 
 
 def ngram_jaccard_pairs(
@@ -365,20 +435,25 @@ def ngram_jaccard_pairs(
     prunes pairs before the int intersect. Shuffles are bounded by
     posting-list size, never O(n²).
     """
-    pair_rare, sizes = _gram_pair_parts(df, text_col, id_col, n, max_df)
+    pair_rare, sizes, n_common = _gram_pair_parts(
+        df, text_col, id_col, n, max_df
+    )
     sa = sizes.select(
         F.col(id_col).alias("id_a"),
         F.col("n_grams").alias("n_a"),
         F.col("cbm").alias("cbm_a"),
+        F.col("ctail").alias("ctail_a"),
     )
     sb = sizes.select(
         F.col(id_col).alias("id_b"),
         F.col("n_grams").alias("n_b"),
         F.col("cbm").alias("cbm_b"),
+        F.col("ctail").alias("ctail_b"),
     )
     # the candidate relation is byte-small but each verify row does
-    # O(|common|/64) popcount work — pin cluster-wide parallelism so
-    # AQE's size-based coalescing can't serialize the verify stage
+    # O(width + |tail|) intersect work — pin cluster-wide
+    # parallelism so AQE's size-based coalescing can't serialize the
+    # verify stage
     withsz = (
         spread_for_compute(pair_rare, "id_a", "id_b")
         .join(sa, "id_a")
@@ -392,7 +467,9 @@ def ngram_jaccard_pairs(
             >= F.lit(threshold)
         )
     )
-    inter = F.col("inter_rare") + _popcount_and_udf()("cbm_a", "cbm_b")
+    inter = F.col("inter_rare") + _inter_common_udf(n_common)(
+        "cbm_a", "ctail_a", "cbm_b", "ctail_b"
+    )
     jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter).cast("double")
     return (
         withsz.select("id_a", "id_b", jac.alias("jaccard"))
@@ -430,19 +507,24 @@ def ngram_containment_pairs(
     integer ppm (``inter·1e6 DIV n_src``) — BIGINT-exact on every
     engine.
     """
-    pair_rare, sizes = _gram_pair_parts(df, text_col, id_col, n, max_df)
+    pair_rare, sizes, n_common = _gram_pair_parts(
+        df, text_col, id_col, n, max_df
+    )
     sa = sizes.select(
         F.col(id_col).alias("id_a"),
         F.col("n_grams").alias("n_a"),
         F.col("cbm").alias("cbm_a"),
+        F.col("ctail").alias("ctail_a"),
     )
     sb = sizes.select(
         F.col(id_col).alias("id_b"),
         F.col("n_grams").alias("n_b"),
         F.col("cbm").alias("cbm_b"),
+        F.col("ctail").alias("ctail_b"),
     )
     inter = (
-        F.col("inter_rare") + _popcount_and_udf()("cbm_a", "cbm_b")
+        F.col("inter_rare")
+        + _inter_common_udf(n_common)("cbm_a", "ctail_a", "cbm_b", "ctail_b")
     ).cast("long")
     # same AQE-coalescing guard as the Jaccard verify: the pair list
     # is tiny in bytes, the per-row intersection is not (VERDICT r9
