@@ -179,6 +179,204 @@ def cosine_topk_pruned(
     return _rank_topk(restored, query_id, corpus_id, k)
 
 
+def cosine_topk_gemm(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+    k: int,
+    q_tag: str | None = None,
+    c_tag: str | None = None,
+    margin: float = 1e-6,
+) -> DataFrame:
+    """``cosine_topk_pruned`` with BLAS candidate generation — the
+    block-GEMM scheme of ``allpairs_cosine_threshold`` applied to the
+    bounded-queries top-k shape (VERDICT r13 item 5): identical
+    results, but the per-pair scoring runs as ONE numpy matrix
+    multiply per Arrow batch instead of a |Q|·|C| interpreted
+    ``aggregate``-fold tree (HOFs are never codegen'd; measured
+    ~10×/element slower than vectorized numpy).
+
+    Exactness: per partition the UDF keeps, per query, every corpus
+    row whose GEMM cosine is within ``margin`` of the partition's
+    k-th best. GEMM (pairwise summation) differs from the engines'
+    sequential fold by ~1e-13 relative and the ranking grid is
+    round(·, 9), so any row excluded here sits > margin − 3ε below k
+    true scores — strictly below them after rounding, hence provably
+    outside the true top-k for ANY id tiebreak. Survivors (≤ |Q|·k
+    plus margin-ties per partition — the same shuffle bound as
+    ``cosine_topk_pruned``) are re-scored with the SAME
+    ``cosine_ranked`` sequential fold and ranked by the shared
+    ``_rank_topk`` window, so emitted values are bit-identical.
+    Equality is property-pinned in tests/test_properties.py.
+
+    NaN/NULL parity with the exact scorer: zero-norm corpus vectors
+    (cosine NaN, ranks FIRST) are force-kept in every partition pool;
+    a zero-norm QUERY scores NaN against everything, so its true
+    top-k is the k smallest corpus ids — the pool keeps exactly
+    those; NULL corpus vectors (cosine NULL, ranks LAST) are kept as
+    a k-smallest-id backfill tail so under-filled queries still match.
+
+    ``q_tag``/``c_tag`` express the pre-rank pair filter both callers
+    use — a pair is EXCLUDED when its tags are equal (q184:
+    tag = the shared id space, self-exclusion; q194: tag = label,
+    hard-negative mining). Excluded pairs never enter a pool.
+
+    The query side is collected to the driver (it is the bounded,
+    broadcast-small side by construction — same posture as
+    ``ivf_centroids``); the corpus is scanned once, never shuffled
+    beyond the small-input parallelism widening."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from mindseye_dataframes_spark.plans.parallelism import (
+        ensure_min_parallelism,
+    )
+
+    # dedupe: a tag may BE the id column (q184's self-exclusion) — a
+    # duplicate name in select() gets mangled by the Arrow hop
+    q_cols = list(dict.fromkeys(
+        [query_id, query_vec] + ([q_tag] if q_tag else [])
+    ))
+    qrows = queries.select(*q_cols).collect()
+    if not qrows:
+        schema = T.StructType(
+            [
+                T.StructField(query_id, queries.schema[query_id].dataType),
+                T.StructField("rank", T.IntegerType()),
+                T.StructField(corpus_id, corpus.schema[corpus_id].dataType),
+                T.StructField("cos_r", T.DoubleType()),
+            ]
+        )
+        return queries.sparkSession.createDataFrame([], schema)
+    qids = [r[query_id] for r in qrows]
+    qmat = np.array([list(r[query_vec]) for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    # zero-norm AND NaN-component queries score NaN against every
+    # corpus row under the exact fold — both take the zpool path
+    qzero = (qnorm == 0.0) | np.isnan(qnorm)
+    qunit = qmat / np.where(qzero, 1.0, qnorm)[:, None]
+    qtags = [r[q_tag] for r in qrows] if q_tag else None
+    nq = len(qids)
+    lo_margin = float(margin)
+
+    c_cols = list(dict.fromkeys(
+        [corpus_id, corpus_vec] + ([c_tag] if c_tag else [])
+    ))
+    src = ensure_min_parallelism(corpus.select(*c_cols), corpus_id)
+
+    # candidates leave the UDF as bare (query_id, corpus_id) PAIRS —
+    # never vectors: the Arrow hop folds NaN into pandas' missing-value
+    # sentinel (the round-6 cosine_topk_pruned lesson), so a NaN-
+    # component vector carried through Python would come back as NULL
+    # elements and the exact re-verify would score NULL instead of
+    # NaN. Vectors re-attach JVM-side via broadcast joins below.
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id, queries.schema[query_id].dataType),
+            corpus.schema[corpus_id],
+        ]
+    )
+
+    live_q = [q for q in range(nq) if not qzero[q]]
+
+    def gen(batches):
+        # per-query candidate pools: scores + corpus ids only
+        pool_s = {q: np.empty(0, dtype=np.float64) for q in live_q}
+        pool_c: dict = {q: [] for q in live_q}
+        # a zero-norm QUERY cosines NaN against everything, so its
+        # true top-k is the k smallest (non-excluded) corpus ids
+        zpool: dict = {q: [] for q in range(nq) if qzero[q]}
+        null_ids: list = []  # (id, tag): NULL-vector rank-last tail
+
+        for pdf in batches:
+            vv = pdf[corpus_vec]
+            nonnull = vv.notna().to_numpy()
+            ids_all = pdf[corpus_id].to_numpy()
+            tags_all = pdf[c_tag].to_numpy() if c_tag else None
+            if (~nonnull).any():
+                null_ids = sorted(
+                    null_ids
+                    + [
+                        (ids_all[i], tags_all[i] if c_tag else None)
+                        for i in np.nonzero(~nonnull)[0]
+                    ]
+                )[: k]
+            idx = np.nonzero(nonnull)[0]
+            if len(idx) == 0:
+                continue
+            ids = ids_all[idx]
+            ctags = tags_all[idx] if c_tag else None
+            mat = np.vstack(vv.iloc[idx].to_list()).astype(np.float64)
+            cnorm = np.linalg.norm(mat, axis=1)
+            # zero-norm AND NaN-component corpus vectors cosine to NaN
+            # under the exact fold, which ranks FIRST — force-keep both
+            czero = (cnorm == 0.0) | np.isnan(cnorm)
+            cunit = mat / np.where(czero, 1.0, cnorm)[:, None]
+            sims = qunit @ cunit.T  # the O(|Q|·|C|) inner loop, in BLAS
+            sims[:, czero] = np.inf  # NaN cosine ranks FIRST: force-keep
+            for q in live_q:
+                row, bids = sims[q], ids
+                if ctags is not None:
+                    keep = ctags != qtags[q]
+                    if not keep.all():
+                        row, bids = row[keep], bids[keep]
+                s = np.concatenate((pool_s[q], row))
+                c = pool_c[q] + list(bids)
+                if len(s) > k:
+                    kth = np.partition(s, -k)[-k]
+                    sel = s >= kth - lo_margin
+                    s = s[sel]
+                    c = [c[i] for i in np.nonzero(sel)[0]]
+                pool_s[q], pool_c[q] = s, c
+            for q in zpool:
+                bids = ids
+                if ctags is not None:
+                    bids = bids[ctags != qtags[q]]
+                zpool[q] = sorted(zpool[q] + list(bids))[: k]
+
+        out_q, out_c = [], []
+        for q in range(nq):
+            cand = zpool[q] if qzero[q] else pool_c[q]
+            tail = [
+                i
+                for i, t in null_ids
+                if (qtags is None or t != qtags[q]) and i not in cand
+            ]
+            cand = list(cand) + tail
+            out_q.extend([qids[q]] * len(cand))
+            out_c.extend(cand)
+        if not out_q:
+            return
+        yield pd.DataFrame({query_id: out_q, corpus_id: out_c})
+
+    cand = src.mapInPandas(gen, schema=out_schema)
+    # exact re-verify: broadcast the O(|Q|·k·partitions) pair relation
+    # against the corpus scan (corpus never shuffles) and the bounded
+    # query side, then score with the engines' sequential fold
+    qv_side = queries.select(query_id, query_vec)
+    # fresh aliases on the re-scan: cand shares the corpus lineage, so
+    # joining back on the original names would collide attribute ids
+    cv_side = corpus.select(
+        F.col(corpus_id).alias("_gv_cid"), F.col(corpus_vec).alias("_gv_cv")
+    )
+    scored = (
+        cv_side.join(
+            F.broadcast(cand), F.col("_gv_cid") == F.col(corpus_id)
+        )
+        .join(F.broadcast(qv_side), query_id)
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            cosine_ranked(query_vec, "_gv_cv").alias("cos_r"),
+        )
+    )
+    return _rank_topk(scored, query_id, corpus_id, k)
+
+
 def ann_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,

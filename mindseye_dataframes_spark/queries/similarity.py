@@ -523,7 +523,7 @@ def q184_knn_label_eval(spark, sf_dir):
     from pyspark.sql import Window
 
     from mindseye_dataframes_spark.operators.similarity import (
-        cosine_topk_pruned,
+        cosine_topk_gemm,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -535,7 +535,12 @@ def q184_knn_label_eval(spark, sf_dir):
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cv"),
     )
-    top = cosine_topk_pruned(
+    # BLAS candidate generation + exact cosine_ranked re-verify
+    # (cosine_topk_gemm, r14): bit-identical to the old pruned path —
+    # equality property-pinned — with the |eval|·|C| interpreted fold
+    # tree replaced by one matrix multiply per Arrow batch; the
+    # self-exclusion pair filter is the tag pair (shared id space)
+    top = cosine_topk_gemm(
         q,
         c,
         "query_id",
@@ -543,7 +548,8 @@ def q184_knn_label_eval(spark, sf_dir):
         "neighbor_id",
         "cv",
         _KNN_K,
-        pair_filter=F.col("neighbor_id") != F.col("query_id"),
+        q_tag="query_id",
+        c_tag="neighbor_id",
     )
     labels = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
@@ -713,7 +719,7 @@ def q194_hard_negative_mining(spark, sf_dir):
     broadcast joins of the O(|anchors|·k) result — the corpus never
     shuffles and nothing driver-side scales with |corpus|."""
     from mindseye_dataframes_spark.operators.similarity import (
-        cosine_topk_pruned,
+        cosine_topk_gemm,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -727,7 +733,11 @@ def q194_hard_negative_mining(spark, sf_dir):
         F.col("embedding").alias("cv"),
         F.col("label").alias("c_label"),
     )
-    top = cosine_topk_pruned(
+    # BLAS candidate generation + exact cosine_ranked re-verify
+    # (cosine_topk_gemm, r14; equality property-pinned): the label-
+    # mismatch predicate is the tag pair, applied pre-rank exactly as
+    # the old pair_filter was
+    top = cosine_topk_gemm(
         anchors,
         corpus,
         "anchor_id",
@@ -735,7 +745,8 @@ def q194_hard_negative_mining(spark, sf_dir):
         "neighbor_id",
         "cv",
         _HN_K,
-        pair_filter=F.col("c_label") != F.col("a_label"),
+        q_tag="a_label",
+        c_tag="c_label",
     )
     neg_l = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("neg_label")

@@ -1166,3 +1166,72 @@ def test_allpairs_cosine_threshold_equals_theta_join(spark):
         def key(t):  # NaN != NaN, so compare on a normalized key
             return (t[0], t[1], "NaN" if t[2] != t[2] else t[2])
         assert [key(t) for t in got] == [key(t) for t in want], rows_per_block
+
+
+def test_cosine_topk_gemm_equals_pruned(spark):
+    """The BLAS candidate generator must be invisible: identical
+    (query, rank, neighbor, score) rows as cosine_topk_pruned —
+    including exact ties (cloned corpus vectors), NaN-poisoned
+    vectors (rank FIRST), multiple partitions, and both tag-exclusion
+    modes (self-id for q184, label for q194). The exact re-verify
+    runs the same cosine_ranked fold, so scores are bit-identical."""
+    import numpy as np
+
+    from mindseye_dataframes_spark.operators.similarity import (
+        cosine_topk_gemm,
+        cosine_topk_pruned,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(23)
+    vecs = [[float(x) for x in rng.normal(0, 1, 8)] for _ in range(120)]
+    for i in (30, 60, 90):  # exact ties: clones of vector 0
+        vecs[i] = list(vecs[0])
+    for i in (45, 75):  # NaN cosine ranks FIRST in both paths
+        vecs[i] = [float("nan")] * 8
+    labels = [i % 3 for i in range(120)]
+    corpus = spark.createDataFrame(
+        [(i, v, labels[i]) for i, v in enumerate(vecs)],
+        "cid long, cv array<double>, c_label long",
+    ).repartition(7)
+    queries = spark.createDataFrame(
+        [(i, vecs[i], labels[i]) for i in range(5)],
+        "qid long, qv array<double>, q_label long",
+    )
+
+    def rows(df):
+        return sorted(
+            tuple("NaN" if isinstance(v, float) and v != v else v for v in r)
+            for r in df.collect()
+        )
+
+    # no filter
+    assert rows(
+        cosine_topk_gemm(queries, corpus, "qid", "qv", "cid", "cv", 10)
+    ) == rows(
+        cosine_topk_pruned(queries, corpus, "qid", "qv", "cid", "cv", 10)
+    )
+    # self-exclusion by shared id (q184's shape)
+    assert rows(
+        cosine_topk_gemm(
+            queries, corpus, "qid", "qv", "cid", "cv", 10,
+            q_tag="qid", c_tag="cid",
+        )
+    ) == rows(
+        cosine_topk_pruned(
+            queries, corpus, "qid", "qv", "cid", "cv", 10,
+            pair_filter=F.col("cid") != F.col("qid"),
+        )
+    )
+    # label mismatch (q194's shape)
+    assert rows(
+        cosine_topk_gemm(
+            queries, corpus, "qid", "qv", "cid", "cv", 10,
+            q_tag="q_label", c_tag="c_label",
+        )
+    ) == rows(
+        cosine_topk_pruned(
+            queries, corpus, "qid", "qv", "cid", "cv", 10,
+            pair_filter=F.col("c_label") != F.col("q_label"),
+        )
+    )
