@@ -53,7 +53,18 @@ def main() -> None:
                   # per-round record (extended_total_sec grows by its
                   # cost this round; per-query arrays keep rounds
                   # comparable)
-                  "q238_simhash64_hamming_pairs")
+                  "q238_simhash64_hamming_pairs",
+                  # r14 additions-only (VERDICT r13 items 3 and 6):
+                  # q80 so the n-gram pair family's big r13 win class
+                  # finally has a driver-side record, and one
+                  # streaming drain so the state-store sizing family
+                  # (165→47 s at the sf0.01 gate in r13) shows up in
+                  # BENCH/PERF instead of only probe logs.
+                  # extended_total_sec grows by their cost this
+                  # round; per-query pass arrays keep rounds
+                  # comparable.
+                  "q80_ngram_jaccard_pairs",
+                  "q195_streaming_interval_join_parity")
         if n in registry
     ]
 

@@ -198,7 +198,14 @@ def _attach_index(
     the rank window's exchange via ReuseExchange was tried and does
     NOT work: column pruning under the explicit repartition makes the
     two exchanges non-identical, so the "fold" silently becomes a
-    full-width second shuffle — worse than the pruned scan it saves."""
+    full-width second shuffle — worse than the pruned scan it saves.
+    An r14 variant ran the counts as an EAGER collect at plan-build
+    time and embedded the offsets as an array literal (dropping the
+    counts subtree, the cumulative window and the broadcast join from
+    the plan) — measured a q13 REGRESSION at sf0.1 (1.51 → 1.92 s
+    warm min-of-3 noop): the two per-frame collect jobs serialize
+    driver round-trips that the single-action form overlaps inside
+    one job DAG. Lazy subtree kept."""
     keys = [F.col(k) for k in order_keys]
     counts = bucketed.groupBy("_zip_part").agg(F.count(F.lit(1)).alias("_zip_n"))
     # This window is intentionally unpartitioned: the frame is the

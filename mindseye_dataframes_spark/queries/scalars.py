@@ -315,6 +315,11 @@ def q50_approx_distinct(spark, sf_dir):
     # pairs IS the exact distinct count.
     return (
         li.select("l_returnflag", "l_orderkey")
+        # pin countDistinct's null-exclusion explicitly (ADVICE r13):
+        # count(*) over the distinct pairs would count a NULL key as
+        # its own group where the original countDistinct ignored it —
+        # a no-op on the non-null synthetic data, but unpinned drift
+        .filter(F.col("l_orderkey").isNotNull())
         .distinct()
         .groupBy("l_returnflag")
         .agg(

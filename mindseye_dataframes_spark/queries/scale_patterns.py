@@ -746,7 +746,11 @@ def q234_hll_overlap_gate(spark, sf_dir):
     # unchanged ({el with ≥1 purchase row} ≡ {el where has_a}), and
     # HLL++ over a set equals HLL++ over any multiset with that
     # distinct set. Both aggregates remain map-side combinable.
-    flags = d.groupBy("el").agg(
+    # pin countDistinct's null-exclusion explicitly (ADVICE r13): a
+    # NULL el (possible only under NULL user_id/ts) would form its own
+    # group and shift n_a/n_b/n_u by one vs the countDistinct
+    # semantics the oracle replays — a no-op on current data
+    flags = d.filter(F.col("el").isNotNull()).groupBy("el").agg(
         F.max(is_a).alias("has_a"), F.max(~is_a).alias("has_b")
     )
     row = flags.agg(

@@ -16,7 +16,6 @@ from mindseye_dataframes_spark.functions.textfns import (
     STOPWORDS,
     bag_fingerprint,
     distinct_tokens,
-    simhash16,
     simhash16_sql,
     tokens,
 )

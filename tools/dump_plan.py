@@ -2,9 +2,10 @@
 
 Usage: python tools/dump_plan.py <suffix> <query> [<query> ...]
 
-Writes plans/r13/<query>_<suffix>.txt for each query — the
-optimization-round evidence files (before/after plan snapshots).
-Uses the same warm executePlan path as tools/explain_plans.py.
+Writes plans/$PLAN_ROUND/<query>_<suffix>.txt (PLAN_ROUND defaults to
+r14) for each query — the optimization-round evidence files
+(before/after plan snapshots). Uses the same warm executePlan path as
+tools/explain_plans.py.
 """
 
 from __future__ import annotations
@@ -23,7 +24,9 @@ def main() -> None:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("PLAN_ROUND", "r14"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_session(app_name="dump-plan", cpus=8)

@@ -227,12 +227,27 @@ def main() -> None:
         sec = round(time.time() - t0, 1)
         results[name] = {"status": status, "sec": sec}
         print(f"{name} {status} {sec}s", flush=True)
+        # query-path persists (doc features, gram counts, fingerprint
+        # relations, ...) are lazy and can't be unpersisted inside the
+        # query builders — drop them between queries so a long sweep
+        # session doesn't accumulate MEMORY_AND_DISK cache across all
+        # 236 queries (ADVICE r13: persist hygiene on multi-query
+        # sessions; bench.py already clears per timed pass)
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
 
     log_path = args.log
     if not log_path:
         sfname = os.path.basename(args.sf_dir.rstrip("/"))
         hi_tag = "end" if args.hi >= 10**9 else str(args.hi)
         only_tag = ("_only-" + "-".join(only)) if only else ""
+        if len(only_tag) > 80:  # a long --only list overflows NAME_MAX
+            import hashlib
+
+            digest = hashlib.md5("-".join(only).encode()).hexdigest()[:10]
+            only_tag = f"_only-{len(only)}q-{digest}"
         log_path = os.path.join(
             repo,
             "docs",

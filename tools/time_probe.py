@@ -27,6 +27,11 @@ def main() -> None:
     sf_dir = sys.argv[1]
     names = sys.argv[2].split(",")
     n_runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    # NOOP=1: drain through the noop sink instead of count() — count
+    # lets the optimizer prune columns/subtrees (guide §1.4), so noop
+    # is the honest operator cost; kept opt-in so historical count-
+    # based probe numbers stay comparable
+    use_noop = os.environ.get("NOOP", "") == "1"
 
     from pyspark.sql import SparkSession
 
@@ -47,8 +52,13 @@ def main() -> None:
         q = registry[name]
         runs = []
         for i in range(n_runs):
+            spark.catalog.clearCache()
             t0 = time.monotonic()
-            q.fn(spark, sf_dir).count()
+            df = q.fn(spark, sf_dir)
+            if use_noop:
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.count()
             runs.append(round(time.monotonic() - t0, 2))
         out["results"][name] = {
             "cold": runs[0],
@@ -57,8 +67,11 @@ def main() -> None:
         }
         print(name, out["results"][name], flush=True)
     sfname = os.path.basename(os.path.normpath(sf_dir))
+    out["noop"] = use_noop
+    tag = os.environ.get("PROBE_TAG", "")
     log = os.path.join(
-        repo, "docs", "probes", f"time_{sfname}_{names[0]}_{len(names)}q.json"
+        repo, "docs", "probes",
+        f"time_{sfname}_{names[0]}_{len(names)}q{tag}.json",
     )
     with open(log, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
