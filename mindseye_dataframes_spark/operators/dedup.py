@@ -401,7 +401,14 @@ def _inter_common_udf(n_common: int):
             np.add.at(counts, dup // stride, 1)
         return pd.Series(counts.astype("int32"))
 
-    return F.pandas_udf(inter, "int")
+    # asNondeterministic (guide §4.4): the jaccard/containment FILTER
+    # references a column computed from this UDF, and the optimizer's
+    # filter pushdown otherwise duplicates the evaluation — the r13/r14
+    # q80 plans carried TWO ArrowEvalPython nodes (one below the
+    # pushed filter, one in the output projection), so every surviving
+    # pair paid the intersect twice. The function is pure; the marker
+    # only pins a single evaluation point.
+    return F.pandas_udf(inter, "int").asNondeterministic()
 
 
 def ngram_jaccard_pairs(
@@ -451,12 +458,15 @@ def ngram_jaccard_pairs(
         F.col("ctail").alias("ctail_b"),
     )
     # the candidate relation is byte-small but each verify row does
-    # O(width + |tail|) intersect work — pin cluster-wide
-    # parallelism so AQE's size-based coalescing can't serialize the
-    # verify stage
-    withsz = (
-        spread_for_compute(pair_rare, "id_a", "id_b")
-        .join(sa, "id_a")
+    # O(width + |tail|) intersect work — pin cluster-wide parallelism
+    # AFTER the sizes joins and the length filter (r14: the pre-join
+    # spread's repartition was immediately superseded by the SMJ's own
+    # ENSURE_REQUIREMENTS exchange — a wasted shuffle of the full pair
+    # relation — while the UDF stage above the join could still be
+    # AQE-coalesced; post-filter, the spread moves only the surviving
+    # pairs and sits directly under the intersect UDF)
+    withsz = spread_for_compute(
+        pair_rare.join(sa, "id_a")
         .join(sb, "id_b")
         # exact length filter: true J ≤ min/max and double rounding is
         # monotone, so computed(min/max) < t ⇒ computed(J) < t — the
@@ -465,7 +475,9 @@ def ngram_jaccard_pairs(
             F.least("n_a", "n_b").cast("double")
             / F.greatest("n_a", "n_b").cast("double")
             >= F.lit(threshold)
-        )
+        ),
+        "id_a",
+        "id_b",
     )
     inter = F.col("inter_rare") + _inter_common_udf(n_common)(
         "cbm_a", "ctail_a", "cbm_b", "ctail_b"
@@ -526,15 +538,13 @@ def ngram_containment_pairs(
         F.col("inter_rare")
         + _inter_common_udf(n_common)("cbm_a", "ctail_a", "cbm_b", "ctail_b")
     ).cast("long")
-    # same AQE-coalescing guard as the Jaccard verify: the pair list
-    # is tiny in bytes, the per-row intersection is not (VERDICT r9
-    # item 3 — the sf0.1 cold path serialized here)
-    scored = (
-        spread_for_compute(pair_rare, "id_a", "id_b")
-        .join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", inter.alias("inter"), "n_a", "n_b")
-    )
+    # same AQE-coalescing guard as the Jaccard verify, post-join
+    # (VERDICT r9 item 3 — the sf0.1 cold path serialized here; r14
+    # moved the spread above the joins so it feeds the intersect UDF
+    # directly instead of being superseded by the join exchanges)
+    scored = spread_for_compute(
+        pair_rare.join(sa, "id_a").join(sb, "id_b"), "id_a", "id_b"
+    ).select("id_a", "id_b", inter.alias("inter"), "n_a", "n_b")
     directed = scored.select(
         F.explode(
             F.array(

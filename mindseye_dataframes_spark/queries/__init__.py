@@ -407,37 +407,97 @@ REFRESH_R13: set[str] = {
     "q195_streaming_interval_join_parity",
 }
 
+# Queries verified green by the round-13 driver (CORRECTNESS_r13.json,
+# 50/50): freshest evidence, so they fill the window last.
+PROVEN_R13 = {
+    "q01_pricing_summary", "q114_embedding_normalize", "q116_gopher_quality",
+    "q117_repetition_ratio", "q126_triangle_count", "q158_dedup_pipeline_end_to_end",
+    "q162_pq_recall", "q167_net_token_accounting", "q182_streaming_dedup_parity",
+    "q188_packed_png_decode", "q189_semdedup_tau_curve", "q190_token_budget_selection",
+    "q191_intra_doc_dedup", "q192_standing_ann_topk", "q193_standing_bm25_topk",
+    "q194_hard_negative_mining", "q195_streaming_interval_join_parity", "q199_hybrid_rrf_retrieval",
+    "q200_cross_source_quality_calibration", "q202_count_min_heavy_hitters", "q203_incremental_bm25_update",
+    "q206_bigram_lm_perplexity_filter", "q207_substring_dedup_rewrite", "q20_ntile_rank",
+    "q21_first_last", "q22_asof_join", "q238_simhash64_hamming_pairs",
+    "q23_range_join", "q24_tumbling_window", "q26_text_stats",
+    "q27_quality_by_lang", "q28_token_frequency", "q29_simhash_fingerprints",
+    "q30_exact_dedup", "q31_minhash_signatures", "q32_lsh_dup_pairs",
+    "q33_simhash_clusters", "q34_embedding_near_dup", "q35_cosine_topk",
+    "q36_ann_lsh_topk", "q37_zscore_expansion", "q38_onehot_labels",
+    "q39_param_identity", "q41_blob_metadata", "q58_language_id",
+    "q60_ann_ivf_topk", "q77_dup_clusters", "q86_pii_redaction",
+    "q87_contamination_screen", "q88_chunk_documents",
+}
+
+# Queries whose EXECUTED PLAN changes in round 14 after their last
+# green driver row — the optimization round's rewrites (all
+# value-identical by construction and re-proven locally at sf0.01,
+# but the driver's green rows describe superseded plans, so they
+# re-prove at the head of the r14 window):
+# - q80/q213/q226: decomposed verify reworked (two-level capped
+#   bitmap + sparse tail, q226's verifies re-routed through it,
+#   intersect UDF single-evaluation via asNondeterministic);
+# - q184/q194: scoring re-routed onto cosine_topk_gemm (BLAS
+#   candidates + exact cosine_ranked re-verify);
+# - the eight streaming drains: state-store partition count now
+#   derived from the staged drop's size (same value 8 at gate SFs,
+#   but the sizing path is new code);
+# - q50/q234: explicit null-exclusion filters pin the countDistinct
+#   semantics (adds a Filter node).
+REFRESH_R14: set[str] = {
+    "q80_ngram_jaccard_pairs",
+    "q213_ngram_containment_pairs",
+    "q226_lsh_dedup_eval",
+    "q184_knn_label_eval",
+    "q194_hard_negative_mining",
+    "q179_streaming_tumbling_parity",
+    "q182_streaming_dedup_parity",
+    "q195_streaming_interval_join_parity",
+    "q196_streaming_stateful_totals_parity",
+    "q197_streaming_session_window_parity",
+    "q198_streaming_cdc_upsert_parity",
+    "q228_streaming_outer_join_parity",
+    "q236_streaming_full_outer_join_parity",
+    "q50_approx_distinct",
+    "q234_hll_overlap_gate",
+}
+
 # Stalest-first staleness: a query's group is its LAST proven round
 # (newest membership wins), so re-verification coverage rotates.
 STALE_R02 = (
     ((((PROVEN_R02 - PROVEN_R03) - PROVEN_R04) - PROVEN_R05) - PROVEN_R06)
     - PROVEN_R07
-) - PROVEN_R09 - PROVEN_R10 - PROVEN_R11 - PROVEN_R12
+) - PROVEN_R09 - PROVEN_R10 - PROVEN_R11 - PROVEN_R12 - PROVEN_R13
 STALE_R03 = (
     (((PROVEN_R03 - PROVEN_R04) - PROVEN_R05) - PROVEN_R06) - PROVEN_R07
-) - PROVEN_R09 - PROVEN_R10 - PROVEN_R11 - PROVEN_R12
+) - PROVEN_R09 - PROVEN_R10 - PROVEN_R11 - PROVEN_R12 - PROVEN_R13
 STALE_R04 = (
     ((PROVEN_R04 - PROVEN_R05) - PROVEN_R06) - PROVEN_R07
-) - PROVEN_R09 - PROVEN_R10 - PROVEN_R11 - PROVEN_R12
+) - PROVEN_R09 - PROVEN_R10 - PROVEN_R11 - PROVEN_R12 - PROVEN_R13
 STALE_R05 = (
     ((PROVEN_R05 - PROVEN_R06) - PROVEN_R07) - PROVEN_R09
-) - PROVEN_R10 - PROVEN_R11 - PROVEN_R12
+) - PROVEN_R10 - PROVEN_R11 - PROVEN_R12 - PROVEN_R13
 STALE_R06 = (
     ((PROVEN_R06 - PROVEN_R07) - PROVEN_R09) - PROVEN_R10
-) - PROVEN_R11 - PROVEN_R12
+) - PROVEN_R11 - PROVEN_R12 - PROVEN_R13
 STALE_R07 = (
     (PROVEN_R07 - PROVEN_R09) - PROVEN_R10
-) - PROVEN_R11 - PROVEN_R12
+) - PROVEN_R11 - PROVEN_R12 - PROVEN_R13
+STALE_R09 = (
+    PROVEN_R09 - PROVEN_R10 - PROVEN_R11 - PROVEN_R12 - PROVEN_R13
+)
 
 
 def _order_key(item: tuple[str, Query]) -> tuple[int, str]:
     name, q = item
-    if name in REFRESH_R13:
+    if name in REFRESH_R14:
         group = 0  # changed-after-check: head the window
     elif q.oracle is None:
         group = 99  # rows-only checks last — never burn a window slot
+    elif name in PROVEN_R13:
+        group = 13  # freshest evidence: verify last
     elif name in PROVEN_R12:
-        group = 12  # freshest evidence: verify last
+        group = 12
     elif name in PROVEN_R11:
         group = 11
     elif name in PROVEN_R10:

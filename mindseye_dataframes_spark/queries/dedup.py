@@ -1189,8 +1189,12 @@ def q226_lsh_dedup_eval(spark, sf_dir):
         "doc_id",
         _LSH_EVAL_MAXDF,
     )
-    # four consumers (both verify paths × both pair sides) — pin the
-    # per-doc (n_grams, cidxs) relation once
+    # q226 consumes pair_rare twice (truth verify + LSH-candidate
+    # left join) and sizes four times (both pair sides of both
+    # verifies) — pin both; q80/q213 consume pair_rare once and sizes
+    # twice, where a persist barrier measured as a variance source,
+    # so the helper leaves persisting to callers
+    pair_rare = pair_rare.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sizes.persist(StorageLevel.MEMORY_AND_DISK)
     sa = sizes.select(
         F.col("doc_id").alias("id_a"),
@@ -1213,12 +1217,12 @@ def q226_lsh_dedup_eval(spark, sf_dir):
 
     def verified(pairs):
         # the pair relation is byte-small but each row does
-        # O(width + |tail|) intersect work — same AQE-coalescing
-        # guard as the q80/q213 verifies
+        # O(width + |tail|) intersect work — same post-join
+        # AQE-coalescing guard as the q80/q213 verifies
         return (
-            spread_for_compute(pairs, "id_a", "id_b")
-            .join(sa, "id_a")
-            .join(sb, "id_b")
+            spread_for_compute(
+                pairs.join(sa, "id_a").join(sb, "id_b"), "id_a", "id_b"
+            )
             .filter(jac >= _LSH_EVAL_TAU)
             .select("id_a", "id_b")
         )

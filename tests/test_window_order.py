@@ -1,20 +1,17 @@
 """The driver checks only the FIRST 50 entries of queries() — the
 registry ordering IS the verification strategy (queries/__init__.py).
-These tests pin the round-13 window so a rotation mistake (stale
+These tests pin the round-14 window so a rotation mistake (stale
 queries pushed out, rows-only burning slots) fails loudly instead of
 silently shrinking coverage.
 
-Round-13 shape (VERDICT r12 item 1): the round-12 driver window
-re-proved the q237 refresh and the 49 r6-stale rows — so STALE_R06 is
-now empty and the 41 r7-stale queries (q158/q162/q167/q188–q207/
-q20–q24/q26–q39/q41/q58/q60/q77/q86–q88 families, last driver-hashed
-in round 7) are the re-verification front, behind this round's
-refresh set (REFRESH_R13: q34's de-cartesianed block-GEMM plan,
-q126's degree-oriented 2-path join, and q195's explicitly-sized
-state-store drain re-prove at the head) and any never-proven
-round-13 additions. Remaining slots fill from the
-stalest proven group (r9). Every registered query remains
-oracle-bearing.
+Round-14 shape: the round-13 driver window re-proved the r7-stale
+block (CORRECTNESS_r13 = PROVEN_R13, 50/50), so STALE_R07 is now
+empty and the r9-proven-never-since group is the re-verification
+front, behind this round's refresh set (REFRESH_R14: the optimization
+round's plan rewrites — the decomposed-verify trio q80/q213/q226, the
+GEMM-scored q184/q194, the eight size-derived streaming drains, and
+the null-pinned q50/q234 — re-prove at the head). Every registered
+query remains oracle-bearing.
 """
 
 from __future__ import annotations
@@ -30,13 +27,15 @@ from mindseye_dataframes_spark.queries import (
     PROVEN_R10,
     PROVEN_R11,
     PROVEN_R12,
-    REFRESH_R13,
+    PROVEN_R13,
+    REFRESH_R14,
     STALE_R02,
     STALE_R03,
     STALE_R04,
     STALE_R05,
     STALE_R06,
     STALE_R07,
+    STALE_R09,
     load_all,
 )
 
@@ -52,7 +51,7 @@ def test_refresh_set_heads_the_window():
     window = list(qs)[:50]
     # the changed-after-check queries occupy the first slots, before
     # anything else — their green rows prove superseded code
-    assert set(window[: len(REFRESH_R13)]) == REFRESH_R13
+    assert set(window[: len(REFRESH_R14)]) == REFRESH_R14
 
 
 def test_every_registered_query_is_oracle_bearing():
@@ -74,21 +73,24 @@ def test_unproven_and_stale_queries_fit_the_window():
         if q.oracle is not None and n not in window and _group(n, qs) == 1
     ]
     assert not unproven, f"unproven oracle queries outside the window: {unproven}"
-    # r2-r6-stale are exhausted after the r6/r9/r10/r11/r12 rotations;
-    # the 41-query r7-stale block is the re-verification front (VERDICT
-    # r12 item 1: after r13 no query's latest driver row may be older
-    # than r9) and must fit entirely unless refresh + new overflow the
-    # window
+    # r2-r7-stale are exhausted after the r6/r9/r10/r11/r12/r13
+    # rotations; the r9-proven-never-since group is the
+    # re-verification front and must fill every slot left after the
+    # refresh head and never-proven queries
     assert not STALE_R02, "r2-stale should be empty after round 6"
     assert not STALE_R03, "r3-stale should be empty after round 9"
     assert not STALE_R04, "r4-stale should be empty after round 10"
     assert not STALE_R05, "r5-stale should be empty after round 11"
     assert not STALE_R06, "r6-stale should be empty after round 12"
-    n_head = len(REFRESH_R13) + sum(1 for n in qs if _group(n, qs) == 1)
-    allowed_overflow = max(0, n_head + len(STALE_R07 - REFRESH_R13) - 50)
-    missing_stale = (STALE_R07 - REFRESH_R13) - set(window)
+    assert not STALE_R07, "r7-stale should be empty after round 13"
+    stale_front = {
+        n for n in STALE_R09 - REFRESH_R14 if qs[n].oracle is not None
+    }
+    n_head = len(REFRESH_R14) + sum(1 for n in qs if _group(n, qs) == 1)
+    allowed_overflow = max(0, n_head + len(stale_front) - 50)
+    missing_stale = stale_front - set(window)
     assert len(missing_stale) <= allowed_overflow, (
-        f"r7-stale queries rotated out beyond the overflow: {missing_stale}"
+        f"r9-stale queries rotated out beyond the overflow: {missing_stale}"
     )
 
 
@@ -105,6 +107,7 @@ def test_proven_sets_cover_only_registered_oracle_queries():
         | PROVEN_R10
         | PROVEN_R11
         | PROVEN_R12
+        | PROVEN_R13
     )
     unknown = proven - set(qs)
     assert not unknown, f"proven sets name unregistered queries: {unknown}"
@@ -134,10 +137,10 @@ def test_readme_query_count():
 def test_window_is_exactly_refresh_plus_unproven_plus_stalest():
     qs = load_all()
     window = set(list(qs)[:50])
-    # no slot may be wasted on a query proven more recently than r7
+    # no slot may be wasted on a query proven more recently than r9
     # while a staler or unproven one waits outside
-    outside = [n for n in qs if n not in window and _group(n, qs) <= 7]
-    wasted = [n for n in window if _group(n, qs) > 7]
+    outside = [n for n in qs if n not in window and _group(n, qs) <= 9]
+    wasted = [n for n in window if _group(n, qs) > 9]
     assert not (outside and wasted), (
         f"window wastes slots {wasted} while {outside} wait outside"
     )
