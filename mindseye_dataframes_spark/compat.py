@@ -87,3 +87,18 @@ def scan_partition_count(df: DataFrame, default: int) -> int:
         return df.rdd.getNumPartitions()
     except Exception:
         return default
+
+
+def plan_size_in_bytes(df: DataFrame, default: int) -> int:
+    """The optimizer's size estimate for ``df`` (file bytes for a
+    bare scan) when the backend exposes the JVM plan handle;
+    ``default`` under Connect or on any introspection surprise. A
+    SIZING hint only — callers must degrade gracefully (the
+    streaming state-store partition derivation uses it with its
+    measured gate-scale floor as the default)."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return default

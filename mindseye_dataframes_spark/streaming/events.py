@@ -133,16 +133,17 @@ def sized_state_partitions(
     measured-optimal 8; the cap bounds per-trigger scheduler pressure
     the way q126 caps its bloom bits. The derivation is one driver-
     side file listing of the staged directory — no job."""
+    from mindseye_dataframes_spark.compat import plan_size_in_bytes
+
     try:
         scan = spark.read.parquet(staged_src)
-        size = int(
-            scan._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
     except Exception:
-        # non-classic backend (no JVM plan handle) or a vanished
-        # staging dir: fall back to the measured gate-scale floor
-        # rather than failing the drain over a sizing hint
+        # a vanished staging dir: fall back to the measured gate-scale
+        # floor rather than failing the drain over a sizing hint
         return floor
+    # plan_size_in_bytes degrades to 0 → floor on a non-classic
+    # backend (no JVM plan handle) — same posture as scan_partitions
+    size = plan_size_in_bytes(scan, 0)
     return max(floor, min(cap, -(-size // scan_bytes_per_partition)))
 
 
