@@ -171,6 +171,49 @@ def py_minhash(items: list[str], k: int = MINHASH_K) -> list[str]:
     ]
 
 
+def py_minhash_many(
+    feats_seq: list[list[str]], k: int = MINHASH_K
+) -> list[list[str]]:
+    """Batch form of :func:`py_minhash` — one md5 per (band, DISTINCT
+    shingle) per Arrow batch instead of per (band, shingle, doc):
+    shingles repeat heavily across a corpus batch, and re-hashing a
+    shared shingle per doc was the hot loop of the dedup family
+    (r14: q32 is bench-headline and rebuilds signatures every pass).
+
+    Bit-identical to the per-doc form: same md5 inputs, and the min
+    runs over 16-byte DIGESTS instead of hex strings — fixed-length
+    lowercase hex is a byte-order-preserving encoding, so
+    min(digest).hex() == min(hexdigest) exactly. Memory is bounded by
+    processing bands OUTER: one 16-byte digest per distinct shingle
+    held at a time (~16 B × distinct-per-batch), cleared per band —
+    never the k × distinct table."""
+    import hashlib
+
+    md5 = hashlib.md5
+    index: dict[bytes, int] = {}
+    docs_idx: list[list[int]] = []
+    for feats in feats_seq:
+        idxs = []
+        for s in feats:
+            b = s.encode()
+            j = index.get(b)
+            if j is None:
+                j = len(index)
+                index[b] = j
+            idxs.append(j)
+        docs_idx.append(idxs)
+    shingles_b = list(index.keys())
+    out: list[list[str]] = [[] for _ in feats_seq]
+    for i in range(k):
+        prefix = f"{i}:".encode()
+        digs = [md5(prefix + s).digest() for s in shingles_b]
+        for d, idxs in enumerate(docs_idx):
+            # empty feature lists raise ValueError exactly like the
+            # per-doc form's min() over no items
+            out[d].append(min(digs[j] for j in idxs).hex())
+    return out
+
+
 def py_char_ngrams(text: str, n: int = 8) -> list[str]:
     """Distinct character n-grams, first-seen order. Shorter texts
     collapse to the whole string (same degenerate-input rule as

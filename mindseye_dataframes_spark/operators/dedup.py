@@ -27,7 +27,7 @@ from mindseye_dataframes_spark.functions.textfns import (
     distinct_tokens,
     lsh_band_keys,
     py_distinct_tokens,
-    py_minhash,
+    py_minhash_many,
     py_shingles,
     shingles,
 )
@@ -66,9 +66,14 @@ def _features_udf(feature: str):
 
 def _signature_udf(feature: str, k: int):
     fn = _py_features(feature)
-    return F.pandas_udf(
-        lambda texts: texts.map(lambda t: py_minhash(fn(t), k)), "array<string>"
-    )
+
+    def sig(texts):
+        import pandas as pd
+
+        feats = [fn(t) for t in texts]
+        return pd.Series(py_minhash_many(feats, k))
+
+    return F.pandas_udf(sig, "array<string>")
 
 
 def doc_features(
@@ -89,7 +94,10 @@ def doc_features(
 
     def both(texts):
         feats = texts.map(fn)
-        sigs = feats.map(lambda f: py_minhash(f, k))
+        # batch minhash: one md5 per (band, distinct shingle) per
+        # batch — shared shingles across docs hash once (textfns.
+        # py_minhash_many, bit-identical to the per-doc fold)
+        sigs = pd.Series(py_minhash_many(list(feats), k), index=feats.index)
         return pd.DataFrame({"feats": feats, "sig": sigs})
 
     udf = F.pandas_udf(both, "feats array<string>, sig array<string>")

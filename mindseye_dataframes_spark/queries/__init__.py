@@ -445,6 +445,11 @@ PROVEN_R13 = {
 # - q50/q234: explicit null-exclusion filters pin the countDistinct
 #   semantics (adds a Filter node).
 REFRESH_R14: set[str] = {
+    # q31/q32 emit MinHash signatures whose UDF body switched to the
+    # batch distinct-shingle form (bit-identical, unit-pinned) — the
+    # plan is unchanged but the executed code is new, so they re-prove
+    "q31_minhash_signatures",
+    "q32_lsh_dup_pairs",
     "q80_ngram_jaccard_pairs",
     "q213_ngram_containment_pairs",
     "q226_lsh_dedup_eval",
